@@ -1,0 +1,101 @@
+"""Deterministic sub-word tokenizer with character offsets and masks.
+
+Mirrors the *interface contract* of the reference tokenizers
+(``rust_tokenizers`` as consumed via
+/root/reference/src/pipelines/common.rs:1332-1396): every token carries
+
+- ``id``      — stable integer id (crc32 of the piece text),
+- ``offset``  — **character** (not byte) span ``(begin, end)`` into the
+  source string, or ``None`` for special tokens
+  (char semantics confirmed at
+  /root/reference/src/pipelines/token_classification.rs:1108-1118),
+- ``mask``    — token category (``NONE`` word-initial piece,
+  ``CONTINUATION`` sub-word piece, ``SPECIAL`` for [CLS]/[SEP]),
+  matching the reference ``Mask`` enum usage
+  (/root/reference/src/pipelines/token_classification.rs:1011-1017).
+
+The tokenizer itself is *not* a port of any wordpiece vocab: it splits on
+``(?u)\\w+|[^\\w\\s]`` and breaks words longer than ``piece_len`` chars into
+fixed-width pieces, which is enough to exercise every downstream decode
+path (sliding windows, continuation consolidation, char-offset slicing)
+deterministically without shipping a vocab file.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from dataclasses import dataclass
+from typing import Optional
+
+# Token categories (subset of the reference's Mask enum that the decode
+# paths actually branch on).
+MASK_NONE = 0
+MASK_SPECIAL = 1
+MASK_CONTINUATION = 2
+
+CLS_ID = 101
+SEP_ID = 102
+
+_WORD_RE = re.compile(r"(?u)\w+|[^\w\s]")
+
+
+def stable_id(piece: str) -> int:
+    """Deterministic token id (crc32; Python's hash() is salted)."""
+    return zlib.crc32(piece.encode("utf-8")) & 0x7FFFFFFF
+
+
+@dataclass
+class EncodedText:
+    """Flat encoding of one text: parallel lists, one entry per sub-word."""
+
+    ids: list[int]
+    offsets: list[Optional[tuple[int, int]]]
+    masks: list[int]
+    word_indices: list[int]  # index of the source word each piece belongs to
+
+
+class SubwordTokenizer:
+    """Stateless, deterministic; build once per actor in ``__init__``."""
+
+    def __init__(self, piece_len: int = 4, lower_case: bool = False):
+        self.piece_len = piece_len
+        self.lower_case = lower_case
+
+    def encode(self, text: str) -> EncodedText:
+        ids: list[int] = []
+        offsets: list[Optional[tuple[int, int]]] = []
+        masks: list[int] = []
+        word_indices: list[int] = []
+        for w_idx, m in enumerate(_WORD_RE.finditer(text)):
+            begin, end = m.start(), m.end()
+            word = m.group(0)
+            if self.lower_case:
+                word = word.lower()
+            # Break long words into fixed-width pieces; piece 0 is the
+            # word-initial token, later pieces are continuations.
+            pos = 0
+            piece_no = 0
+            while pos < len(word):
+                piece = word[pos : pos + self.piece_len]
+                ids.append(stable_id(piece if piece_no == 0 else "##" + piece))
+                offsets.append((begin + pos, begin + pos + len(piece)))
+                masks.append(MASK_NONE if piece_no == 0 else MASK_CONTINUATION)
+                word_indices.append(w_idx)
+                pos += len(piece)
+                piece_no += 1
+        return EncodedText(ids=ids, offsets=offsets, masks=masks, word_indices=word_indices)
+
+    @staticmethod
+    def build_with_special_tokens(enc: EncodedText) -> EncodedText:
+        """[CLS] + pieces + [SEP], special tokens carry no offset.
+
+        Mirrors ``build_input_with_special_tokens``
+        (/root/reference/src/common/... via token_classification.rs:853-855).
+        """
+        return EncodedText(
+            ids=[CLS_ID, *enc.ids, SEP_ID],
+            offsets=[None, *enc.offsets, None],
+            masks=[MASK_SPECIAL, *enc.masks, MASK_SPECIAL],
+            word_indices=[-1, *enc.word_indices, -1],
+        )
