@@ -1,0 +1,241 @@
+"""End-to-end knowledge-graph construction pipeline (the flagship).
+
+Architecture (SURVEY.md §7.1), Ray-Data-first:
+
+    read_parquet(docs, columns=[doc_id, spans])          # prune at the read
+      → map_batches(NerStage,      actor pool)           # NER + BIO decode
+      → map_batches(RelationStage, actor pool)           # entity-pair → triple candidates
+      → map_batches(LinkingStage,  actor pool)           # broadcast alias/embedding index
+      → [checkpoint: triples + enriched docs per input-file group]
+    then, over all checkpointed triples:
+      → build_nodes  (combiner → salted groupby → union-find collapse)
+      → build_edges  (combiner → salted groupby → dedup)
+      → write nodes/edges (atomic)
+
+Stage A (extract→link) is embarrassingly parallel and is checkpointed per
+input-file group: each group is its own bounded Ray Data job whose outputs
+land atomically with a lineage manifest; a killed run resumes by skipping
+completed groups.  Stage B is the global shuffle; it reads the
+checkpointed triples back (streaming) so a resume never recomputes
+extraction.
+
+Per-row invariant: the ``spans`` column flows through NerStage untouched
+and is written back out in ``docs_enriched`` — byte-for-byte the input
+span sequence (kind, text, media_ref, order), per BASELINE.json.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+
+import ray
+import ray.data
+
+from rust_bert_ray.corpus import GAZETTEER, VARIANTS
+from rust_bert_ray.pipelines import checkpoint as ckpt
+from rust_bert_ray.stages.canonicalize import build_edges, build_nodes
+from rust_bert_ray.stages.linking import AliasIndex, LinkingStage
+from rust_bert_ray.stages.ner import NerStage, RelationStage
+
+
+def default_alias_index() -> AliasIndex:
+    """Index over the corpus gazetteer; VARIANTS resolve via the ANN path
+    (they are deliberately not exact aliases)."""
+    entities = {s: k for s, k in GAZETTEER.items() if s not in VARIANTS}
+    return AliasIndex(entities)
+
+
+def _pool_sizes(concurrency: int | None) -> tuple[int, int, int]:
+    """Split the CPU budget across the three actor pools.
+
+    NER dominates wall time → ~60% of the budget; relation and linking are
+    cheap per row → ~20% each.  Sized so Σ(pool × num_cpus=1) ≈ node CPUs
+    and no stage starves the read/write stages.
+    """
+    if concurrency is None:
+        try:
+            total = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            total = 8
+    else:
+        total = concurrency
+    # Leave ≥2 CPUs for the task-based read/write stages: an actor-pool sum
+    # equal to the node's CPUs starves ReadParquet and the pipeline
+    # deadlocks (observed; also the guide's "pool that reserves every CPU"
+    # pitfall).
+    budget = max(3, total - 2)
+    ner = max(1, (budget * 6) // 10)
+    rel = max(1, (budget * 2) // 10)
+    link = max(1, budget - ner - rel)
+    return ner, rel, link
+
+
+def extract_and_link(
+    docs: "ray.data.Dataset",
+    *,
+    gazetteer: dict[str, str] | None = None,
+    index_ref=None,
+    batch_size: int = 256,
+    concurrency: int | None = None,
+) -> "ray.data.Dataset":
+    """docs → linked triple candidates (no shuffle anywhere)."""
+    gaz = gazetteer if gazetteer is not None else GAZETTEER
+    if index_ref is None:
+        index_ref = ray.put(default_alias_index())
+    ner_c, rel_c, link_c = _pool_sizes(concurrency)
+    enriched = docs.map_batches(
+        NerStage,
+        fn_constructor_kwargs={"gazetteer": gaz},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=ner_c,
+    )
+    triples = enriched.map_batches(
+        RelationStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=rel_c,
+    )
+    linked = triples.map_batches(
+        LinkingStage,
+        fn_constructor_kwargs={"index_ref": index_ref},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=link_c,
+    )
+    return linked
+
+
+def enrich_docs(
+    docs: "ray.data.Dataset",
+    *,
+    gazetteer: dict[str, str] | None = None,
+    batch_size: int = 256,
+    concurrency: int | None = None,
+) -> "ray.data.Dataset":
+    """docs → docs + entities (spans untouched) — the invariant-bearing output."""
+    gaz = gazetteer if gazetteer is not None else GAZETTEER
+    ner_c, _, _ = _pool_sizes(concurrency)
+    return docs.map_batches(
+        NerStage,
+        fn_constructor_kwargs={"gazetteer": gaz},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=ner_c,
+    )
+
+
+def _input_groups(input_path: str, n_groups: int) -> list[list[str]]:
+    if os.path.isdir(input_path):
+        files = sorted(glob.glob(os.path.join(input_path, "*.parquet")))
+    else:
+        files = [input_path]
+    if not files:
+        raise FileNotFoundError(f"no parquet under {input_path}")
+    n_groups = max(1, min(n_groups, len(files)))
+    return [files[i::n_groups] for i in range(n_groups)]
+
+
+def run_kg_pipeline(
+    input_path: str,
+    out_dir: str,
+    *,
+    gazetteer: dict[str, str] | None = None,
+    alias_index: AliasIndex | None = None,
+    batch_size: int = 256,
+    concurrency: int | None = None,
+    n_groups: int = 4,
+    salt: int = 8,
+    write_enriched: bool = True,
+    resume: bool = True,
+) -> dict:
+    """Run (or resume) the full pipeline; returns summary metrics."""
+    t0 = time.time()
+    index_ref = ray.put(alias_index if alias_index is not None else default_alias_index())
+    groups = _input_groups(input_path, n_groups)
+    summary = {"partitions": [], "resumed": [], "input_rows": 0, "triple_rows": 0}
+
+    for part, files in enumerate(groups):
+        if resume and ckpt.is_partition_complete(out_dir, part):
+            summary["resumed"].append(part)
+            continue
+        tp = time.time()
+        docs = ray.data.read_parquet(files, columns=["doc_id", "spans"])
+        input_rows = docs.count()
+        linked = extract_and_link(
+            docs,
+            gazetteer=gazetteer,
+            index_ref=index_ref,
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+        triples_dir = ckpt.partition_dir(out_dir, "triples", part)
+        ckpt.atomic_write_parquet(linked, triples_dir)
+        out_rows = {"triples": ray.data.read_parquet(triples_dir).count()}
+        lineage = [
+            {
+                "stage": "extract_and_link",
+                "input_digest": ckpt.digest(*files, input_rows),
+                "output_digest": ckpt.digest(triples_dir, out_rows["triples"]),
+            }
+        ]
+        if write_enriched:
+            enriched = enrich_docs(
+                docs, gazetteer=gazetteer, batch_size=batch_size, concurrency=concurrency
+            )
+            docs_dir = ckpt.partition_dir(out_dir, "docs_enriched", part)
+            ckpt.atomic_write_parquet(enriched, docs_dir)
+            out_rows["docs_enriched"] = input_rows
+            lineage.append(
+                {
+                    "stage": "enrich_docs",
+                    "input_digest": ckpt.digest(*files, input_rows),
+                    "output_digest": ckpt.digest(docs_dir, input_rows),
+                }
+            )
+        ckpt.write_manifest(
+            out_dir,
+            part,
+            input_files=files,
+            input_rows=input_rows,
+            output_rows=out_rows,
+            lineage=lineage,
+            metrics={"sec": time.time() - tp},
+        )
+        summary["partitions"].append(part)
+        summary["input_rows"] += input_rows
+        summary["triple_rows"] += out_rows["triples"]
+
+    # ---- stage B: global canonicalize + materialize (reads checkpoints) ----
+    if not (resume and ckpt.is_partition_complete(out_dir, "final")):
+        tb = time.time()
+        all_triples = ray.data.read_parquet(os.path.join(out_dir, "triples"))
+        nodes = build_nodes(all_triples, salt=salt)
+        ckpt.atomic_write_parquet(nodes, ckpt.partition_dir(out_dir, "nodes", 0))
+        all_triples = ray.data.read_parquet(os.path.join(out_dir, "triples"))
+        edges = build_edges(all_triples, salt=salt)
+        ckpt.atomic_write_parquet(edges, ckpt.partition_dir(out_dir, "edges", 0))
+        n_nodes = ray.data.read_parquet(os.path.join(out_dir, "nodes")).count()
+        n_edges = ray.data.read_parquet(os.path.join(out_dir, "edges")).count()
+        ckpt.write_manifest(
+            out_dir,
+            "final",
+            input_files=[os.path.join(out_dir, "triples")],
+            input_rows=ray.data.read_parquet(os.path.join(out_dir, "triples")).count(),
+            output_rows={"nodes": n_nodes, "edges": n_edges},
+            lineage=[
+                {
+                    "stage": "canonicalize_materialize",
+                    "input_digest": ckpt.digest(out_dir, "triples"),
+                    "output_digest": ckpt.digest(n_nodes, n_edges),
+                }
+            ],
+            metrics={"sec": time.time() - tb},
+        )
+    else:
+        summary["resumed"].append("final")
+
+    summary["total_sec"] = time.time() - t0
+    return summary

@@ -1,0 +1,160 @@
+"""Pluggable scorer backends (the "model" layer).
+
+The reference hosts libtorch transformer weights behind each pipeline
+(e.g. /root/reference/src/pipelines/token_classification.rs:348-534).  In
+this engine the model is a *protocol*: any object with the right scoring
+method can back a stage, so a GPU torch backend is a drop-in replacement
+for the deterministic backends below.  The deterministic backends produce
+logits (not final labels), and every downstream step — softmax, argmax,
+score extraction, consolidation, chunking — runs the reference's decode
+algebra unchanged, so correctness tests exercise the full path.
+
+All randomness is hash-derived (crc32) → identical across processes,
+actors and runs; Ray task retries are therefore idempotent.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+from rust_bert_ray.decode.pooling import l2_normalize, pool
+
+NER_LABELS = ["O", "B-PER", "I-PER", "B-ORG", "I-ORG", "B-LOC", "I-LOC"]
+NER_LABEL_INDEX = {l: i for i, l in enumerate(NER_LABELS)}
+
+
+def _crc(s: str) -> int:
+    return zlib.crc32(s.encode("utf-8")) & 0xFFFFFFFF
+
+
+def softmax(logits: np.ndarray, axis: int = -1) -> np.ndarray:
+    """exp/Σexp — token_classification.rs:991-995."""
+    x = logits - logits.max(axis=axis, keepdims=True)
+    e = np.exp(x)
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+class DeterministicTagScorer:
+    """Word-level BIO tagger driven by a gazetteer (stands in for trained
+    token-classification weights).
+
+    Greedy longest-match over word sequences; matched surfaces get
+    ``B-X``/``I-X`` logits, everything else ``O``.  Logit magnitudes carry
+    a small hash jitter so consolidation score products are non-trivial.
+    """
+
+    BASE_LOGIT = 5.0
+
+    def __init__(self, gazetteer: dict[str, str]):
+        self.max_words = max(len(s.split()) for s in gazetteer) if gazetteer else 1
+        # index: first word -> [(word_tuple, label)] sorted longest-first
+        self.index: dict[str, list[tuple[tuple[str, ...], str]]] = {}
+        for surface, label in gazetteer.items():
+            parts = tuple(surface.split())
+            self.index.setdefault(parts[0], []).append((parts, label))
+        for v in self.index.values():
+            v.sort(key=lambda e: -len(e[0]))
+
+    def tag_words(self, words: list[str]) -> list[str]:
+        tags = ["O"] * len(words)
+        i = 0
+        n = len(words)
+        while i < n:
+            matched = False
+            for parts, label in self.index.get(words[i], ()):
+                if tuple(words[i : i + len(parts)]) == parts:
+                    tags[i] = f"B-{label}"
+                    for j in range(i + 1, i + len(parts)):
+                        tags[j] = f"I-{label}"
+                    i += len(parts)
+                    matched = True
+                    break
+            if not matched:
+                i += 1
+        return tags
+
+    def logits_for_pieces(
+        self, word_tags: list[str], word_indices: list[int], piece_ids: list[int]
+    ) -> np.ndarray:
+        """[n_pieces, n_labels] logits; specials (word_index<0) stay "O"-ish."""
+        n = len(word_indices)
+        logits = np.zeros((n, len(NER_LABELS)), dtype=np.float64)
+        for pos in range(n):
+            w = word_indices[pos]
+            tag = word_tags[w] if w >= 0 else "O"
+            jitter = (_crc(str(piece_ids[pos])) % 97) / 1000.0
+            logits[pos, NER_LABEL_INDEX[tag]] = self.BASE_LOGIT + jitter
+        return logits
+
+
+# predicate rules: (substring in the inter-entity gap, subj label, obj label)
+RELATION_RULES: list[tuple[str, str, str, str]] = [
+    ("live", "PER", "LOC", "lives_in"),
+    ("is a city in", "LOC", "LOC", "located_in"),
+    ("works for", "PER", "ORG", "works_for"),
+    ("headquartered in", "ORG", "LOC", "headquartered_in"),
+    ("about", "PER", "ORG", "affiliated_with"),
+    ("visited", "PER", "LOC", "visited"),
+]
+
+PREDICATES = ["no_relation", "lives_in", "affiliated_with", "located_in",
+              "works_for", "headquartered_in", "visited"]
+PREDICATE_INDEX = {p: i for i, p in enumerate(PREDICATES)}
+
+
+class DeterministicRelationScorer:
+    """Sequence-classification head analog (softmax+argmax semantics of
+    /root/reference/src/pipelines/sequence_classification.rs:729-770) over
+    an entity-pair context window."""
+
+    BASE_LOGIT = 4.0
+
+    def logits_for_pair(
+        self, gap_text: str, subj_label: str, obj_label: str
+    ) -> np.ndarray:
+        logits = np.zeros(len(PREDICATES), dtype=np.float64)
+        for needle, s_lab, o_lab, pred in RELATION_RULES:
+            if s_lab == subj_label and o_lab == obj_label and needle in gap_text:
+                jitter = (_crc(gap_text) % 97) / 1000.0
+                logits[PREDICATE_INDEX[pred]] = self.BASE_LOGIT + jitter
+                break
+        return logits
+
+
+class HashEmbedder:
+    """Deterministic sentence/mention embedder (sentence-embeddings analog).
+
+    Per-word embeddings from hashed char 3-grams, pooled with the
+    reference's pooling algebra (layers.rs:39-74 semantics via
+    decode.pooling) and L2-normalized with the reference's 1e-12 clamp
+    (pipeline.rs:403-411).  float32 output like ``Embedding = Vec<f32>``
+    (sentence_embeddings/mod.rs:64).
+    """
+
+    def __init__(self, dim: int = 64, pooling: str = "mean"):
+        self.dim = dim
+        self.pooling = pooling
+
+    def _word_vec(self, word: str) -> np.ndarray:
+        v = np.zeros(self.dim, dtype=np.float64)
+        padded = f"#{word.lower()}#"
+        for i in range(max(1, len(padded) - 2)):
+            g = padded[i : i + 3]
+            v[_crc(g) % self.dim] += 1.0
+        return v
+
+    def embed(self, text: str) -> np.ndarray:
+        words = text.split()
+        if not words:
+            return np.zeros(self.dim, dtype=np.float32)
+        token_emb = np.stack([self._word_vec(w) for w in words])
+        mask = np.ones(len(words))
+        pooled = pool(token_emb, mask, self.pooling)
+        return l2_normalize(pooled[None, :])[0].astype(np.float32)
+
+    def embed_batch(self, texts: list[str]) -> np.ndarray:
+        if not texts:
+            return np.zeros((0, self.dim), dtype=np.float32)
+        return np.stack([self.embed(t) for t in texts])
