@@ -98,46 +98,63 @@ def canonical_surface(surface: str) -> str:
     return VARIANTS.get(surface, surface)
 
 
-def make_doc(rng: np.random.Generator, doc_idx: int):
-    """One interleaved doc → (doc_id, spans, expected_triples)."""
-    doc_id = f"doc-{doc_idx:08d}"
-    n_spans = int(rng.integers(3, 10))
-    spans = []
-    triples = []
-    for off in range(n_spans):
-        if rng.random() < 0.6:  # text span
-            t_idx = int(rng.integers(0, len(TEMPLATES)))
-            template, slots, rel = TEMPLATES[t_idx]
-            fillers: list[str] = []
-            for slot in slots:
-                if slot == "PER":
-                    fillers.append(PERSONS[int(rng.integers(0, len(PERSONS)))])
-                elif slot == "ORG":
-                    fillers.append(ORGS[int(rng.integers(0, len(ORGS)))])
-                elif slot == "LOC":
-                    fillers.append(LOCS[int(rng.integers(0, len(LOCS)))])
-                elif slot == "CITY":
-                    city, country = CITY_COUNTRY[int(rng.integers(0, len(CITY_COUNTRY)))]
-                    fillers.append(city)
-                elif slot == "COUNTRY":
-                    fillers.append("France")
-            text = template.format(*fillers)
-            spans.append({"kind": "text", "text": text, "media_ref": "", "offset": off})
-            if rel is not None:
-                s_slot, pred, o_slot = rel
-                triples.append(
-                    {
-                        "doc_id": doc_id,
-                        "subj": canonical_surface(fillers[s_slot]),
-                        "pred": pred,
-                        "obj": canonical_surface(fillers[o_slot]),
-                    }
+def _make_docs(rng: np.random.Generator, start_idx: int, n: int):
+    """Vectorized-draw doc generator: all randomness is pulled as flat
+    numpy arrays up front (per-call rng.integers is ~µs each and dominates
+    at 100k docs), then consumed with a cursor while building strings."""
+    n_spans_arr = rng.integers(3, 10, size=n)
+    total = int(n_spans_arr.sum())
+    is_text = rng.random(total) < 0.6
+    t_idx = rng.integers(0, len(TEMPLATES), size=total)
+    f_per = rng.integers(0, len(PERSONS), size=total)
+    f_org = rng.integers(0, len(ORGS), size=total)
+    f_loc = rng.integers(0, len(LOCS), size=total)
+    f_city = rng.integers(0, len(CITY_COUNTRY), size=total)
+    f_media = rng.integers(0, len(MEDIA_KINDS), size=total)
+
+    doc_ids, all_spans, triple_rows = [], [], []
+    cur = 0
+    for i in range(n):
+        doc_idx = start_idx + i
+        doc_id = f"doc-{doc_idx:08d}"
+        spans = []
+        for off in range(int(n_spans_arr[i])):
+            if is_text[cur]:
+                template, slots, rel = TEMPLATES[t_idx[cur]]
+                fillers: list[str] = []
+                for slot in slots:
+                    if slot == "PER":
+                        fillers.append(PERSONS[f_per[cur]])
+                    elif slot == "ORG":
+                        fillers.append(ORGS[f_org[cur]])
+                    elif slot == "LOC":
+                        fillers.append(LOCS[f_loc[cur]])
+                    elif slot == "CITY":
+                        fillers.append(CITY_COUNTRY[f_city[cur]][0])
+                    elif slot == "COUNTRY":
+                        fillers.append("France")
+                text = template.format(*fillers)
+                spans.append(
+                    {"kind": "text", "text": text, "media_ref": "", "offset": off}
                 )
-        else:
-            kind = MEDIA_KINDS[int(rng.integers(0, len(MEDIA_KINDS)))]
-            ref = f"media://{_crc(f'{doc_id}/{off}'):08x}"
-            spans.append({"kind": kind, "text": "", "media_ref": ref, "offset": off})
-    return doc_id, spans, triples
+                if rel is not None:
+                    s_slot, pred, o_slot = rel
+                    triple_rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "subj": canonical_surface(fillers[s_slot]),
+                            "pred": pred,
+                            "obj": canonical_surface(fillers[o_slot]),
+                        }
+                    )
+            else:
+                kind = MEDIA_KINDS[f_media[cur]]
+                ref = f"media://{_crc(f'{doc_id}/{off}'):08x}"
+                spans.append({"kind": kind, "text": "", "media_ref": ref, "offset": off})
+            cur += 1
+        doc_ids.append(doc_id)
+        all_spans.append(spans)
+    return doc_ids, all_spans, triple_rows
 
 
 # Reference-test sentences embedded verbatim as the first documents
@@ -187,11 +204,13 @@ def generate(n_docs: int, seed: int = 13):
         triple_rows.extend(
             {"doc_id": doc_id, "subj": s, "pred": p, "obj": o} for s, p, o in triples
         )
-    for i in range(len(FIXTURE_DOCS), n_docs):
-        doc_id, spans, triples = make_doc(rng, i)
-        doc_ids.append(doc_id)
-        all_spans.append(spans)
-        triple_rows.extend(triples)
+    if n_docs > len(FIXTURE_DOCS):
+        ids2, spans2, triples2 = _make_docs(
+            rng, len(FIXTURE_DOCS), n_docs - len(FIXTURE_DOCS)
+        )
+        doc_ids.extend(ids2)
+        all_spans.extend(spans2)
+        triple_rows.extend(triples2)
     docs = pa.Table.from_pydict(
         {"doc_id": doc_ids, "spans": all_spans}, schema=DOCS_SCHEMA
     )

@@ -1,0 +1,333 @@
+"""Relational operators over the TPC-H-ish tables, Ray-Data-first.
+
+Patterns demonstrated (SURVEY.md §2.4-2.6 net-new rows):
+
+- column pruning at the read (`read_parquet(columns=...)`),
+- vectorized per-batch compute (pyarrow.compute / pandas),
+- **combiner-before-shuffle**: wide aggregations pre-aggregate inside
+  ``map_batches`` (one partial row per key per batch) so the groupby
+  exchanges per-key partials, not raw rows,
+- **broadcast hash join**: the small side is collected once, shipped via
+  ``ray.put``, and probed per batch — semi-join semantics, no shuffle,
+- global sort + limit only on already-aggregated (small) data.
+
+Float outputs are rounded (2-6 dp) on both the Ray and the SQL side so
+summation-order ulp differences cannot flip the value hash.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
+
+
+# --------------------------------------------------------------- Q1 pricing
+
+def _q1_partial(batch: pa.Table) -> pa.Table:
+    df = batch.to_pandas()
+    df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
+    g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+        p_qty=("l_quantity", "sum"),
+        p_base=("l_extendedprice", "sum"),
+        p_disc_price=("disc_price", "sum"),
+        p_discount=("l_discount", "sum"),
+        p_count=("l_quantity", "count"),
+    )
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def q1_pricing_summary(sf_dir: str):
+    """Pricing summary: grouped sums/averages over lineitem (TPC-H Q1-ish)."""
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    partials = li.map_batches(_q1_partial, batch_format="pyarrow", batch_size=65536)
+    from ray.data.aggregate import Sum
+
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("p_qty", alias_name="s_qty"),
+        Sum("p_base", alias_name="s_base"),
+        Sum("p_disc_price", alias_name="s_disc_price"),
+        Sum("p_discount", alias_name="s_discount"),
+        Sum("p_count", alias_name="n"),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t.column("n")
+        return pa.Table.from_pydict(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "sum_qty": pc.round(t.column("s_qty"), 2),
+                "sum_base_price": pc.round(t.column("s_base"), 2),
+                "sum_disc_price": pc.round(t.column("s_disc_price"), 2),
+                "avg_qty": pc.round(pc.divide(t.column("s_qty"), n), 4),
+                "avg_price": pc.round(pc.divide(t.column("s_base"), n), 4),
+                "avg_disc": pc.round(pc.divide(t.column("s_discount"), n), 4),
+                "count_order": n,
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)                        AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)                   AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_quantity) / COUNT(*), 4)             AS avg_qty,
+       ROUND(SUM(l_extendedprice) / COUNT(*), 4)        AS avg_price,
+       ROUND(SUM(l_discount) / COUNT(*), 4)             AS avg_disc,
+       COUNT(*)                                         AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ------------------------------------------------- top-k revenue per order
+
+def _revenue_partial(batch: pa.Table) -> pa.Table:
+    df = batch.to_pandas()
+    df["rev"] = df["l_extendedprice"] * (1 - df["l_discount"])
+    g = df.groupby("l_orderkey", as_index=False).agg(p_rev=("rev", "sum"))
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def q_order_revenue_topk(sf_dir: str, k: int = 10):
+    """Top-k orders by revenue: combiner → groupby → global sort+limit."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    from ray.data.aggregate import Sum
+
+    partials = li.map_batches(_revenue_partial, batch_format="pyarrow", batch_size=65536)
+    agg = partials.groupby("l_orderkey").aggregate(Sum("p_rev", alias_name="raw_rev"))
+    rounded = agg.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "revenue": pc.round(t.column("raw_rev"), 2),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return rounded.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(k)
+
+
+Q_ORDER_REVENUE_TOPK_SQL = """
+SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# ------------------------------------------- broadcast join orders⨝customer
+
+class SegmentJoin:
+    """Broadcast hash join: customer (small side) probed per orders batch."""
+
+    def __init__(self, cust_ref):
+        self.seg = ray.get(cust_ref) if isinstance(cust_ref, ray.ObjectRef) else cust_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["c_mktsegment"] = df["o_custkey"].map(self.seg)
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            p_n=("o_orderkey", "count"), p_total=("o_totalprice", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def q_segment_order_stats(sf_dir: str):
+    """Orders per market segment via broadcast join (no shuffle join)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_map = dict(zip(cust["c_custkey"], cust["c_mktsegment"]))
+    cust_ref = ray.put(seg_map)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    from ray.data.aggregate import Sum
+
+    partials = orders.map_batches(
+        SegmentJoin,
+        fn_constructor_kwargs={"cust_ref": cust_ref},
+        batch_format="pyarrow",
+        batch_size=65536,
+        concurrency=2,
+    )
+    agg = partials.groupby("c_mktsegment").aggregate(
+        Sum("p_n", alias_name="n_orders"), Sum("p_total", alias_name="raw_total")
+    )
+    return agg.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "c_mktsegment": t.column("c_mktsegment"),
+                "n_orders": t.column("n_orders"),
+                "total_price": pc.round(t.column("raw_total"), 2),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+Q_SEGMENT_ORDER_STATS_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------- 3-table broadcast: region rollup
+
+def q_region_acctbal(sf_dir: str):
+    """Supplier account balance per region via two chained broadcast joins."""
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
+    lookup_ref = ray.put({k: r2name[v] for k, v in n2r.items()})
+
+    class RegionJoin:
+        def __init__(self, ref):
+            self.n2rname = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df["r_name"] = df["s_nationkey"].map(self.n2rname)
+            g = df.groupby("r_name", as_index=False).agg(
+                p_n=("s_suppkey", "count"), p_bal=("s_acctbal", "sum")
+            )
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    supplier = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"])
+    from ray.data.aggregate import Sum
+
+    partials = supplier.map_batches(
+        RegionJoin,
+        fn_constructor_kwargs={"ref": lookup_ref},
+        batch_format="pyarrow",
+        batch_size=65536,
+        concurrency=2,
+    )
+    agg = partials.groupby("r_name").aggregate(
+        Sum("p_n", alias_name="n_suppliers"), Sum("p_bal", alias_name="raw_bal")
+    )
+    return agg.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "r_name": t.column("r_name"),
+                "n_suppliers": t.column("n_suppliers"),
+                "total_acctbal": pc.round(t.column("raw_bal"), 2),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+Q_REGION_ACCTBAL_SQL = """
+SELECT r_name, COUNT(*) AS n_suppliers, ROUND(SUM(s_acctbal), 2) AS total_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# ----------------------------------------------------- filter + projection
+
+def q_filter_highvalue(sf_dir: str):
+    """Vectorized filter + computed projection (no shuffle)."""
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"]
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t.column("l_extendedprice"), pc.subtract(1.0, t.column("l_discount")))
+        t = t.append_column("revenue", pc.round(rev, 2))
+        return t.filter(pc.greater(t.column("revenue"), 90000.0)).select(
+            ["l_orderkey", "l_linenumber", "revenue"]
+        )
+
+    return li.map_batches(fn, batch_format="pyarrow", batch_size=65536)
+
+
+Q_FILTER_HIGHVALUE_SQL = """
+SELECT l_orderkey, l_linenumber,
+       ROUND(l_extendedprice * (1 - l_discount), 2) AS revenue
+FROM lineitem
+WHERE ROUND(l_extendedprice * (1 - l_discount), 2) > 90000.0
+"""
+
+
+# ------------------------------------------------------------ distinct set
+
+def q_distinct_segments(sf_dir: str):
+    """Distinct values of one column (small-cardinality shuffle)."""
+    cust = _read(sf_dir, "customer", ["c_mktsegment"])
+    from ray.data.aggregate import Count
+
+    return cust.groupby("c_mktsegment").aggregate(Count(alias_name="n"))
+
+
+Q_DISTINCT_SEGMENTS_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY c_mktsegment
+"""
+
+
+# ----------------------------------------------------- event-time windows
+
+def _events_partial(batch: pa.Table) -> pa.Table:
+    df = batch.to_pandas()
+    df["hour"] = df["ts"].dt.floor("h")
+    g = df.groupby(["event_type", "hour"], as_index=False).agg(
+        p_n=("event_id", "count"), p_value=("value", "sum")
+    )
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling 1h windows per event type (streaming-shaped aggregate).
+
+    Ray Data has no event-time windows (SURVEY.md §2.9); the window is the
+    group key: floor(ts, 1h) computed per batch, combiner partials, then a
+    grouped merge.
+    """
+    ev = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+    from ray.data.aggregate import Sum
+
+    partials = ev.map_batches(_events_partial, batch_format="pyarrow", batch_size=65536)
+    agg = partials.groupby(["event_type", "hour"]).aggregate(
+        Sum("p_n", alias_name="n_events"), Sum("p_value", alias_name="raw_value")
+    )
+    return agg.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "event_type": t.column("event_type"),
+                "hour": t.column("hour"),
+                "n_events": t.column("n_events"),
+                "sum_value": pc.round(t.column("raw_value"), 4),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+Q_EVENTS_HOURLY_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS hour,
+       COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY event_type, date_trunc('hour', ts)
+"""

@@ -1,0 +1,117 @@
+"""Multimodal span handling: media columns as opaque refs with typed
+metadata; decode/feature-extract as actor-pool stages.
+
+The interleaved-doc schema carries media spans as ``(kind, media_ref)``
+with empty text.  Real decoders (PIL / torchaudio / ffmpeg) are not in
+this container, so ``decode_media`` is a clearly-marked STUB: by default
+it produces a deterministic fake (metadata + features derived from the
+ref hash) so the Ray-side plumbing — schema, batch sizes, actor pool,
+output layout — is real and tested; with ``strict=True`` it raises
+``NotImplementedError`` the way a missing codec would.
+
+Scale notes: media payloads are LARGE binary — this stage keeps
+``batch_size`` small (default 64) so batch × concurrency fits a worker
+heap, and emits fixed-size feature vectors rather than decoded payloads.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_FEATURE_DIM = 8
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("span_offset", pa.int32()),
+        ("kind", pa.string()),
+        ("media_ref", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("n_bytes", pa.int64()),
+        ("duration_ms", pa.int32()),
+        ("feature", pa.list_(pa.float32(), MEDIA_FEATURE_DIM)),
+    ]
+)
+
+
+def decode_media(kind: str, media_ref: str, strict: bool = False) -> dict:
+    """STUB media decoder.
+
+    strict=True → ``NotImplementedError`` (no image/audio libs in this
+    container).  Otherwise returns deterministic fake metadata/features
+    keyed on the ref hash so tests and benchmarks are reproducible.
+    """
+    if strict:
+        raise NotImplementedError(
+            "real media decoding requires PIL/torchaudio/ffmpeg, "
+            "not available in this environment"
+        )
+    h = zlib.crc32(media_ref.encode())
+    rng = np.random.default_rng(h)
+    is_visual = kind in ("image", "video", "table")
+    return {
+        "width": int(64 + h % 1920) if is_visual else 0,
+        "height": int(64 + (h >> 8) % 1080) if is_visual else 0,
+        "n_bytes": int(1024 + h % (1 << 20)),
+        "duration_ms": int(h % 600_000) if kind in ("audio", "video") else 0,
+        "feature": rng.standard_normal(MEDIA_FEATURE_DIM).astype(np.float32),
+    }
+
+
+class MediaDecodeStage:
+    """interleaved docs → one row per media span with metadata + features.
+
+    Actor-pool stage: ``map_batches(MediaDecodeStage, batch_size=64,
+    concurrency=N)`` — small batches because real payloads are large.
+    """
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        spans_col = batch.column("spans").to_pylist()
+        rows: dict[str, list] = {name: [] for name in MEDIA_SCHEMA.names}
+        for doc_id, spans in zip(doc_ids, spans_col):
+            for span in spans or []:
+                if span["kind"] == "text":
+                    continue
+                meta = decode_media(span["kind"], span["media_ref"], self.strict)
+                rows["doc_id"].append(doc_id)
+                rows["span_offset"].append(span["offset"])
+                rows["kind"].append(span["kind"])
+                rows["media_ref"].append(span["media_ref"])
+                rows["width"].append(meta["width"])
+                rows["height"].append(meta["height"])
+                rows["n_bytes"].append(meta["n_bytes"])
+                rows["duration_ms"].append(meta["duration_ms"])
+                rows["feature"].append(meta["feature"])
+        return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)
+
+
+def media_inventory(docs_ds, concurrency: int = 2):
+    """Per-kind span counts over an interleaved corpus (media + text)."""
+
+    def count_kinds(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for spans in batch.column("spans").to_pylist():
+            for span in spans or []:
+                c[span["kind"]] += 1
+        return pa.Table.from_pydict(
+            {
+                "kind": pa.array(list(c.keys()), type=pa.string()),
+                "p_n": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    partials = docs_ds.map_batches(count_kinds, batch_format="pyarrow", batch_size=8192)
+    agg = partials.groupby("kind").aggregate(Sum("p_n", alias_name="n_spans"))
+    return agg
