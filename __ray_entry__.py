@@ -137,10 +137,159 @@ def _kg_media_features(sf_dir: str):
     )
 
 
+def _q_sentiment(sf_dir: str):
+    import os as _os
+
+    import ray.data
+
+    from rust_bert_ray.stages.classify import SentimentStage
+
+    docs = ray.data.read_parquet(
+        _os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return docs.map_batches(
+        SentimentStage, batch_format="pyarrow", batch_size=65536, concurrency=2
+    ).drop_columns(["score"])
+
+
+def _q_zero_shot(sf_dir: str):
+    import os as _os
+
+    import ray.data
+
+    from rust_bert_ray.stages.classify import ZeroShotStage
+
+    docs = ray.data.read_parquet(
+        _os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return docs.map_batches(
+        ZeroShotStage, batch_format="pyarrow", batch_size=65536, concurrency=2
+    ).drop_columns(["score"])
+
+
+def _q_keywords(sf_dir: str):
+    import os as _os
+
+    import ray.data
+
+    from rust_bert_ray.stages.keywords import KeywordStage
+
+    docs = ray.data.read_parquet(
+        _os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return docs.map_batches(
+        KeywordStage, batch_format="pyarrow", batch_size=8192, concurrency=2
+    )
+
+
+def _q_masked_lm(sf_dir: str):
+    import os as _os
+
+    import ray.data
+
+    from rust_bert_ray.stages.masked_lm import MaskedLmStage, mask_nth_token
+
+    docs = ray.data.read_parquet(
+        _os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    masked = docs.map_batches(mask_nth_token, batch_format="pyarrow", batch_size=65536)
+    return masked.map_batches(
+        MaskedLmStage,
+        fn_constructor_kwargs={"top_k": 3},
+        batch_format="pyarrow",
+        batch_size=65536,
+        concurrency=2,
+    )
+
+
+def _q_qa(sf_dir: str):
+    """QA over corpus-derived (question, context) pairs."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from rust_bert_ray.corpus import GAZETTEER
+    from rust_bert_ray.stages.qa import QaStage
+
+    _, docs_dir = corpus_for(sf_dir)
+    docs = ray.data.read_parquet(docs_dir, columns=["doc_id", "spans"])
+
+    def make_qa(batch: pa.Table) -> pa.Table:
+        rows = {"qa_id": [], "question": [], "context": []}
+        for doc_id, spans in zip(
+            batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
+        ):
+            for span in spans or []:
+                if span["kind"] != "text" or "I live in" not in span["text"]:
+                    continue
+                # "My name is {P}. I live in {L}." → ask where P lives
+                name = span["text"].split("My name is ")[-1].split(".")[0]
+                rows["qa_id"].append(f"{doc_id}:{span['offset']}")
+                rows["question"].append(f"Where does {name} live ?")
+                rows["context"].append(span["text"])
+        return pa.Table.from_pydict(rows)
+
+    qa_inputs = docs.map_batches(make_qa, batch_format="pyarrow", batch_size=4096)
+    return qa_inputs.map_batches(
+        QaStage,
+        fn_constructor_kwargs={"gazetteer": GAZETTEER},
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=2,
+    )
+
+
+def _gen_query(stage_cls, **ctor_kwargs):
+    def run(sf_dir: str):
+        import os as _os
+
+        import ray.data
+
+        docs = ray.data.read_parquet(
+            _os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        ).limit(200)  # generation is sequential per row; bound the demo set
+        return docs.map_batches(
+            stage_cls,
+            fn_constructor_kwargs=ctor_kwargs,
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=2,
+        )
+
+    return run
+
+
+def _q_generate(sf_dir: str):
+    from rust_bert_ray.stages.generation import TextGenerationStage
+
+    return _gen_query(TextGenerationStage)(sf_dir)
+
+
+def _q_summarize(sf_dir: str):
+    from rust_bert_ray.stages.generation import SummarizationStage
+
+    return _gen_query(SummarizationStage)(sf_dir)
+
+
+def _q_translate(sf_dir: str):
+    from rust_bert_ray.stages.generation import TranslationStage
+
+    return _gen_query(TranslationStage, target_lang="fr")(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from rust_bert_ray.functions import dedup, relational, similarity, text
 
     return {
+        # --- reference NLP pipelines over documents/corpus ---
+        "q_sentiment": _q_sentiment,
+        "q_generate": _q_generate,
+        "q_summarize": _q_summarize,
+        "q_translate": _q_translate,
+        "q_zero_shot": _q_zero_shot,
+        "q_keywords": _q_keywords,
+        "q_masked_lm": _q_masked_lm,
+        "qa_answers": _q_qa,
         # --- KG construction (interleaved corpus; north rule) ---
         "kg_triples": _kg_triples,
         "kg_nodes": _kg_nodes,
@@ -188,9 +337,13 @@ FROM (SELECT UNNEST(spans) AS s
       FROM read_parquet('{_ORACLE_CORPUS}/docs/*.parquet'))
 GROUP BY s.kind
 """
+    from rust_bert_ray.stages import classify
+
     return {
         "kg_triples": kg_triples_sql,
         "kg_media_inventory": kg_media_inventory_sql,
+        "q_sentiment": classify.SENTIMENT_SQL,
+        "q_zero_shot": classify.ZERO_SHOT_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q_order_revenue_topk": relational.Q_ORDER_REVENUE_TOPK_SQL,
         "q_segment_order_stats": relational.Q_SEGMENT_ORDER_STATS_SQL,

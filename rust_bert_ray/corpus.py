@@ -98,7 +98,7 @@ def canonical_surface(surface: str) -> str:
     return VARIANTS.get(surface, surface)
 
 
-def _make_docs(rng: np.random.Generator, start_idx: int, n: int):
+def _make_docs(rng: np.random.Generator, start_idx: int, n: int, diversify: bool = False):
     """Vectorized-draw doc generator: all randomness is pulled as flat
     numpy arrays up front (per-call rng.integers is ~µs each and dominates
     at 100k docs), then consumed with a cursor while building strings."""
@@ -134,6 +134,11 @@ def _make_docs(rng: np.random.Generator, start_idx: int, n: int):
                     elif slot == "COUNTRY":
                         fillers.append("France")
                 text = template.format(*fillers)
+                if diversify:
+                    # unique trailing token per span: kills verbatim repeats
+                    # (bench realism — real corpora don't repeat templates),
+                    # tagged "O" so triples are unchanged
+                    text = f"{text} ref {doc_idx:08d}x{off}"
                 spans.append(
                     {"kind": "text", "text": text, "media_ref": "", "offset": off}
                 )
@@ -186,7 +191,7 @@ TRIPLES_SCHEMA = pa.schema(
 )
 
 
-def generate(n_docs: int, seed: int = 13):
+def generate(n_docs: int, seed: int = 13, diversify: bool = False):
     """Return (docs: pa.Table, expected_triples: pa.Table)."""
     rng = np.random.default_rng(seed)
     doc_ids, all_spans, triple_rows = [], [], []
@@ -206,7 +211,7 @@ def generate(n_docs: int, seed: int = 13):
         )
     if n_docs > len(FIXTURE_DOCS):
         ids2, spans2, triples2 = _make_docs(
-            rng, len(FIXTURE_DOCS), n_docs - len(FIXTURE_DOCS)
+            rng, len(FIXTURE_DOCS), n_docs - len(FIXTURE_DOCS), diversify
         )
         doc_ids.extend(ids2)
         all_spans.extend(spans2)
@@ -223,24 +228,32 @@ def generate(n_docs: int, seed: int = 13):
 
 
 def write_corpus(
-    out_dir: str, n_docs: int, seed: int = 13, shard_rows: int = 20_000
+    out_dir: str,
+    n_docs: int,
+    seed: int = 13,
+    shard_rows: int = 20_000,
+    diversify: bool = False,
 ) -> str:
     """Write sharded docs parquet + expected_triples parquet; idempotent.
 
     Sharding matters: one file per ``shard_rows`` docs gives Ray Data read
     parallelism and gives the checkpointed pipeline its resume granularity
-    (one manifest per input file group).
+    (one manifest per input file group).  Row groups are kept small so the
+    reader can split files further when the cluster is wide.
     """
     docs_dir = os.path.join(out_dir, "docs")
-    marker = os.path.join(out_dir, f".complete-{n_docs}-{seed}")
+    marker = os.path.join(
+        out_dir, f".complete-{n_docs}-{seed}{'-d' if diversify else ''}"
+    )
     if os.path.exists(marker):
         return docs_dir
     os.makedirs(docs_dir, exist_ok=True)
-    docs, triples = generate(n_docs, seed)
+    docs, triples = generate(n_docs, seed, diversify)
     for shard_no, start in enumerate(range(0, max(n_docs, 1), shard_rows)):
         pq.write_table(
             docs.slice(start, shard_rows),
             os.path.join(docs_dir, f"part-{shard_no:05d}.parquet"),
+            row_group_size=max(1024, shard_rows // 8),
         )
     pq.write_table(triples, os.path.join(out_dir, "expected_triples.parquet"))
     with open(marker, "w") as f:

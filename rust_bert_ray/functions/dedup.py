@@ -45,18 +45,19 @@ def dedup_exact(sf_dir: str):
     """One row per distinct text, keeping the smallest doc_id."""
     docs = _read_documents(sf_dir, ["doc_id", "text"])
 
-    def add_hash(t: pa.Table) -> pa.Table:
-        hashes = [zlib.crc32(x.encode()) for x in t.column("text").to_pylist()]
-        return t.append_column("text_hash", pa.array(hashes, type=pa.int64()))
+    def add_bucket(t: pa.Table) -> pa.Table:
+        # shuffle key is a hash bucket, not the full text — the exchange
+        # moves (bucket, doc_id, text) and each bucket merges vectorized
+        buckets = [zlib.crc32(x.encode()) % 64 for x in t.column("text").to_pylist()]
+        return t.append_column("_bucket", pa.array(buckets, type=pa.int64()))
 
-    def first_per_text(g: pd.DataFrame) -> pd.DataFrame:
-        # group is one hash bucket; split by exact text to be collision-safe
-        out = g.groupby("text", as_index=False).agg(doc_id=("doc_id", "min"))
+    def first_per_text(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("text", as_index=False).agg(doc_id=("doc_id", "min"))
         return out[["doc_id", "text"]]
 
     return (
-        docs.map_batches(add_hash, batch_format="pyarrow", batch_size=65536)
-        .groupby("text_hash")
+        docs.map_batches(add_bucket, batch_format="pyarrow", batch_size=65536)
+        .groupby("_bucket", num_partitions=16)
         .map_groups(first_per_text, batch_format="pandas")
     )
 
@@ -236,29 +237,60 @@ def dedup_minhash_pairs(
         concurrency=2,
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        if len(g) > bucket_cap:
-            g = g.head(bucket_cap)
-        ids = g["doc_id"].to_numpy()
-        sigs = [np.frombuffer(s, dtype=np.int64) for s in g["signature"]]
+    n_buckets = 32
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["_bucket"] = (df["band"].astype(np.int64) * 1_000_003 + df["band_hash"]) % n_buckets
+        return df
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # one call per hash bucket; LSH buckets are runs in the sorted
+        # frame (pandas per-group iteration over ~100k tiny groups is the
+        # bottleneck, so operate on raw numpy runs instead)
+        df = df.drop_duplicates(["band", "band_hash", "doc_id"]).sort_values(
+            ["band", "band_hash", "doc_id"]
+        )
+        key = df["band"].to_numpy().astype(np.int64) * (1 << 33) + df[
+            "band_hash"
+        ].to_numpy().astype(np.int64)
+        ids = df["doc_id"].to_numpy()
+        sig_arr = np.frombuffer(b"".join(df["signature"]), dtype=np.int64).reshape(
+            len(df), -1
+        )
+        boundaries = np.flatnonzero(np.diff(key)) + 1
+        starts = np.concatenate(([0], boundaries))
+        ends = np.concatenate((boundaries, [len(df)]))
         rows = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                est = float((sigs[i] == sigs[j]).mean())
-                if est >= threshold:
-                    rows.append((int(ids[i]), int(ids[j]), round(est, 5)))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "est_jaccard"])
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            if n > bucket_cap:
+                e = s + bucket_cap
+                n = bucket_cap
+            sub = sig_arr[s:e]
+            eq = (sub[:, None, :] == sub[None, :, :]).mean(axis=2)
+            iu, ju = np.triu_indices(n, 1)
+            hit = eq[iu, ju] >= threshold
+            for i, j, est in zip(iu[hit], ju[hit], eq[iu[hit], ju[hit]]):
+                rows.append((int(ids[s + i]), int(ids[s + j]), round(float(est), 5)))
+        out = pd.DataFrame(rows, columns=["doc_a", "doc_b", "est_jaccard"])
+        out["_pbucket"] = (out["doc_a"] * 1_000_003 + out["doc_b"]) % n_buckets
+        return out
 
-    pairs = banded.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    pairs = (
+        banded.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket", num_partitions=16)
+        .map_groups(bucket_pairs, batch_format="pandas")
     )
-
-    def dedup_pair(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        dedup_pair, batch_format="pandas"
+    return (
+        pairs.groupby("_pbucket", num_partitions=16)
+        .map_groups(
+            lambda df: df.drop_duplicates(["doc_a", "doc_b"])[
+                ["doc_a", "doc_b", "est_jaccard"]
+            ],
+            batch_format="pandas",
+        )
     )
 
 
@@ -312,23 +344,56 @@ def dedup_simhash_pairs(sf_dir: str, max_hamming: int = 3, bucket_cap: int = 200
         SimHashStage, batch_format="pyarrow", batch_size=8192, concurrency=2
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id").head(bucket_cap)
-        ids = g["doc_id"].to_numpy()
-        hs = (g["simhash"].to_numpy().astype(np.int64) + (1 << 63)).astype(np.uint64)
-        rows = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                ham = int(bin(int(hs[i]) ^ int(hs[j])).count("1"))
-                if ham <= max_hamming:
-                    rows.append((int(ids[i]), int(ids[j]), ham))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"])
+    n_buckets = 32
 
-    pairs = banded.groupby(["band", "band_key"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["_bucket"] = (df["band"].astype(np.int64) * 65_537 + df["band_key"]) % n_buckets
+        return df
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["band", "band_key", "doc_id"]).sort_values(
+            ["band", "band_key", "doc_id"]
+        )
+        key = df["band"].to_numpy().astype(np.int64) * (1 << 17) + df[
+            "band_key"
+        ].to_numpy().astype(np.int64)
+        ids = df["doc_id"].to_numpy()
+        hs = (df["simhash"].to_numpy().astype(np.int64) + (1 << 63)).astype(np.uint64)
+        # 64-bit popcount via two 32-bit bit_count lookups (vectorized)
+        boundaries = np.flatnonzero(np.diff(key)) + 1
+        starts = np.concatenate(([0], boundaries))
+        ends = np.concatenate((boundaries, [len(df)]))
+        rows = []
+        for s, e in zip(starts, ends):
+            n = min(e - s, bucket_cap)
+            if n < 2:
+                continue
+            sub = hs[s : s + n]
+            xor = sub[:, None] ^ sub[None, :]
+            if hasattr(np, "bitwise_count"):
+                ham = np.bitwise_count(xor)
+            else:  # vectorized popcount: unpack the 8 bytes of each uint64
+                ham = np.unpackbits(
+                    xor.view(np.uint8).reshape(n, n, 8), axis=2
+                ).sum(axis=2)
+            iu, ju = np.triu_indices(n, 1)
+            hit = ham[iu, ju] <= max_hamming
+            for i, j in zip(iu[hit], ju[hit]):
+                rows.append((int(ids[s + i]), int(ids[s + j]), int(ham[i, j])))
+        out = pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"])
+        out["_pbucket"] = (out["doc_a"] * 1_000_003 + out["doc_b"]) % n_buckets
+        return out
+
+    pairs = (
+        banded.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket", num_partitions=16)
+        .map_groups(bucket_pairs, batch_format="pandas")
     )
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    return pairs.groupby("_pbucket", num_partitions=16).map_groups(
+        lambda df: df.drop_duplicates(["doc_a", "doc_b"])[
+            ["doc_a", "doc_b", "hamming"]
+        ],
+        batch_format="pandas",
     )
 
 

@@ -58,7 +58,7 @@ def q1_pricing_summary(sf_dir: str):
     partials = li.map_batches(_q1_partial, batch_format="pyarrow", batch_size=65536)
     from ray.data.aggregate import Sum
 
-    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+    agg = partials.groupby(["l_returnflag", "l_linestatus"], num_partitions=8).aggregate(
         Sum("p_qty", alias_name="s_qty"),
         Sum("p_base", alias_name="s_base"),
         Sum("p_disc_price", alias_name="s_disc_price"),
@@ -105,26 +105,35 @@ def _revenue_partial(batch: pa.Table) -> pa.Table:
     df = batch.to_pandas()
     df["rev"] = df["l_extendedprice"] * (1 - df["l_discount"])
     g = df.groupby("l_orderkey", as_index=False).agg(p_rev=("rev", "sum"))
+    g["_bucket"] = g["l_orderkey"] % 16
     return pa.Table.from_pandas(g, preserve_index=False)
 
 
 def q_order_revenue_topk(sf_dir: str, k: int = 10):
-    """Top-k orders by revenue: combiner → groupby → global sort+limit."""
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-    from ray.data.aggregate import Sum
+    """Top-k orders by revenue.
 
+    High-cardinality aggregation: per-batch combiner → hash-bucketed
+    parallel reduce (each bucket finishes its keys' sums AND keeps only
+    its local top-k) → one tiny final top-k.  The shuffle moves per-key
+    partials bucketed 16 ways; only 16·k rows reach the final step — no
+    global sort of the keyspace.
+    """
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     partials = li.map_batches(_revenue_partial, batch_format="pyarrow", batch_size=65536)
-    agg = partials.groupby("l_orderkey").aggregate(Sum("p_rev", alias_name="raw_rev"))
-    rounded = agg.map_batches(
-        lambda t: pa.Table.from_pydict(
-            {
-                "l_orderkey": t.column("l_orderkey"),
-                "revenue": pc.round(t.column("raw_rev"), 2),
-            }
-        ),
-        batch_format="pyarrow",
+
+    def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("l_orderkey", as_index=False).agg(raw_rev=("p_rev", "sum"))
+        out["revenue"] = out["raw_rev"].round(2)
+        return out.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(
+            k
+        )[["l_orderkey", "revenue"]]
+
+    per_bucket = partials.groupby("_bucket", num_partitions=16).map_groups(
+        merge_topk, batch_format="pandas"
     )
-    return rounded.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(k)
+    from rust_bert_ray.functions.util import topk
+
+    return topk(per_bucket, ["revenue", "l_orderkey"], [True, False], k)
 
 
 Q_ORDER_REVENUE_TOPK_SQL = """
@@ -168,7 +177,7 @@ def q_segment_order_stats(sf_dir: str):
         batch_size=65536,
         concurrency=2,
     )
-    agg = partials.groupby("c_mktsegment").aggregate(
+    agg = partials.groupby("c_mktsegment", num_partitions=8).aggregate(
         Sum("p_n", alias_name="n_orders"), Sum("p_total", alias_name="raw_total")
     )
     return agg.map_batches(
@@ -222,7 +231,7 @@ def q_region_acctbal(sf_dir: str):
         batch_size=65536,
         concurrency=2,
     )
-    agg = partials.groupby("r_name").aggregate(
+    agg = partials.groupby("r_name", num_partitions=8).aggregate(
         Sum("p_n", alias_name="n_suppliers"), Sum("p_bal", alias_name="raw_bal")
     )
     return agg.map_batches(
@@ -279,7 +288,7 @@ def q_distinct_segments(sf_dir: str):
     cust = _read(sf_dir, "customer", ["c_mktsegment"])
     from ray.data.aggregate import Count
 
-    return cust.groupby("c_mktsegment").aggregate(Count(alias_name="n"))
+    return cust.groupby("c_mktsegment", num_partitions=8).aggregate(Count(alias_name="n"))
 
 
 Q_DISTINCT_SEGMENTS_SQL = """
@@ -309,7 +318,7 @@ def q_events_hourly(sf_dir: str):
     from ray.data.aggregate import Sum
 
     partials = ev.map_batches(_events_partial, batch_format="pyarrow", batch_size=65536)
-    agg = partials.groupby(["event_type", "hour"]).aggregate(
+    agg = partials.groupby(["event_type", "hour"], num_partitions=16).aggregate(
         Sum("p_n", alias_name="n_events"), Sum("p_value", alias_name="raw_value")
     )
     return agg.map_batches(

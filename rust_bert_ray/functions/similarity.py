@@ -73,7 +73,9 @@ def ann_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10):
         batch_size=8192,
         concurrency=2,
     )
-    return scored.sort(["cos", "vec_id"], descending=[True, False]).limit(k)
+    from rust_bert_ray.functions.util import topk
+
+    return topk(scored, ["cos", "vec_id"], [True, False], k)
 
 
 ANN_TOPK_SQL = """
@@ -150,4 +152,6 @@ def ann_lsh_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10, n_bits: int = 
         batch_size=8192,
         concurrency=2,
     )
-    return scored.sort(["cos", "vec_id"], descending=[True, False]).limit(k)
+    from rust_bert_ray.functions.util import topk
+
+    return topk(scored, ["cos", "vec_id"], [True, False], k)

@@ -93,7 +93,7 @@ def q_lang_stats(sf_dir: str):
     docs = _read_documents(sf_dir, ["lang", "n_chars"])
     from ray.data.aggregate import Count, Sum
 
-    agg = docs.groupby("lang").aggregate(
+    agg = docs.groupby("lang", num_partitions=8).aggregate(
         Count(alias_name="n_docs"), Sum("n_chars", alias_name="s_chars")
     )
     return agg.map_batches(

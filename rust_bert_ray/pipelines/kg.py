@@ -33,6 +33,13 @@ import time
 import ray
 import ray.data
 
+
+def _pq_rows(path: str) -> int:
+    """Row count from parquet metadata (no Ray job, no data read)."""
+    import pyarrow.dataset as pads
+
+    return pads.dataset(path).count_rows()
+
 from rust_bert_ray.corpus import GAZETTEER, VARIANTS
 from rust_bert_ray.pipelines import checkpoint as ckpt
 from rust_bert_ray.stages.canonicalize import build_edges, build_nodes
@@ -163,30 +170,25 @@ def run_kg_pipeline(
             continue
         tp = time.time()
         docs = ray.data.read_parquet(files, columns=["doc_id", "spans"])
-        input_rows = docs.count()
-        linked = extract_and_link(
-            docs,
-            gazetteer=gazetteer,
-            index_ref=index_ref,
-            batch_size=batch_size,
-            concurrency=concurrency,
-        )
-        triples_dir = ckpt.partition_dir(out_dir, "triples", part)
-        ckpt.atomic_write_parquet(linked, triples_dir)
-        out_rows = {"triples": ray.data.read_parquet(triples_dir).count()}
-        lineage = [
-            {
-                "stage": "extract_and_link",
-                "input_digest": ckpt.digest(*files, input_rows),
-                "output_digest": ckpt.digest(triples_dir, out_rows["triples"]),
-            }
-        ]
+        ner_c, rel_c, link_c = _pool_sizes(concurrency)
+        lineage = []
+        out_rows: dict[str, int] = {}
         if write_enriched:
-            enriched = enrich_docs(
-                docs, gazetteer=gazetteer, batch_size=batch_size, concurrency=concurrency
+            # Run NER ONCE: write the enriched docs (spans untouched +
+            # entities), then derive triples from the written output —
+            # no second NER pass, and the extraction output itself is
+            # checkpointed.
+            enriched = docs.map_batches(
+                NerStage,
+                fn_constructor_kwargs={"gazetteer": gazetteer or GAZETTEER},
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                concurrency=ner_c,
             )
             docs_dir = ckpt.partition_dir(out_dir, "docs_enriched", part)
             ckpt.atomic_write_parquet(enriched, docs_dir)
+            input_rows = _pq_rows(docs_dir)
+            enriched_ds = ray.data.read_parquet(docs_dir)
             out_rows["docs_enriched"] = input_rows
             lineage.append(
                 {
@@ -195,6 +197,37 @@ def run_kg_pipeline(
                     "output_digest": ckpt.digest(docs_dir, input_rows),
                 }
             )
+            downstream = enriched_ds.map_batches(
+                RelationStage,
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                concurrency=rel_c,
+            ).map_batches(
+                LinkingStage,
+                fn_constructor_kwargs={"index_ref": index_ref},
+                batch_format="pyarrow",
+                batch_size=4096,
+                concurrency=link_c,
+            )
+        else:
+            input_rows = docs.count()
+            downstream = extract_and_link(
+                docs,
+                gazetteer=gazetteer,
+                index_ref=index_ref,
+                batch_size=batch_size,
+                concurrency=concurrency,
+            )
+        triples_dir = ckpt.partition_dir(out_dir, "triples", part)
+        ckpt.atomic_write_parquet(downstream, triples_dir)
+        out_rows["triples"] = _pq_rows(triples_dir)
+        lineage.append(
+            {
+                "stage": "extract_and_link",
+                "input_digest": ckpt.digest(*files, input_rows),
+                "output_digest": ckpt.digest(triples_dir, out_rows["triples"]),
+            }
+        )
         ckpt.write_manifest(
             out_dir,
             part,
@@ -217,13 +250,13 @@ def run_kg_pipeline(
         all_triples = ray.data.read_parquet(os.path.join(out_dir, "triples"))
         edges = build_edges(all_triples, salt=salt)
         ckpt.atomic_write_parquet(edges, ckpt.partition_dir(out_dir, "edges", 0))
-        n_nodes = ray.data.read_parquet(os.path.join(out_dir, "nodes")).count()
-        n_edges = ray.data.read_parquet(os.path.join(out_dir, "edges")).count()
+        n_nodes = _pq_rows(os.path.join(out_dir, "nodes"))
+        n_edges = _pq_rows(os.path.join(out_dir, "edges"))
         ckpt.write_manifest(
             out_dir,
             "final",
             input_files=[os.path.join(out_dir, "triples")],
-            input_rows=ray.data.read_parquet(os.path.join(out_dir, "triples")).count(),
+            input_rows=_pq_rows(os.path.join(out_dir, "triples")),
             output_rows={"nodes": n_nodes, "edges": n_edges},
             lineage=[
                 {

@@ -3,54 +3,45 @@ triples.
 
 Net-new operators (north rule).  Shuffle discipline for 100 TB:
 
-- **Combiner first**: every wide aggregation here pre-aggregates inside
+- **Combiner first**: every wide aggregation pre-aggregates inside
   ``map_batches`` (one partial row per key per batch) so the all-to-all
   exchange moves per-key summaries, not per-mention rows.
+- **Bucketed merge, not per-group tasks**: partials are hash-bucketed
+  (``_bucket = crc(key [+ salt]) % n_buckets``) and each bucket is merged
+  with ONE vectorized pandas groupby — thousands of tiny per-group UDF
+  calls collapse into ``n_buckets`` calls.
 - **Salting for hot keys**: mention surfaces are Zipfian ("France" can be
-  a large fraction of all mentions).  Partial rows carry a deterministic
-  ``_salt`` (crc of the batch's first doc_id, mod ``salt``); phase A
-  groups by (key, _salt) so no single reducer sees every partial of a hot
-  key, phase B merges the ≤salt per-key summaries.  Results are
-  salt-invariant (all merges are associative+commutative).
+  a large fraction of mentions).  Phase A buckets by crc(key, salt) —
+  the salt (derived from each batch's first doc_id) splits a hot key's
+  partials across reducers; phase B merges the ≤salt per-key summaries
+  by crc(key).  All merges are associative+commutative → salt-invariant
+  results.
 - **Union-find semantics**: surfaces linked to the same canonical entity
-  collapse into one node — phase B groups surface summaries by
-  ``node_id`` (the linking stage's canonical assignment), collecting the
+  collapse into one node — the final merge groups surface summaries by
+  ``node_id`` (the linking stage's canonical assignment), collecting
   surface forms as aliases.  Unlinked surfaces found their own node.
 - doc_id provenance on edges is a capped sample (``doc_sample_cap``) —
-  at 10^12 docs the full list is unboundable; the count is exact.
+  at 10^12 docs the full list is unboundable; the count stays exact.
 """
 
 from __future__ import annotations
 
 import zlib
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 import ray.data
 
-NODE_SCHEMA = pa.schema(
-    [
-        ("node_id", pa.string()),
-        ("canonical", pa.string()),
-        ("kind", pa.string()),
-        ("aliases", pa.list_(pa.string())),
-        ("n_mentions", pa.int64()),
-        ("score", pa.float64()),
-    ]
-)
 
-EDGE_SCHEMA = pa.schema(
-    [
-        ("edge_id", pa.string()),
-        ("subj_id", pa.string()),
-        ("pred", pa.string()),
-        ("obj_id", pa.string()),
-        ("n_obs", pa.int64()),
-        ("score", pa.float64()),
-        ("doc_ids", pa.list_(pa.string())),
-    ]
-)
+def _crc_bucket(keys: pd.Series, n_buckets: int, salt: pd.Series | None = None) -> np.ndarray:
+    joined = keys if salt is None else keys + "\x00" + salt.astype(str)
+    return np.fromiter(
+        (zlib.crc32(k.encode()) % n_buckets for k in joined),
+        dtype=np.int64,
+        count=len(joined),
+    )
 
 
 def _batch_salt(batch: pa.Table, salt: int) -> int:
@@ -66,6 +57,8 @@ def _kind_of(node_id: str, label: str) -> str:
     return label
 
 
+# ------------------------------------------------------------------- nodes
+
 class MentionPartials:
     """linked triples → one partial row per (node_id, surface_key) per batch."""
 
@@ -74,91 +67,98 @@ class MentionPartials:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         s = _batch_salt(batch, self.salt)
-        agg: dict[tuple[str, str], dict] = {}
+        frames = []
         for side in ("subj", "obj"):
-            node_ids = batch.column(f"{side}_id").to_pylist()
-            keys = batch.column(f"{side}_key").to_pylist()
-            canonicals = batch.column(f"{side}_canonical").to_pylist()
-            labels = batch.column(f"{side}_label").to_pylist()
-            scores = batch.column(f"{side}_score").to_pylist()
-            for nid, k, canon, lab, sc in zip(node_ids, keys, canonicals, labels, scores):
-                row = agg.get((nid, k))
-                if row is None:
-                    agg[(nid, k)] = {
-                        "node_id": nid,
-                        "surface_key": k,
-                        "canonical": canon,
-                        "kind": _kind_of(nid, lab),
-                        "n_mentions": 1,
-                        "score": sc,
-                        "_salt": s,
-                    }
-                else:
-                    row["n_mentions"] += 1
-                    row["score"] = max(row["score"], sc)
-        return pa.Table.from_pylist(
-            list(agg.values()),
-            schema=pa.schema(
-                [
-                    ("node_id", pa.string()),
-                    ("surface_key", pa.string()),
-                    ("canonical", pa.string()),
-                    ("kind", pa.string()),
-                    ("n_mentions", pa.int64()),
-                    ("score", pa.float64()),
-                    ("_salt", pa.int32()),
-                ]
-            ),
+            sub = batch.select(
+                [f"{side}_id", f"{side}_key", f"{side}_canonical",
+                 f"{side}_label", f"{side}_score"]
+            ).rename_columns(["node_id", "surface_key", "canonical", "label", "score"])
+            frames.append(sub.to_pandas())
+        df = pd.concat(frames, ignore_index=True)
+        g = df.groupby(["node_id", "surface_key"], as_index=False).agg(
+            canonical=("canonical", "first"),
+            label=("label", "first"),
+            n_mentions=("score", "size"),
+            score=("score", "max"),
+        )
+        g["kind"] = [
+            _kind_of(nid, lab) for nid, lab in zip(g["node_id"], g["label"])
+        ]
+        g["_salt"] = s
+        return pa.Table.from_pandas(
+            g[["node_id", "surface_key", "canonical", "kind", "n_mentions", "score", "_salt"]],
+            preserve_index=False,
         )
 
 
-def _merge_surface_partials(g: pd.DataFrame) -> pd.DataFrame:
-    return pd.DataFrame(
-        {
-            "node_id": [g["node_id"].iloc[0]],
-            "surface_key": [g["surface_key"].iloc[0]],
-            "canonical": [g["canonical"].iloc[0]],
-            "kind": [g["kind"].iloc[0]],
-            "n_mentions": [int(g["n_mentions"].sum())],
-            "score": [float(g["score"].max())],
-            "_salt": [0],
-        }
-    )
-
-
-def _merge_node_group(g: pd.DataFrame, alias_cap: int) -> pd.DataFrame:
-    aliases = sorted(set(g["surface_key"]))[:alias_cap]
-    return pd.DataFrame(
-        {
-            "node_id": [g["node_id"].iloc[0]],
-            "canonical": [g["canonical"].iloc[0]],
-            "kind": [g["kind"].iloc[0]],
-            "aliases": [aliases],
-            "n_mentions": [int(g["n_mentions"].sum())],
-            "score": [float(g["score"].max())],
-        }
+def _merge_surfaces(df: pd.DataFrame) -> pd.DataFrame:
+    return df.groupby(["node_id", "surface_key"], as_index=False).agg(
+        canonical=("canonical", "first"),
+        kind=("kind", "first"),
+        n_mentions=("n_mentions", "sum"),
+        score=("score", "max"),
     )
 
 
 def build_nodes(
-    linked: "ray.data.Dataset", salt: int = 8, alias_cap: int = 16
+    linked: "ray.data.Dataset",
+    salt: int = 8,
+    alias_cap: int = 16,
+    n_buckets: int = 32,
 ) -> "ray.data.Dataset":
     """linked triples → nodes table (canonicalized entities)."""
-    partials = linked.map_batches(MentionPartials(salt=salt), batch_format="pyarrow")
-    # phase A: salted merge per (node_id, surface_key, _salt)
-    per_surface = partials.groupby(["node_id", "surface_key", "_salt"]).map_groups(
-        _merge_surface_partials, batch_format="pandas"
+    partials = linked.map_batches(
+        MentionPartials(salt=salt), batch_format="pyarrow", batch_size=65536
     )
-    # phase A': collapse salts per surface
-    per_surface = per_surface.groupby(["node_id", "surface_key"]).map_groups(
-        _merge_surface_partials, batch_format="pandas"
-    )
-    # phase B: union-find collapse — surfaces sharing a canonical node_id
-    nodes = per_surface.groupby("node_id").map_groups(
-        lambda g: _merge_node_group(g, alias_cap), batch_format="pandas"
+
+    def bucket_salted(df: pd.DataFrame) -> pd.DataFrame:
+        df["_bucket"] = _crc_bucket(
+            df["node_id"] + "|" + df["surface_key"], n_buckets, df["_salt"]
+        )
+        return df
+
+    def merge_a(df: pd.DataFrame) -> pd.DataFrame:
+        # salted phase: merge per-surface partials; re-bucket by node_id so
+        # the final phase can both finish the surface merge AND collapse
+        # surfaces into nodes in one grouping
+        out = _merge_surfaces(df)
+        out["_bucket"] = _crc_bucket(out["node_id"], n_buckets)
+        return out
+
+    def finalize_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        df = _merge_surfaces(df)
+
+        def agg_group(g: pd.DataFrame) -> pd.Series:
+            return pd.Series(
+                {
+                    "canonical": g["canonical"].iloc[0],
+                    "kind": g["kind"].iloc[0],
+                    "aliases": sorted(set(g["surface_key"]))[:alias_cap],
+                    "n_mentions": int(g["n_mentions"].sum()),
+                    "score": float(g["score"].max()),
+                }
+            )
+
+        out = (
+            df.groupby("node_id")
+            .apply(agg_group, include_groups=False)
+            .reset_index()
+        )
+        return out[["node_id", "canonical", "kind", "aliases", "n_mentions", "score"]]
+
+    np_ = min(n_buckets, 16)
+    # phase A: salted bucket merge (hot surfaces split across reducers);
+    # phase B: per-node bucket — finish surface merge + union-find collapse
+    a = partials.map_batches(
+        bucket_salted, batch_format="pandas", batch_size=65536
+    ).groupby("_bucket", num_partitions=np_).map_groups(merge_a, batch_format="pandas")
+    nodes = a.groupby("_bucket", num_partitions=np_).map_groups(
+        finalize_nodes, batch_format="pandas"
     )
     return nodes
 
+
+# ------------------------------------------------------------------- edges
 
 class EdgePartials:
     """linked triples → one partial row per (subj_id, pred, obj_id) per batch."""
@@ -169,78 +169,69 @@ class EdgePartials:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         s = _batch_salt(batch, self.salt)
-        agg: dict[tuple[str, str, str], dict] = {}
-        subj_ids = batch.column("subj_id").to_pylist()
-        preds = batch.column("pred").to_pylist()
-        obj_ids = batch.column("obj_id").to_pylist()
-        doc_ids = batch.column("doc_id").to_pylist()
-        scores = batch.column("rel_score").to_pylist()
-        for sid, p, oid, d, sc in zip(subj_ids, preds, obj_ids, doc_ids, scores):
-            row = agg.get((sid, p, oid))
-            if row is None:
-                agg[(sid, p, oid)] = {
-                    "subj_id": sid,
-                    "pred": p,
-                    "obj_id": oid,
-                    "n_obs": 1,
-                    "score": sc,
-                    "doc_ids": [d],
-                    "_salt": s,
-                }
-            else:
-                row["n_obs"] += 1
-                row["score"] = max(row["score"], sc)
-                if len(row["doc_ids"]) < self.doc_sample_cap:
-                    row["doc_ids"].append(d)
-        return pa.Table.from_pylist(
-            list(agg.values()),
-            schema=pa.schema(
-                [
-                    ("subj_id", pa.string()),
-                    ("pred", pa.string()),
-                    ("obj_id", pa.string()),
-                    ("n_obs", pa.int64()),
-                    ("score", pa.float64()),
-                    ("doc_ids", pa.list_(pa.string())),
-                    ("_salt", pa.int32()),
-                ]
-            ),
+        cap = self.doc_sample_cap
+        df = (
+            batch.select(["subj_id", "pred", "obj_id", "doc_id", "rel_score"])
+            .rename_columns(["subj_id", "pred", "obj_id", "doc_id", "score"])
+            .to_pandas()
         )
+        g = df.groupby(["subj_id", "pred", "obj_id"], as_index=False).agg(
+            n_obs=("doc_id", "size"),
+            score=("score", "max"),
+            doc_ids=("doc_id", lambda sr: list(sr)[:cap]),
+        )
+        g["_salt"] = s
+        return pa.Table.from_pandas(g, preserve_index=False)
 
 
-def _merge_edge_partials(g: pd.DataFrame, doc_sample_cap: int = 8) -> pd.DataFrame:
-    doc_ids: list[str] = []
-    for ds_ in g["doc_ids"]:
-        for d in ds_:
-            if len(doc_ids) >= doc_sample_cap:
-                break
-            doc_ids.append(d)
-    sid, p, oid = g["subj_id"].iloc[0], g["pred"].iloc[0], g["obj_id"].iloc[0]
-    return pd.DataFrame(
-        {
-            "edge_id": [f"edge:{zlib.crc32(f'{sid}|{p}|{oid}'.encode()):08x}"],
-            "subj_id": [sid],
-            "pred": [p],
-            "obj_id": [oid],
-            "n_obs": [int(g["n_obs"].sum())],
-            "score": [float(g["score"].max())],
-            "doc_ids": [sorted(set(doc_ids))[:doc_sample_cap]],
-            "_salt": [0],
-        }
+def _merge_edges(df: pd.DataFrame, cap: int) -> pd.DataFrame:
+    return df.groupby(["subj_id", "pred", "obj_id"], as_index=False).agg(
+        n_obs=("n_obs", "sum"),
+        score=("score", "max"),
+        doc_ids=("doc_ids", lambda sr: sorted({d for lst in sr for d in lst})[:cap]),
     )
 
 
 def build_edges(
-    linked: "ray.data.Dataset", salt: int = 8, doc_sample_cap: int = 8
+    linked: "ray.data.Dataset",
+    salt: int = 8,
+    doc_sample_cap: int = 8,
+    n_buckets: int = 32,
 ) -> "ray.data.Dataset":
     """linked triples → deduplicated edges table."""
+    cap = doc_sample_cap
     partials = linked.map_batches(
-        EdgePartials(salt=salt, doc_sample_cap=doc_sample_cap), batch_format="pyarrow"
+        EdgePartials(salt=salt, doc_sample_cap=cap),
+        batch_format="pyarrow",
+        batch_size=65536,
     )
-    merged = partials.groupby(["subj_id", "pred", "obj_id", "_salt"]).map_groups(
-        lambda g: _merge_edge_partials(g, doc_sample_cap), batch_format="pandas"
+
+    def bucket_salted(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["subj_id"] + "|" + df["pred"] + "|" + df["obj_id"]
+        df["_bucket"] = _crc_bucket(key, n_buckets, df["_salt"])
+        return df
+
+    def merge_a(df: pd.DataFrame) -> pd.DataFrame:
+        out = _merge_edges(df, cap)
+        key = out["subj_id"] + "|" + out["pred"] + "|" + out["obj_id"]
+        out["_bucket"] = _crc_bucket(key, n_buckets)
+        return out
+
+    def merge_b(df: pd.DataFrame) -> pd.DataFrame:
+        out = _merge_edges(df, cap)
+        out["edge_id"] = [
+            f"edge:{zlib.crc32(f'{s}|{p}|{o}'.encode()):08x}"
+            for s, p, o in zip(out["subj_id"], out["pred"], out["obj_id"])
+        ]
+        return out[
+            ["edge_id", "subj_id", "pred", "obj_id", "n_obs", "score", "doc_ids"]
+        ]
+
+    np_ = min(n_buckets, 16)
+    a = partials.map_batches(
+        bucket_salted, batch_format="pandas", batch_size=65536
+    ).groupby("_bucket", num_partitions=np_).map_groups(merge_a, batch_format="pandas")
+    edges = a.groupby("_bucket", num_partitions=np_).map_groups(
+        merge_b, batch_format="pandas"
     )
-    edges = merged.groupby(["subj_id", "pred", "obj_id"]).map_groups(
-        lambda g: _merge_edge_partials(g, doc_sample_cap), batch_format="pandas"
-    )
-    return edges.drop_columns(["_salt"])
+    return edges

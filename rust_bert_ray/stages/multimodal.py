@@ -113,5 +113,5 @@ def media_inventory(docs_ds, concurrency: int = 2):
     from ray.data.aggregate import Sum
 
     partials = docs_ds.map_batches(count_kinds, batch_format="pyarrow", batch_size=8192)
-    agg = partials.groupby("kind").aggregate(Sum("p_n", alias_name="n_spans"))
+    agg = partials.groupby("kind", num_partitions=4).aggregate(Sum("p_n", alias_name="n_spans"))
     return agg
