@@ -277,6 +277,59 @@ def _q_translate(sf_dir: str):
     return _gen_query(TranslationStage, target_lang="fr")(sf_dir)
 
 
+def _q_pos(sf_dir: str):
+    import os as _os
+
+    import ray.data
+
+    from rust_bert_ray.stages.pos import PosStage
+
+    docs = ray.data.read_parquet(
+        _os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return docs.map_batches(
+        PosStage, batch_format="pyarrow", batch_size=8192, concurrency=2
+    )
+
+
+def _q_embed(sf_dir: str):
+    """Sentence embeddings per doc (pooling + L2-normalize semantics)."""
+    import os as _os
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from rust_bert_ray.scorers import HashEmbedder
+
+    docs = ray.data.read_parquet(
+        _os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    class EmbedStage:
+        def __init__(self):
+            self.embedder = HashEmbedder(dim=64, pooling="mean")
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            embs = self.embedder.embed_batch(batch.column("text").to_pylist())
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "embedding": pa.array(
+                        [e.tolist() for e in embs], type=pa.list_(pa.float32(), 64)
+                    ),
+                    "norm": pa.array(
+                        np.round(np.linalg.norm(embs, axis=1), 4), type=pa.float64()
+                    ),
+                }
+            )
+
+    return docs.map_batches(
+        EmbedStage, batch_format="pyarrow", batch_size=8192, concurrency=2
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from rust_bert_ray.functions import dedup, relational, similarity, text
 
@@ -286,6 +339,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_generate": _q_generate,
         "q_summarize": _q_summarize,
         "q_translate": _q_translate,
+        "q_pos_tags": _q_pos,
+        "q_embed_docs": _q_embed,
         "q_zero_shot": _q_zero_shot,
         "q_keywords": _q_keywords,
         "q_masked_lm": _q_masked_lm,

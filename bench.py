@@ -122,7 +122,7 @@ def run_scaling() -> dict:
     # Larger corpus for the scaling criterion so per-run fixed costs
     # (actor-pool startup, shuffle scheduling) are amortized and the
     # measurement reflects how the pipeline scales with compute.
-    scaling_docs = os.environ.get("RBR_SCALING_DOCS", "400000")
+    scaling_docs = os.environ.get("RBR_SCALING_DOCS", "800000")
 
     def run(ncpu: int) -> dict:
         env = dict(

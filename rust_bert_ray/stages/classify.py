@@ -85,9 +85,17 @@ FROM documents
 class ZeroShotStage:
     """documents × labels → best label per doc (entailment-style)."""
 
-    def __init__(self, labels: list[str] | None = None):
+    def __init__(self, labels: list[str] | None = None, template=None):
+        # ``template``: str with one {} slot or a callable label→hypothesis,
+        # mirroring the ZeroShotTemplate closure hook
+        # (zero_shot_classification.rs:717-722)
         self.labels = labels if labels is not None else ZERO_SHOT_LABELS
-        self.hypotheses = [ZERO_SHOT_TEMPLATE.format(l) for l in self.labels]
+        if template is None:
+            template = ZERO_SHOT_TEMPLATE
+        self.hypotheses = [
+            template(l) if callable(template) else template.format(l)
+            for l in self.labels
+        ]
         self.keywords = [ZERO_SHOT_KEYWORDS[l] for l in self.labels]
 
     def __call__(self, batch: pa.Table) -> pa.Table:

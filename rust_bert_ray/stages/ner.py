@@ -82,9 +82,14 @@ class NerStage:
         piece_len: int = 4,
         label_aggregation: str = AGG_FIRST,
         memo_cap: int = 200_000,
+        tokenizer=None,
+        scorer=None,
     ):
-        self.tokenizer = SubwordTokenizer(piece_len=piece_len)
-        self.scorer = DeterministicTagScorer(gazetteer)
+        # ``tokenizer``/``scorer`` are injectable (the reference's
+        # new_with_tokenizer + ModelResource hooks, SURVEY.md §2.10): any
+        # object with .encode() / .tag_words()+.logits_for_pieces() works.
+        self.tokenizer = tokenizer or SubwordTokenizer(piece_len=piece_len)
+        self.scorer = scorer or DeterministicTagScorer(gazetteer)
         self.max_length = max_length
         self.label_aggregation = label_aggregation
         self.memo: dict[str, list[Entity]] = {}

@@ -1,0 +1,140 @@
+"""POS stage, resource providers, SQuAD reader."""
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+from rust_bert_ray.sources.resources import (
+    BufferResource,
+    CachedResource,
+    LocalResource,
+)
+from rust_bert_ray.sources.squad import squad_to_table
+from rust_bert_ray.stages.pos import PosStage, is_punctuation
+
+
+def doc_batch(texts):
+    return pa.Table.from_pydict(
+        {"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": texts}
+    )
+
+
+# ------------------------------------------------------------------- POS
+
+def test_pos_basic_tags():
+    out = PosStage()(doc_batch(["the running dog in a box"])).to_pylist()
+    by_word = {r["word"]: r["label"] for r in out}
+    assert by_word["the"] == "DET"
+    assert by_word["running"] == "VERB"
+    assert by_word["in"] == "ADP"
+    assert by_word["dog"] == "NOUN"
+
+
+def test_pos_punctuation_override():
+    # all-punctuation token with low score → label "." score 1.0
+    # (pos_tagging.rs:271-293)
+    out = PosStage()(doc_batch(["hello , world !"])).to_pylist()
+    punct = [r for r in out if r["word"] in {",", "!"}]
+    assert punct and all(r["label"] == "." and r["score"] == 1.0 for r in punct)
+
+
+def test_pos_char_spans_slice_back():
+    text = "numbers 42 here ."
+    out = PosStage()(doc_batch([text])).to_pylist()
+    for r in out:
+        assert text[r["begin"] : r["end"]] == r["word"]
+    assert {r["word"]: r["label"] for r in out}["42"] == "NUM"
+
+
+def test_is_punctuation():
+    assert is_punctuation("!?.")
+    assert not is_punctuation("a.")
+    assert not is_punctuation("")
+
+
+# -------------------------------------------------------------- resources
+
+def test_local_resource(tmp_path):
+    p = tmp_path / "vocab.txt"
+    p.write_bytes(b"hello")
+    r = LocalResource(str(p))
+    assert r.get_local_path() == str(p)
+    assert r.get_bytes() == b"hello"
+    with pytest.raises(FileNotFoundError):
+        LocalResource(str(tmp_path / "missing")).get_local_path()
+
+
+def test_buffer_resource_materializes_once(tmp_path, monkeypatch):
+    monkeypatch.setenv("RUSTBERT_RAY_CACHE", str(tmp_path))
+    r = BufferResource(b"weights", name="w.bin")
+    p1 = r.get_local_path()
+    p2 = r.get_local_path()
+    assert p1 == p2 and open(p1, "rb").read() == b"weights"
+    assert str(tmp_path) in p1
+
+
+def test_cached_resource_fetches_once(tmp_path, monkeypatch):
+    monkeypatch.setenv("RUSTBERT_RAY_CACHE", str(tmp_path))
+    calls = []
+
+    def fetch(target):
+        calls.append(target)
+        with open(target, "w") as f:
+            f.write("model")
+
+    r = CachedResource("model.bin", "my-model", fetch)
+    p1 = r.get_local_path()
+    p2 = r.get_local_path()
+    assert p1 == p2 and len(calls) == 1
+    assert r.get_bytes() == b"model"
+
+
+# ------------------------------------------------------------------ SQuAD
+
+def test_squad_reader(tmp_path):
+    payload = {
+        "data": [
+            {
+                "paragraphs": [
+                    {
+                        "context": "Amy lives in Amsterdam",
+                        "qas": [
+                            {"id": "q1", "question": "Where does Amy live ?"},
+                            {"id": "q2", "question": "Who lives there ?"},
+                        ],
+                    }
+                ]
+            }
+        ]
+    }
+    p = tmp_path / "squad.json"
+    p.write_text(json.dumps(payload))
+    t = squad_to_table(str(p))
+    assert t.num_rows == 2
+    assert t.column("context").to_pylist() == ["Amy lives in Amsterdam"] * 2
+    assert t.column("qa_id").to_pylist() == ["q1", "q2"]
+
+
+def test_squad_reader_composes_with_qa_stage(tmp_path):
+    from rust_bert_ray.stages.qa import QaStage
+
+    payload = {
+        "data": [
+            {
+                "paragraphs": [
+                    {
+                        "context": "Amy lives in Amsterdam",
+                        "qas": [{"id": "q1", "question": "Where does Amy live ?"}],
+                    }
+                ]
+            }
+        ]
+    }
+    p = tmp_path / "squad.json"
+    p.write_text(json.dumps(payload))
+    out = QaStage({"Amy": "PER", "Amsterdam": "LOC"})(squad_to_table(str(p))).to_pylist()
+    # FIXTURES.md §3.4: answer "Amsterdam", char span [13, 22)
+    assert out[0]["answer"] == "Amsterdam"
+    assert (out[0]["start"], out[0]["end"]) == (13, 22)
