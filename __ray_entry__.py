@@ -359,6 +359,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_filter_highvalue": relational.q_filter_highvalue,
         "q_distinct_segments": relational.q_distinct_segments,
         "q_events_hourly": relational.q_events_hourly,
+        "q_join_shuffle": relational.q_join_shuffle,
+        "q_events_sessions": relational.q_events_sessions,
+        "q_events_asof": relational.q_events_asof,
+        "q_sort_top_events": relational.q_sort_top_events,
         # --- text analysis (documents) ---
         "q_token_counts": text.q_token_counts,
         "q_doc_quality": text.q_doc_quality,
@@ -406,6 +410,10 @@ GROUP BY s.kind
         "q_filter_highvalue": relational.Q_FILTER_HIGHVALUE_SQL,
         "q_distinct_segments": relational.Q_DISTINCT_SEGMENTS_SQL,
         "q_events_hourly": relational.Q_EVENTS_HOURLY_SQL,
+        "q_join_shuffle": relational.Q_JOIN_SHUFFLE_SQL,
+        "q_events_sessions": relational.Q_EVENTS_SESSIONS_SQL,
+        "q_events_asof": relational.Q_EVENTS_ASOF_SQL,
+        "q_sort_top_events": relational.Q_SORT_TOP_EVENTS_SQL,
         "q_token_counts": text.Q_TOKEN_COUNTS_SQL,
         "q_doc_quality": text.Q_DOC_QUALITY_SQL,
         "q_lang_stats": text.Q_LANG_STATS_SQL,

@@ -340,3 +340,157 @@ SELECT event_type, date_trunc('hour', ts) AS hour,
 FROM events
 GROUP BY event_type, date_trunc('hour', ts)
 """
+
+
+# ----------------------------------------------- hash-partitioned join
+
+def q_join_shuffle(sf_dir: str):
+    """Nation-level order stats via Ray's hash-partitioned ``Dataset.join``.
+
+    The both-sides-large path (contrast with the broadcast joins above):
+    both datasets are hash-partitioned on the key across ``num_partitions``
+    aggregators — this is the join to reach for when neither side fits in
+    memory.  Small here, but the plan shape is the scale path.
+    """
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = orders.join(cust, "inner", 8, on=("o_custkey",), right_on=("c_custkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("c_nationkey", as_index=False).agg(
+            p_n=("o_orderkey", "count"), p_total=("o_totalprice", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    agg = joined.map_batches(partial, batch_format="pyarrow", batch_size=65536) \
+        .groupby("c_nationkey", num_partitions=8).aggregate(
+            Sum("p_n", alias_name="n_orders"), Sum("p_total", alias_name="raw_total")
+        )
+    return agg.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "c_nationkey": t.column("c_nationkey"),
+                "n_orders": t.column("n_orders"),
+                "total_price": pc.round(t.column("raw_total"), 2),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+Q_JOIN_SHUFFLE_SQL = """
+SELECT c_nationkey, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+"""
+
+
+# ----------------------------------------------------- sessionization
+
+def q_events_sessions(sf_dir: str, gap_minutes: int = 30):
+    """Per-user session counts (sessions split on >30 min inactivity).
+
+    Streaming-shaped keyed state (SURVEY.md §2.9): partition by user,
+    order by ts within the group, detect gaps.  ``groupby(user)`` is the
+    partitioned log; the per-group pandas body is the window machine.
+    """
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gaps = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_events": [len(g)],
+                "n_sessions": [1 + int(gaps.sum())],
+            }
+        )
+
+    return ev.groupby("user_id", num_partitions=8).map_groups(
+        sessions, batch_format="pandas"
+    )
+
+
+Q_EVENTS_SESSIONS_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       1 + SUM(CASE WHEN gap > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS n_sessions
+FROM (
+  SELECT user_id, ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+)
+GROUP BY user_id
+"""
+
+
+# -------------------------------------------------------- as-of join
+
+def q_events_asof(sf_dir: str):
+    """For each purchase, the most recent strictly-earlier click by the
+    same user (as-of join).
+
+    Ray Data has no as-of join; the portable pattern (guide): bucket both
+    sides by key, sort by ts within the group, ``pd.merge_asof`` per
+    group.  Here user_id is the bucket key directly.
+    """
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["event_type"] == "purchase"].sort_values(["ts", "event_id"])
+        right = g[g["event_type"] == "click"].sort_values(["ts", "event_id"])
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                columns=["event_id", "user_id", "click_event_id"]
+            ).astype({"event_id": "int64", "user_id": "int64", "click_event_id": "int64"})
+        m = pd.merge_asof(
+            left[["event_id", "user_id", "ts"]],
+            right[["event_id", "ts"]].rename(columns={"event_id": "click_event_id"}),
+            on="ts",
+            direction="backward",
+            allow_exact_matches=False,
+        )
+        m = m.dropna(subset=["click_event_id"])
+        m["click_event_id"] = m["click_event_id"].astype("int64")
+        return m[["event_id", "user_id", "click_event_id"]]
+
+    return ev.groupby("user_id", num_partitions=8).map_groups(
+        per_user, batch_format="pandas"
+    )
+
+
+Q_EVENTS_ASOF_SQL = """
+SELECT a.event_id AS event_id, a.user_id AS user_id, b.event_id AS click_event_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') b
+  ON a.user_id = b.user_id AND a.ts > b.ts
+"""
+
+
+# -------------------------------------------------------- global sort
+
+def q_sort_top_events(sf_dir: str, k: int = 100):
+    """Top-k events by value via a true distributed ``Dataset.sort``
+    (range-partitioned sort shuffle), deterministic tie-break on event_id."""
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def rounded(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("value"), "value", pc.round(t.column("value"), 4)
+        )
+
+    return (
+        ev.map_batches(rounded, batch_format="pyarrow", batch_size=65536)
+        .sort(["value", "event_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+Q_SORT_TOP_EVENTS_SQL = """
+SELECT event_id, event_type, ROUND(value, 4) AS value
+FROM events
+ORDER BY ROUND(value, 4) DESC, event_id
+LIMIT 100
+"""
