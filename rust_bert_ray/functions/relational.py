@@ -417,7 +417,7 @@ def q_events_sessions(sf_dir: str, gap_minutes: int = 30):
 
 Q_EVENTS_SESSIONS_SQL = """
 SELECT user_id, COUNT(*) AS n_events,
-       1 + SUM(CASE WHEN gap > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS n_sessions
+       CAST(1 + SUM(CASE WHEN gap > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
 FROM (
   SELECT user_id, ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
   FROM events

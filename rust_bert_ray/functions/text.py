@@ -34,10 +34,11 @@ def q_token_counts(sf_dir: str):
 
     def fn(t: pa.Table) -> pa.Table:
         n_spaces = pc.count_substring(t.column("text"), " ")
+        # int64 to match DuckDB BIGINT exactly (value-hash dtype parity)
         return pa.Table.from_pydict(
             {
                 "doc_id": t.column("doc_id"),
-                "n_tokens": pc.add(n_spaces, 1),
+                "n_tokens": pc.cast(pc.add(n_spaces, 1), pa.int64()),
             }
         )
 
@@ -58,8 +59,10 @@ def q_doc_quality(sf_dir: str):
     docs = _read_documents(sf_dir, ["doc_id", "text", "n_chars"])
 
     def fn(t: pa.Table) -> pa.Table:
-        n_tokens = pc.add(pc.count_substring(t.column("text"), " "), 1)
-        n_chars = pc.utf8_length(t.column("text"))
+        n_tokens = pc.cast(
+            pc.add(pc.count_substring(t.column("text"), " "), 1), pa.int64()
+        )
+        n_chars = pc.cast(pc.utf8_length(t.column("text")), pa.int64())
         # single-space separated → token chars = n_chars - (n_tokens - 1)
         token_chars = pc.subtract(n_chars, pc.subtract(n_tokens, 1))
         avg_len = pc.round(

@@ -73,10 +73,10 @@ class SentimentStage:
 
 SENTIMENT_SQL = f"""
 SELECT doc_id,
-       (length(text) - length(replace(text, 'fast', ''))) / 4
-     + (length(text) - length(replace(text, 'small', ''))) / 5 AS pos_cnt,
-       (length(text) - length(replace(text, 'slow', ''))) / 4
-     + (length(text) - length(replace(text, 'big', ''))) / 3   AS neg_cnt,
+       (length(text) - length(replace(text, 'fast', ''))) // 4
+     + (length(text) - length(replace(text, 'small', ''))) // 5 AS pos_cnt,
+       (length(text) - length(replace(text, 'slow', ''))) // 4
+     + (length(text) - length(replace(text, 'big', ''))) // 3   AS neg_cnt,
        CASE WHEN pos_cnt > neg_cnt THEN 'positive' ELSE 'negative' END AS label
 FROM documents
 """
@@ -121,15 +121,15 @@ class ZeroShotStage:
 
 ZERO_SHOT_SQL = """
 SELECT doc_id,
-       (length(text) - length(replace(text, 'join', ''))) / 4
-     + (length(text) - length(replace(text, 'filter', ''))) / 6
-     + (length(text) - length(replace(text, 'sort', ''))) / 4   AS c_querying,
-       (length(text) - length(replace(text, 'table', ''))) / 5
-     + (length(text) - length(replace(text, 'row', ''))) / 3
-     + (length(text) - length(replace(text, 'column', ''))) / 6 AS c_storage,
-       (length(text) - length(replace(text, 'stream', ''))) / 6
-     + (length(text) - length(replace(text, 'window', ''))) / 6
-     + (length(text) - length(replace(text, 'batch', ''))) / 5  AS c_streaming,
+       (length(text) - length(replace(text, 'join', ''))) // 4
+     + (length(text) - length(replace(text, 'filter', ''))) // 6
+     + (length(text) - length(replace(text, 'sort', ''))) // 4   AS c_querying,
+       (length(text) - length(replace(text, 'table', ''))) // 5
+     + (length(text) - length(replace(text, 'row', ''))) // 3
+     + (length(text) - length(replace(text, 'column', ''))) // 6 AS c_storage,
+       (length(text) - length(replace(text, 'stream', ''))) // 6
+     + (length(text) - length(replace(text, 'window', ''))) // 6
+     + (length(text) - length(replace(text, 'batch', ''))) // 5  AS c_streaming,
        CASE WHEN c_querying >= c_storage AND c_querying >= c_streaming THEN 'querying'
             WHEN c_storage >= c_streaming THEN 'storage'
             ELSE 'streaming' END AS label_pred

@@ -83,7 +83,15 @@ def main() -> int:
             print(f"rows  {name}: {len(raw)} rows ({elapsed:.1f}s) [no oracle]")
             continue
         got = normalize(raw)
-        want = normalize(con.execute(oracles[name]).df())
+        raw_want = con.execute(oracles[name]).df()
+        # dtype-family parity warning (the driver's value hash may be
+        # dtype-sensitive even when values compare equal)
+        for c in set(raw.columns) & set(raw_want.columns):
+            gk = raw[c].dtype.kind
+            wk = raw_want[c].dtype.kind
+            if {gk, wk} <= {"i", "u", "f"} and gk != wk:
+                print(f"  dtype-warn {name}.{c}: ray={raw[c].dtype} duck={raw_want[c].dtype}")
+        want = normalize(raw_want)
         status = "ok"
         if list(got.columns) != list(want.columns):
             status = f"SCHEMA MISMATCH got={list(got.columns)} want={list(want.columns)}"
