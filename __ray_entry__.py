@@ -363,6 +363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_sessions": relational.q_events_sessions,
         "q_events_asof": relational.q_events_asof,
         "q_sort_top_events": relational.q_sort_top_events,
+        "q_customers_without_orders": relational.q_customers_without_orders,
         # --- text analysis (documents) ---
         "q_token_counts": text.q_token_counts,
         "q_doc_quality": text.q_doc_quality,
@@ -414,6 +415,7 @@ GROUP BY s.kind
         "q_events_sessions": relational.Q_EVENTS_SESSIONS_SQL,
         "q_events_asof": relational.Q_EVENTS_ASOF_SQL,
         "q_sort_top_events": relational.Q_SORT_TOP_EVENTS_SQL,
+        "q_customers_without_orders": relational.Q_CUSTOMERS_WITHOUT_ORDERS_SQL,
         "q_token_counts": text.Q_TOKEN_COUNTS_SQL,
         "q_doc_quality": text.Q_DOC_QUALITY_SQL,
         "q_lang_stats": text.Q_LANG_STATS_SQL,

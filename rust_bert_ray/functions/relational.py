@@ -494,3 +494,58 @@ FROM events
 ORDER BY ROUND(value, 4) DESC, event_id
 LIMIT 100
 """
+
+
+# ------------------------------------------------- broadcast anti-join
+
+def q_customers_without_orders(sf_dir: str, price_threshold: float = 300_000.0):
+    """Anti-join: customers with no order above ``price_threshold``.
+
+    Broadcast pattern for semi/anti joins (no shuffle): a Bloom filter of
+    the build side's keys prefilters each batch (no false negatives →
+    rejected keys are definitely order-less); survivors are verified
+    against the exact key set.  At this scale the exact set is broadcast
+    whole; at 10^12 rows it would be sharded and only the Bloom filter
+    broadcast everywhere.
+    """
+    from rust_bert_ray.functions.util import BloomFilter
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).to_pandas()
+    keys = set(orders.loc[orders["o_totalprice"] > price_threshold, "o_custkey"].tolist())
+    bloom = BloomFilter(len(keys))
+    for k in keys:
+        bloom.add(k)
+    state_ref = ray.put((bloom, keys))
+
+    class AntiJoin:
+        def __init__(self, ref):
+            self.bloom, self.keys = (
+                ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            )
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            maybe_has = df["c_custkey"].map(lambda k: k in self.bloom)
+            # bloom-rejected rows are keepers; bloom-accepted need the
+            # exact check (false positives would wrongly drop keepers)
+            confirmed_has = df.loc[maybe_has, "c_custkey"].map(
+                lambda k: k in self.keys
+            )
+            keep = ~maybe_has
+            keep.loc[confirmed_has.index] = ~confirmed_has
+            return pa.Table.from_pandas(df[keep], preserve_index=False)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return cust.map_batches(
+        AntiJoin,
+        fn_constructor_kwargs={"ref": state_ref},
+        batch_format="pyarrow",
+        batch_size=65536,
+        concurrency=2,
+    )
+
+
+Q_CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+"""

@@ -75,16 +75,24 @@ class DeterministicTagScorer:
                 i += 1
         return tags
 
+    _jitter_cache: dict[int, float] = {}
+
     def logits_for_pieces(
         self, word_tags: list[str], word_indices: list[int], piece_ids: list[int]
     ) -> np.ndarray:
         """[n_pieces, n_labels] logits; specials (word_index<0) stay "O"-ish."""
         n = len(word_indices)
         logits = np.zeros((n, len(NER_LABELS)), dtype=np.float64)
+        jc = self._jitter_cache
         for pos in range(n):
             w = word_indices[pos]
             tag = word_tags[w] if w >= 0 else "O"
-            jitter = (_crc(str(piece_ids[pos])) % 97) / 1000.0
+            pid = piece_ids[pos]
+            jitter = jc.get(pid)
+            if jitter is None:
+                jitter = (_crc(str(pid)) % 97) / 1000.0
+                if len(jc) < 1_000_000:
+                    jc[pid] = jitter
             logits[pos, NER_LABEL_INDEX[tag]] = self.BASE_LOGIT + jitter
         return logits
 

@@ -58,9 +58,34 @@ class EncodedText:
 class SubwordTokenizer:
     """Stateless, deterministic; build once per actor in ``__init__``."""
 
-    def __init__(self, piece_len: int = 4, lower_case: bool = False):
+    def __init__(self, piece_len: int = 4, lower_case: bool = False, cache_cap: int = 500_000):
         self.piece_len = piece_len
         self.lower_case = lower_case
+        # word → (piece ids, piece lengths, piece masks); pure function of
+        # the word, so safe to memoize (vocabulary-bounded)
+        self._word_cache: dict[str, tuple[list[int], list[int], list[int]]] = {}
+        self._cache_cap = cache_cap
+
+    def _encode_word(self, word: str) -> tuple[list[int], list[int], list[int]]:
+        cached = self._word_cache.get(word)
+        if cached is not None:
+            return cached
+        ids: list[int] = []
+        lengths: list[int] = []
+        masks: list[int] = []
+        pos = 0
+        piece_no = 0
+        while pos < len(word):
+            piece = word[pos : pos + self.piece_len]
+            ids.append(stable_id(piece if piece_no == 0 else "##" + piece))
+            lengths.append(len(piece))
+            masks.append(MASK_NONE if piece_no == 0 else MASK_CONTINUATION)
+            pos += len(piece)
+            piece_no += 1
+        out = (ids, lengths, masks)
+        if len(self._word_cache) < self._cache_cap:
+            self._word_cache[word] = out
+        return out
 
     def encode(self, text: str) -> EncodedText:
         ids: list[int] = []
@@ -68,22 +93,18 @@ class SubwordTokenizer:
         masks: list[int] = []
         word_indices: list[int] = []
         for w_idx, m in enumerate(_WORD_RE.finditer(text)):
-            begin, end = m.start(), m.end()
+            begin = m.start()
             word = m.group(0)
             if self.lower_case:
                 word = word.lower()
-            # Break long words into fixed-width pieces; piece 0 is the
-            # word-initial token, later pieces are continuations.
-            pos = 0
-            piece_no = 0
-            while pos < len(word):
-                piece = word[pos : pos + self.piece_len]
-                ids.append(stable_id(piece if piece_no == 0 else "##" + piece))
-                offsets.append((begin + pos, begin + pos + len(piece)))
-                masks.append(MASK_NONE if piece_no == 0 else MASK_CONTINUATION)
+            w_ids, w_lens, w_masks = self._encode_word(word)
+            ids.extend(w_ids)
+            masks.extend(w_masks)
+            pos = begin
+            for ln in w_lens:
+                offsets.append((pos, pos + ln))
                 word_indices.append(w_idx)
-                pos += len(piece)
-                piece_no += 1
+                pos += ln
         return EncodedText(ids=ids, offsets=offsets, masks=masks, word_indices=word_indices)
 
     @staticmethod

@@ -1,0 +1,63 @@
+"""Multimodal stage plumbing + BloomFilter unit tests."""
+
+import pyarrow as pa
+import pytest
+
+from rust_bert_ray.corpus import generate
+from rust_bert_ray.functions.util import BloomFilter
+from rust_bert_ray.stages.multimodal import (
+    MEDIA_FEATURE_DIM,
+    MEDIA_SCHEMA,
+    MediaDecodeStage,
+    decode_media,
+)
+
+
+def test_decode_media_strict_raises():
+    with pytest.raises(NotImplementedError):
+        decode_media("image", "media://abc", strict=True)
+
+
+def test_decode_media_deterministic_fake():
+    a = decode_media("image", "media://abc")
+    b = decode_media("image", "media://abc")
+    assert a["width"] == b["width"] and (a["feature"] == b["feature"]).all()
+    assert a["width"] > 0 and a["duration_ms"] == 0
+    audio = decode_media("audio", "media://xyz")
+    assert audio["width"] == 0 and audio["duration_ms"] >= 0
+
+
+def test_media_stage_schema_and_rows():
+    docs, _ = generate(50)
+    out = MediaDecodeStage()(docs)
+    assert out.schema.equals(MEDIA_SCHEMA)
+    rows = out.to_pylist()
+    n_media = sum(
+        1 for spans in docs.column("spans").to_pylist()
+        for s in spans if s["kind"] != "text"
+    )
+    assert len(rows) == n_media
+    assert all(len(r["feature"]) == MEDIA_FEATURE_DIM for r in rows)
+    assert all(r["media_ref"].startswith("media://") for r in rows)
+
+
+def test_media_stage_strict_propagates():
+    docs, _ = generate(50)
+    with pytest.raises(NotImplementedError):
+        MediaDecodeStage(strict=True)(docs)
+
+
+def test_bloom_no_false_negatives():
+    b = BloomFilter(1000)
+    keys = list(range(0, 2000, 2))
+    for k in keys:
+        b.add(k)
+    assert all(k in b for k in keys)
+
+
+def test_bloom_fp_rate_reasonable():
+    b = BloomFilter(1000, fp_rate=0.01)
+    for k in range(1000):
+        b.add(k)
+    fps = sum(1 for k in range(10_000, 20_000) if k in b)
+    assert fps < 500  # ~1% expected; wide margin for hash quality
