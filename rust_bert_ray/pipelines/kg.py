@@ -244,12 +244,46 @@ def run_kg_pipeline(
     # ---- stage B: global canonicalize + materialize (reads checkpoints) ----
     if not (resume and ckpt.is_partition_complete(out_dir, "final")):
         tb = time.time()
-        all_triples = ray.data.read_parquet(os.path.join(out_dir, "triples"))
-        nodes = build_nodes(all_triples, salt=salt)
-        ckpt.atomic_write_parquet(nodes, ckpt.partition_dir(out_dir, "nodes", 0))
-        all_triples = ray.data.read_parquet(os.path.join(out_dir, "triples"))
-        edges = build_edges(all_triples, salt=salt)
-        ckpt.atomic_write_parquet(edges, ckpt.partition_dir(out_dir, "edges", 0))
+        # nodes and edges are independent shuffles over the checkpointed
+        # triples — run both streaming executions concurrently
+        from concurrent.futures import ThreadPoolExecutor
+
+        # Concurrent Datasets race on fsspec's lazy http import when
+        # aiohttp is absent (Ray's _is_http_filesystem catches only
+        # ModuleNotFoundError; the losing thread sees a partially
+        # initialized module → bare ImportError).  Register a stub module
+        # so the import is deterministic — HTTP filesystems are never
+        # used by this pipeline.
+        try:
+            from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+        except ImportError:
+            import sys as _sys
+            import types as _types
+
+            _stub = _types.ModuleType("fsspec.implementations.http")
+
+            class _NoHTTPFileSystem:  # never instantiated
+                pass
+
+            _stub.HTTPFileSystem = _NoHTTPFileSystem
+            _sys.modules["fsspec.implementations.http"] = _stub
+
+        def _write_nodes():
+            ds_ = ray.data.read_parquet(os.path.join(out_dir, "triples"))
+            ckpt.atomic_write_parquet(
+                build_nodes(ds_, salt=salt), ckpt.partition_dir(out_dir, "nodes", 0)
+            )
+
+        def _write_edges():
+            ds_ = ray.data.read_parquet(os.path.join(out_dir, "triples"))
+            ckpt.atomic_write_parquet(
+                build_edges(ds_, salt=salt), ckpt.partition_dir(out_dir, "edges", 0)
+            )
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [pool.submit(_write_nodes), pool.submit(_write_edges)]
+            for f in futs:
+                f.result()
         n_nodes = _pq_rows(os.path.join(out_dir, "nodes"))
         n_edges = _pq_rows(os.path.join(out_dir, "edges"))
         ckpt.write_manifest(
