@@ -239,9 +239,15 @@ def dedup_minhash_pairs(
 
     n_buckets = 32
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df["_bucket"] = (df["band"].astype(np.int64) * 1_000_003 + df["band_hash"]) % n_buckets
-        return df
+    def add_bucket(t: pa.Table) -> pa.Table:
+        bucket = pc.cast(
+            pc.add(pc.multiply(pc.cast(t.column("band"), pa.int64()), 1_000_003),
+                   t.column("band_hash")),
+            pa.int64(),
+        )
+        import pyarrow.compute as _pc
+        bucket = _pc.subtract(bucket, _pc.multiply(_pc.divide(bucket, n_buckets), n_buckets))
+        return t.append_column("_bucket", bucket)
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         # one call per hash bucket; LSH buckets are runs in the sorted
@@ -276,10 +282,10 @@ def dedup_minhash_pairs(
                 rows.append((int(ids[s + i]), int(ids[s + j]), round(float(est), 5)))
         out = pd.DataFrame(rows, columns=["doc_a", "doc_b", "est_jaccard"])
         out["_pbucket"] = (out["doc_a"] * 1_000_003 + out["doc_b"]) % n_buckets
-        return out
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     pairs = (
-        banded.map_batches(add_bucket, batch_format="pandas")
+        banded.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("_bucket", num_partitions=16)
         .map_groups(bucket_pairs, batch_format="pandas")
     )
@@ -346,9 +352,15 @@ def dedup_simhash_pairs(sf_dir: str, max_hamming: int = 3, bucket_cap: int = 200
 
     n_buckets = 32
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df["_bucket"] = (df["band"].astype(np.int64) * 65_537 + df["band_key"]) % n_buckets
-        return df
+    def add_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        bucket = _pc.cast(
+            _pc.add(_pc.multiply(_pc.cast(t.column("band"), pa.int64()), 65_537),
+                    t.column("band_key")),
+            pa.int64(),
+        )
+        bucket = _pc.subtract(bucket, _pc.multiply(_pc.divide(bucket, n_buckets), n_buckets))
+        return t.append_column("_bucket", bucket)
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop_duplicates(["band", "band_key", "doc_id"]).sort_values(
@@ -382,10 +394,10 @@ def dedup_simhash_pairs(sf_dir: str, max_hamming: int = 3, bucket_cap: int = 200
                 rows.append((int(ids[s + i]), int(ids[s + j]), int(ham[i, j])))
         out = pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"])
         out["_pbucket"] = (out["doc_a"] * 1_000_003 + out["doc_b"]) % n_buckets
-        return out
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     pairs = (
-        banded.map_batches(add_bucket, batch_format="pandas")
+        banded.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("_bucket", num_partitions=16)
         .map_groups(bucket_pairs, batch_format="pandas")
     )

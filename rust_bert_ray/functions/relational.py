@@ -549,3 +549,56 @@ Q_CUSTOMERS_WITHOUT_ORDERS_SQL = """
 SELECT c_custkey, c_name FROM customer
 WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
 """
+
+
+# ---------------------------------------------------- sliding windows
+
+def q_events_sliding(sf_dir: str):
+    """Sliding 1h windows hopping every 30 min, per event type.
+
+    Each event lands in 2 windows (window_start ∈ {floor30(ts),
+    floor30(ts) − 30min}); the expansion happens vectorized per batch
+    (flat_map-shaped), then the usual combiner → grouped merge.
+    """
+    ev = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        half = df["ts"].dt.floor("30min")
+        frames = []
+        for off in (0, 30):
+            d = df.copy()
+            d["window_start"] = half - pd.Timedelta(minutes=off)
+            frames.append(d)
+        both = pd.concat(frames, ignore_index=True)
+        g = both.groupby(["event_type", "window_start"], as_index=False).agg(
+            p_n=("event_id", "count"), p_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    partials = ev.map_batches(expand, batch_format="pyarrow", batch_size=65536)
+    agg = partials.groupby(["event_type", "window_start"], num_partitions=16).aggregate(
+        Sum("p_n", alias_name="n_events"), Sum("p_value", alias_name="raw_value")
+    )
+    return agg.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "event_type": t.column("event_type"),
+                "window_start": t.column("window_start"),
+                "n_events": t.column("n_events"),
+                "sum_value": pc.round(t.column("raw_value"), 4),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+Q_EVENTS_SLIDING_SQL = """
+SELECT event_type,
+       time_bucket(INTERVAL 30 MINUTE, ts) - offs.o AS window_start,
+       COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+FROM events, (SELECT UNNEST([INTERVAL 0 MINUTE, INTERVAL 30 MINUTE]) AS o) offs
+GROUP BY event_type, window_start
+"""

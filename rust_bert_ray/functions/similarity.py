@@ -155,3 +155,78 @@ def ann_lsh_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10, n_bits: int = 
     from rust_bert_ray.functions.util import topk
 
     return topk(scored, ["cos", "vec_id"], [True, False], k)
+
+
+def ann_ivf_topk(
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+):
+    """IVF-style approximate top-k: coarse-quantize vectors to centroids,
+    scan only the ``n_probe`` centroids nearest to the query.
+
+    Centroid selection is deterministic (first ``n_centroids`` vectors by
+    vec_id — a seeded k-means would slot in here identically).  The
+    centroid table is broadcast; assignment happens per batch with one
+    matmul.  Expected scan fraction ≈ n_probe/n_centroids.
+    """
+    import pyarrow.parquet as pq
+
+    q = _query_vector(sf_dir, query_vec_id)
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = t.column("vec_id").to_pylist()
+    order = np.argsort(ids)[:n_centroids]
+    C = np.stack([t.column("embedding")[int(i)].as_py() for i in order]).astype(
+        np.float64
+    )
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    qn = q / max(np.linalg.norm(q), 1e-300)
+    probe = set(np.argsort(-(C @ qn))[:n_probe].tolist())
+    state_ref = ray.put((qn, C, probe))
+
+    class IvfScore:
+        def __init__(self, ref, exclude_id):
+            self.q, self.C, self.probe = (
+                ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            )
+            self.exclude_id = exclude_id
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            A = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+            norms = np.maximum(np.linalg.norm(A, axis=1), 1e-300)
+            An = A / norms[:, None]
+            assign = (An @ self.C.T).argmax(axis=1)
+            keep = np.array(
+                [a in self.probe and i != self.exclude_id for a, i in zip(assign, ids)]
+            )
+            if not keep.any():
+                return pa.Table.from_pydict(
+                    {
+                        "vec_id": pa.array([], type=pa.int64()),
+                        "cos": pa.array([], type=pa.float64()),
+                    }
+                )
+            cos = np.round(An[keep] @ self.q, 5)
+            return pa.Table.from_pydict(
+                {
+                    "vec_id": pa.array(ids[keep], type=pa.int64()),
+                    "cos": pa.array(cos, type=pa.float64()),
+                }
+            )
+
+    emb = _read_embeddings(sf_dir)
+    scored = emb.map_batches(
+        IvfScore,
+        fn_constructor_kwargs={"ref": state_ref, "exclude_id": query_vec_id},
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=2,
+    )
+    from rust_bert_ray.functions.util import topk
+
+    return topk(scored, ["cos", "vec_id"], [True, False], k)

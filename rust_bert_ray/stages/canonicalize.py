@@ -111,19 +111,21 @@ def build_nodes(
         MentionPartials(salt=salt), batch_format="pyarrow", batch_size=65536
     )
 
-    def bucket_salted(df: pd.DataFrame) -> pd.DataFrame:
+    def bucket_salted(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
         df["_bucket"] = _crc_bucket(
             df["node_id"] + "|" + df["surface_key"], n_buckets, df["_salt"]
         )
-        return df
+        # return Arrow: shuffling pandas blocks is ~10x slower
+        return pa.Table.from_pandas(df, preserve_index=False)
 
-    def merge_a(df: pd.DataFrame) -> pd.DataFrame:
+    def merge_a(df: pd.DataFrame) -> pa.Table:
         # salted phase: merge per-surface partials; re-bucket by node_id so
         # the final phase can both finish the surface merge AND collapse
         # surfaces into nodes in one grouping
         out = _merge_surfaces(df)
         out["_bucket"] = _crc_bucket(out["node_id"], n_buckets)
-        return out
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     def finalize_nodes(df: pd.DataFrame) -> pd.DataFrame:
         df = _merge_surfaces(df)
@@ -150,7 +152,7 @@ def build_nodes(
     # phase A: salted bucket merge (hot surfaces split across reducers);
     # phase B: per-node bucket — finish surface merge + union-find collapse
     a = partials.map_batches(
-        bucket_salted, batch_format="pandas", batch_size=65536
+        bucket_salted, batch_format="pyarrow", batch_size=65536
     ).groupby("_bucket", num_partitions=np_).map_groups(merge_a, batch_format="pandas")
     nodes = a.groupby("_bucket", num_partitions=np_).map_groups(
         finalize_nodes, batch_format="pandas"
@@ -206,16 +208,17 @@ def build_edges(
         batch_size=65536,
     )
 
-    def bucket_salted(df: pd.DataFrame) -> pd.DataFrame:
+    def bucket_salted(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
         key = df["subj_id"] + "|" + df["pred"] + "|" + df["obj_id"]
         df["_bucket"] = _crc_bucket(key, n_buckets, df["_salt"])
-        return df
+        return pa.Table.from_pandas(df, preserve_index=False)
 
-    def merge_a(df: pd.DataFrame) -> pd.DataFrame:
+    def merge_a(df: pd.DataFrame) -> pa.Table:
         out = _merge_edges(df, cap)
         key = out["subj_id"] + "|" + out["pred"] + "|" + out["obj_id"]
         out["_bucket"] = _crc_bucket(key, n_buckets)
-        return out
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     def merge_b(df: pd.DataFrame) -> pd.DataFrame:
         out = _merge_edges(df, cap)
@@ -229,7 +232,7 @@ def build_edges(
 
     np_ = min(n_buckets, 16)
     a = partials.map_batches(
-        bucket_salted, batch_format="pandas", batch_size=65536
+        bucket_salted, batch_format="pyarrow", batch_size=65536
     ).groupby("_bucket", num_partitions=np_).map_groups(merge_a, batch_format="pandas")
     edges = a.groupby("_bucket", num_partitions=np_).map_groups(
         merge_b, batch_format="pandas"
