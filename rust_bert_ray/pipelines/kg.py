@@ -166,8 +166,14 @@ def run_kg_pipeline(
 
     for part, files in enumerate(groups):
         if resume and ckpt.is_partition_complete(out_dir, part):
-            summary["resumed"].append(part)
-            continue
+            # only skip if the manifest was produced from the SAME input
+            # file group — a changed input plan (different sharding,
+            # regenerated corpus) must recompute, not silently reuse
+            manifest = ckpt.read_manifest(out_dir, part)
+            if manifest.get("input_files") == files:
+                summary["resumed"].append(part)
+                continue
+            summary.setdefault("invalidated", []).append(part)
         tp = time.time()
         docs = ray.data.read_parquet(files, columns=["doc_id", "spans"])
         ner_c, rel_c, link_c = _pool_sizes(concurrency)

@@ -134,3 +134,15 @@ def test_kill_and_resume_recomputes_only_missing(kg_run, ray_session):
     after = pads.dataset(os.path.join(out, "triples")).to_table()
     assert after.num_rows == before.num_rows
     assert ckpt.is_partition_complete(out, "final")
+
+
+def test_resume_invalidates_on_input_change(kg_run, ray_session, tmp_path_factory):
+    """A completed manifest from a DIFFERENT input grouping must not be
+    silently reused — the partition recomputes."""
+    out = str(tmp_path_factory.mktemp("kg_out_regroup"))
+    summary1 = run_kg_pipeline(kg_run["docs_dir"], out, n_groups=2)
+    assert summary1["partitions"] == [0, 1]
+    # same output dir, different grouping → manifests reference stale files
+    summary2 = run_kg_pipeline(kg_run["docs_dir"], out, n_groups=1)
+    assert summary2["partitions"] == [0]
+    assert summary2.get("invalidated") == [0]
