@@ -110,6 +110,13 @@ class NerStage:
                 b, e = o
                 words[w] = words[w] + text[b:e] if words[w] else text[b:e]
         word_tags = self.scorer.tag_words(words)
+        if all(t == "O" for t in word_tags):
+            # exact shortcut: all-O spans decode to zero entities
+            # (consolidation keeps labels, chunker emits nothing) — skip
+            # the per-position decode for the common no-entity case
+            if len(self.memo) < self.memo_cap:
+                self.memo[text] = []
+            return []
 
         tokens: list[Token] = []
         for f in features:
