@@ -152,6 +152,21 @@ def _q_sentiment(sf_dir: str):
     ).drop_columns(["score"])
 
 
+def _q_multilabel(sf_dir: str):
+    import os as _os
+
+    import ray.data
+
+    from rust_bert_ray.stages.classify import MultiLabelStage
+
+    docs = ray.data.read_parquet(
+        _os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return docs.map_batches(
+        MultiLabelStage, batch_format="pyarrow", batch_size=65536, concurrency=2
+    ).drop_columns(["score"])
+
+
 def _q_zero_shot(sf_dir: str):
     import os as _os
 
@@ -342,6 +357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pos_tags": _q_pos,
         "q_embed_docs": _q_embed,
         "q_zero_shot": _q_zero_shot,
+        "q_multilabel": _q_multilabel,
         "q_keywords": _q_keywords,
         "q_masked_lm": _q_masked_lm,
         "qa_answers": _q_qa,
@@ -406,6 +422,7 @@ GROUP BY s.kind
         "kg_media_inventory": kg_media_inventory_sql,
         "q_sentiment": classify.SENTIMENT_SQL,
         "q_zero_shot": classify.ZERO_SHOT_SQL,
+        "q_multilabel": classify.MULTILABEL_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q_order_revenue_topk": relational.Q_ORDER_REVENUE_TOPK_SQL,
         "q_segment_order_stats": relational.Q_SEGMENT_ORDER_STATS_SQL,

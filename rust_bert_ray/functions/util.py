@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 
@@ -37,8 +38,6 @@ class BloomFilter:
     def __init__(self, n_items: int, fp_rate: float = 0.01):
         import math
 
-        import numpy as np
-
         self.n_bits = max(64, int(-n_items * math.log(fp_rate) / (math.log(2) ** 2)))
         self.n_hashes = max(1, int(round(self.n_bits / max(1, n_items) * math.log(2))))
         self.bits = np.zeros((self.n_bits + 63) // 64, dtype=np.uint64)
@@ -61,5 +60,3 @@ class BloomFilter:
             for p in self._positions(key)
         )
 
-
-import numpy as np  # noqa: E402  (used by BloomFilter at runtime)

@@ -135,3 +135,67 @@ SELECT doc_id,
             ELSE 'streaming' END AS label_pred
 FROM documents
 """
+
+
+class MultiLabelStage:
+    """Multilabel sequence classification: sigmoid(logit) ≥ threshold per
+    label, independently (sequence_classification.rs:799-848 semantics —
+    ``predict_multilabel`` applies sigmoid and keeps every label above the
+    threshold, zero or many per input).
+
+    Deterministic backend: logit per label = keyword count − ``bias`` so
+    sigmoid(logit) ≥ 0.5 ⟺ count ≥ bias.  Emits one row per (doc, label).
+    """
+
+    def __init__(self, labels: list[str] | None = None, bias: float = 2.0,
+                 threshold: float = 0.5):
+        self.labels = labels if labels is not None else ZERO_SHOT_LABELS
+        self.keywords = [ZERO_SHOT_KEYWORDS[l] for l in self.labels]
+        self.bias = bias
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text")
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        counts = np.stack(
+            [_count_terms(texts, kws) for kws in self.keywords], axis=1
+        ).astype(np.float64)
+        probs = 1.0 / (1.0 + np.exp(-(counts - self.bias)))
+        keep = probs >= self.threshold
+        rows = {"doc_id": [], "label": [], "score": []}
+        for j, label in enumerate(self.labels):
+            idx = np.nonzero(keep[:, j])[0]
+            rows["doc_id"].extend(doc_ids[idx].tolist())
+            rows["label"].extend([label] * len(idx))
+            rows["score"].extend(np.round(probs[idx, j], 5).tolist())
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
+                "label": pa.array(rows["label"], type=pa.string()),
+                "score": pa.array(rows["score"], type=pa.float64()),
+            }
+        )
+
+
+# sigmoid(count − 2) ≥ 0.5 ⟺ count ≥ 2
+MULTILABEL_SQL = """
+SELECT doc_id, label FROM (
+  SELECT doc_id, 'querying' AS label,
+         (length(text) - length(replace(text, 'join', ''))) // 4
+       + (length(text) - length(replace(text, 'filter', ''))) // 6
+       + (length(text) - length(replace(text, 'sort', ''))) // 4 AS c
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'storage',
+         (length(text) - length(replace(text, 'table', ''))) // 5
+       + (length(text) - length(replace(text, 'row', ''))) // 3
+       + (length(text) - length(replace(text, 'column', ''))) // 6
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'streaming',
+         (length(text) - length(replace(text, 'stream', ''))) // 6
+       + (length(text) - length(replace(text, 'window', ''))) // 6
+       + (length(text) - length(replace(text, 'batch', ''))) // 5
+  FROM documents
+) WHERE c >= 2
+"""
