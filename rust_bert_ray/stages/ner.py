@@ -100,23 +100,16 @@ class NerStage:
         if cached is not None:
             return cached
         enc = self.tokenizer.encode(text)
-        features = generate_features(enc, example_index=0, max_length=self.max_length)
         # word-level tags once per text (the scorer's view of "weights")
-        n_words = (max(enc.word_indices) + 1) if enc.word_indices else 0
-        words = [""] * n_words
-        for piece_idx, w in enumerate(enc.word_indices):
-            o = enc.offsets[piece_idx]
-            if w >= 0 and o is not None:
-                b, e = o
-                words[w] = words[w] + text[b:e] if words[w] else text[b:e]
-        word_tags = self.scorer.tag_words(words)
+        word_tags = self.scorer.tag_words(enc.words or [])
         if all(t == "O" for t in word_tags):
             # exact shortcut: all-O spans decode to zero entities
             # (consolidation keeps labels, chunker emits nothing) — skip
-            # the per-position decode for the common no-entity case
+            # windowing and the per-position decode for the no-entity case
             if len(self.memo) < self.memo_cap:
                 self.memo[text] = []
             return []
+        features = generate_features(enc, example_index=0, max_length=self.max_length)
 
         tokens: list[Token] = []
         for f in features:

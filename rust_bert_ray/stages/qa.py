@@ -81,13 +81,7 @@ class QaStage:
         kind = self._target_kind(question)
         enc = self.tokenizer.encode(context)
         # word-level tags once per context (the scorer's "weights")
-        n_words = (max(enc.word_indices) + 1) if enc.word_indices else 0
-        words = [""] * n_words
-        for p, w in enumerate(enc.word_indices):
-            o = enc.offsets[p]
-            if w >= 0 and o is not None:
-                words[w] = words[w] + context[o[0] : o[1]] if words[w] else context[o[0] : o[1]]
-        tags = self.tagger.tag_words(words)
+        tags = self.tagger.tag_words(enc.words or [])
 
         # window the context like the reference (question + specials are
         # prepended conceptually; content budget = max_seq - query - 3)

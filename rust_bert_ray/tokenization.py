@@ -53,6 +53,7 @@ class EncodedText:
     offsets: list[Optional[tuple[int, int]]]
     masks: list[int]
     word_indices: list[int]  # index of the source word each piece belongs to
+    words: list[str] | None = None  # source word surfaces (one per word)
 
 
 class SubwordTokenizer:
@@ -92,11 +93,13 @@ class SubwordTokenizer:
         offsets: list[Optional[tuple[int, int]]] = []
         masks: list[int] = []
         word_indices: list[int] = []
+        words: list[str] = []
         for w_idx, m in enumerate(_WORD_RE.finditer(text)):
             begin = m.start()
             word = m.group(0)
             if self.lower_case:
                 word = word.lower()
+            words.append(word)
             w_ids, w_lens, w_masks = self._encode_word(word)
             ids.extend(w_ids)
             masks.extend(w_masks)
@@ -105,7 +108,9 @@ class SubwordTokenizer:
                 offsets.append((pos, pos + ln))
                 word_indices.append(w_idx)
                 pos += ln
-        return EncodedText(ids=ids, offsets=offsets, masks=masks, word_indices=word_indices)
+        return EncodedText(
+            ids=ids, offsets=offsets, masks=masks, word_indices=word_indices, words=words
+        )
 
     @staticmethod
     def build_with_special_tokens(enc: EncodedText) -> EncodedText:
@@ -119,4 +124,5 @@ class SubwordTokenizer:
             offsets=[None, *enc.offsets, None],
             masks=[MASK_SPECIAL, *enc.masks, MASK_SPECIAL],
             word_indices=[-1, *enc.word_indices, -1],
+            words=enc.words,
         )
