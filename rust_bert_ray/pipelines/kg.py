@@ -15,7 +15,11 @@ Architecture (SURVEY.md §7.1), Ray-Data-first:
 Stage A (extract→link) is embarrassingly parallel and is checkpointed per
 input-file group: each group is its own bounded Ray Data job whose outputs
 land atomically with a lineage manifest; a killed run resumes by skipping
-completed groups.  Stage B is the global shuffle; it reads the
+completed groups.  Input partitioning: each corpus shard holds a
+contiguous doc_id range written at ingest (hash(doc_id) partitioning is
+equivalent here because doc ids are uniform); no repartition shuffle is
+spent on the map-only path, and key skew is handled downstream where keys
+actually exist (salted bucketed merges in canonicalize).  Stage B is the global shuffle; it reads the
 checkpointed triples back (streaming) so a resume never recomputes
 extraction.
 

@@ -20,7 +20,6 @@ A per-actor result cache collapses repeated surfaces (Zipfian mentions).
 
 from __future__ import annotations
 
-import zlib
 
 import numpy as np
 import pyarrow as pa
