@@ -78,10 +78,18 @@ def generate_features(
     example_index: int,
     max_length: int = 128,
     n_special_tokens: int = 2,
+    doc_stride: int | None = None,
 ) -> list[InputFeature]:
-    """Window a full-document encoding into overlapping features."""
+    """Window a full-document encoding into overlapping features.
+
+    ``doc_stride`` defaults to ``max_length // 4`` (token-classification
+    semantics, token_classification.rs:837); QA passes its own
+    ``doc_stride`` (question_answering.rs:200-203 default 128).
+    """
     max_content_length = max_length - n_special_tokens
-    doc_stride = max_length // 4
+    if doc_stride is None:
+        doc_stride = max_length // 4
+    doc_stride = max(1, min(doc_stride, max_content_length))
     total_length = len(encoded.ids)
     features: list[InputFeature] = []
     start_token = 0

@@ -90,7 +90,10 @@ class QaStage:
         )
         content = max(8, self.max_seq_length - q_len - 3)
         features = generate_features(
-            enc, example_index=0, max_length=min(content + 2, self.max_seq_length)
+            enc,
+            example_index=0,
+            max_length=min(content + 2, self.max_seq_length),
+            doc_stride=self.doc_stride,
         )
         answers: list[Answer] = []
         for f in features:
