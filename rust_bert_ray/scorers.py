@@ -166,3 +166,51 @@ class HashEmbedder:
         if not texts:
             return np.zeros((0, self.dim), dtype=np.float32)
         return np.stack([self.embed(t) for t in texts])
+
+
+class HeuristicTagScorer:
+    """Second token-classification backend: capitalization/shape heuristics
+    instead of a gazetteer — demonstrates that NerStage is genuinely
+    scorer-agnostic (SURVEY.md §2.10 extension surface).
+
+    Tags capitalized words (not sentence-initial) as entities; runs of
+    capitalized words become B/I chunks.  Kind heuristics: known corporate
+    suffixes → ORG, else PER for two-word runs, LOC for singles.  Not
+    oracle-grade — used to exercise the pluggable-backend path in tests.
+    """
+
+    BASE_LOGIT = 5.0
+    ORG_SUFFIX = {"Corp", "Inc", "Ltd", "Group", "Industries", "Systems", "Bank"}
+
+    def tag_words(self, words: list[str]) -> list[str]:
+        n = len(words)
+        tags = ["O"] * n
+        sentence_start = True
+        i = 0
+        while i < n:
+            w = words[i]
+            is_cap = w[:1].isupper() and w[1:].islower() and len(w) > 1
+            if is_cap and not sentence_start:
+                j = i
+                while j + 1 < n and words[j + 1][:1].isupper() and len(words[j + 1]) > 1:
+                    j += 1
+                run = words[i : j + 1]
+                if run[-1] in self.ORG_SUFFIX:
+                    kind = "ORG"
+                elif len(run) >= 2:
+                    kind = "PER"
+                else:
+                    kind = "LOC"
+                tags[i] = f"B-{kind}"
+                for k in range(i + 1, j + 1):
+                    tags[k] = f"I-{kind}"
+                i = j + 1
+                sentence_start = False
+                continue
+            sentence_start = w in {".", "!", "?"}
+            i += 1
+        return tags
+
+    # logits identical in shape to DeterministicTagScorer's
+    logits_for_pieces = DeterministicTagScorer.logits_for_pieces
+    _jitter_cache = {}

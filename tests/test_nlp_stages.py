@@ -159,3 +159,35 @@ def test_masked_lm_multiple_masks():
     assert len(out) == 2
     assert {r["mask_index"] for r in out} == {0, 1}
     assert all(r["token"] == "a" for r in out)
+
+
+def test_ner_stage_accepts_alternate_scorer():
+    """NerStage is scorer-agnostic: swap the gazetteer backend for the
+    capitalization-heuristic backend and decode still works end to end."""
+    import pyarrow as pa
+
+    from rust_bert_ray.corpus import DOCS_SCHEMA
+    from rust_bert_ray.scorers import HeuristicTagScorer
+    from rust_bert_ray.stages.ner import NerStage
+
+    docs = pa.Table.from_pylist(
+        [
+            {
+                "doc_id": "h-0",
+                "spans": [
+                    {
+                        "kind": "text",
+                        "text": "We asked John Smith about Acme Corp today .",
+                        "media_ref": "",
+                        "offset": 0,
+                    }
+                ],
+            }
+        ],
+        schema=DOCS_SCHEMA,
+    )
+    stage = NerStage(gazetteer={}, scorer=HeuristicTagScorer())
+    ents = stage(docs).column("entities").to_pylist()[0]
+    found = {(e["word"], e["label"]) for e in ents}
+    assert ("John Smith", "PER") in found
+    assert ("Acme Corp", "ORG") in found
