@@ -3,18 +3,21 @@
 import inspect
 
 
-def test_module_imports_without_ray_init():
+def test_module_has_no_ray_init_calls():
+    """The driver owns the Ray session; the module must never call
+    ray.init/ray.shutdown (docstrings mentioning them are fine)."""
+    import ast
+
     import __ray_entry__ as e
 
-    # import must not have initialised Ray (the driver owns the session)
-    import ray
-
-    # conftest's session fixture may have initialised Ray in other tests;
-    # assert the module itself performs no init at import by checking the
-    # module source for forbidden calls instead.
-    src = inspect.getsource(e)
-    assert "ray.init(" not in src
-    assert "ray.shutdown(" not in src
+    tree = ast.parse(inspect.getsource(e))
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Call) and isinstance(node.func, ast.Attribute):
+            if node.func.attr in ("init", "shutdown"):
+                base = node.func.value
+                assert not (
+                    isinstance(base, ast.Name) and base.id == "ray"
+                ), f"forbidden ray.{node.func.attr}() at line {node.lineno}"
 
 
 def test_oracle_keys_subset_of_queries():
