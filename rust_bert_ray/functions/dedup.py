@@ -32,6 +32,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from rust_bert_ray.functions.util import round_ha
+
 
 def _read_documents(sf_dir: str, columns: list[str] | None = None):
     return ray.data.read_parquet(
@@ -42,23 +44,64 @@ def _read_documents(sf_dir: str, columns: list[str] | None = None):
 # ------------------------------------------------------------- exact dedup
 
 def dedup_exact(sf_dir: str):
-    """One row per distinct text, keeping the smallest doc_id."""
+    """One row per distinct text, keeping the smallest doc_id.
+
+    Scale shape: the all-to-all exchange carries **(digest, doc_id)
+    only** — 24 bytes/doc, never the text column.  Per digest-bucket, a
+    vectorized groupby finds every non-minimal doc_id → the *drop-list*
+    (duplicates are the minority of a real corpus, so the drop-list is
+    the small side); the corpus is then streamed once more and
+    anti-joined against the broadcast drop-list.  Digest is 128-bit
+    blake2b (collision-free at 10^12 docs; crc32 would collide).
+    """
+    import hashlib
+
     docs = _read_documents(sf_dir, ["doc_id", "text"])
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        # shuffle key is a hash bucket, not the full text — the exchange
-        # moves (bucket, doc_id, text) and each bucket merges vectorized
-        buckets = [zlib.crc32(x.encode()) % 64 for x in t.column("text").to_pylist()]
-        return t.append_column("_bucket", pa.array(buckets, type=pa.int64()))
+    def add_digest(t: pa.Table) -> pa.Table:
+        dg = [
+            hashlib.blake2b(x.encode(), digest_size=16).digest()
+            for x in t.column("text").to_pylist()
+        ]
+        return pa.Table.from_pydict(
+            {
+                "digest": pa.array(dg, type=pa.binary()),
+                "doc_id": t.column("doc_id"),
+                "_bucket": pa.array([d[0] % 64 for d in dg], type=pa.int64()),
+            }
+        )
 
-    def first_per_text(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby("text", as_index=False).agg(doc_id=("doc_id", "min"))
-        return out[["doc_id", "text"]]
+    def drops_per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        mins = df.groupby("digest")["doc_id"].transform("min")
+        return df.loc[df["doc_id"] != mins, ["doc_id"]]
 
-    return (
-        docs.map_batches(add_bucket, batch_format="pyarrow", batch_size=65536)
+    drop_ds = (
+        docs.map_batches(add_digest, batch_format="pyarrow", batch_size=65536)
         .groupby("_bucket", num_partitions=16)
-        .map_groups(first_per_text, batch_format="pandas")
+        .map_groups(drops_per_bucket, batch_format="pandas")
+    )
+    drop_df = drop_ds.to_pandas()  # small side (duplicates minority)
+    drop_ids = (
+        drop_df["doc_id"].to_numpy() if "doc_id" in drop_df.columns
+        else np.empty(0, dtype=np.int64)
+    )
+    drop_ref = ray.put(np.sort(drop_ids))
+
+    class KeepFilter:
+        def __init__(self, ref):
+            self.drop = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            keep = ~np.isin(ids, self.drop)
+            return batch.filter(pa.array(keep)).select(["doc_id", "text"])
+
+    return docs.map_batches(
+        KeepFilter,
+        fn_constructor_kwargs={"ref": drop_ref},
+        batch_format="pyarrow",
+        batch_size=65536,
+        concurrency=2,
     )
 
 
@@ -115,7 +158,7 @@ def dedup_jaccard_pairs(sf_dir: str, threshold: float = 0.9):
             inter = A @ self.B.T
             a_sizes = np.array([len(s) for s in sets], dtype=np.float64)[:, None]
             union = a_sizes + self.sizes[None, :] - inter
-            jacc = np.round(inter / np.maximum(union, 1.0), 5)
+            jacc = round_ha(inter / np.maximum(union, 1.0), 5)
             rows_a, rows_b, vals = [], [], []
             for i in range(len(ids)):
                 mask = (jacc[i] >= self.threshold) & (self.ids > ids[i])
@@ -155,17 +198,32 @@ SELECT doc_a, doc_b, jacc FROM (
 # ------------------------------------------------------------ MinHash LSH
 
 _MERSENNE = (1 << 61) - 1
+_SIG_MOD = 65521  # largest prime < 2^16: signatures ship as uint16
 
 
 def _perm_params(n_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    # a, b < 2^31 so a*x (x = crc32 < 2^32) + b stays under 2^64 in uint64
+    # arithmetic — the full-range affine step silently wrapped int64
+    # (products up to ~2^93), breaking the universal-hash property.
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=n_perm, dtype=np.int64)
-    b = rng.integers(0, _MERSENNE, size=n_perm, dtype=np.int64)
+    a = rng.integers(1, 1 << 31, size=n_perm, dtype=np.uint64)
+    b = rng.integers(0, 1 << 31, size=n_perm, dtype=np.uint64)
     return a, b
 
 
 class MinHashStage:
-    """docs → (band, band_hash, doc_id, signature) rows, vectorized."""
+    """docs → (band, band_hash, doc_id, signature) rows.
+
+    Fully batch-vectorized: all shingle hashes for the batch are computed
+    into one flat array, the n_perm affine hashes are one broadcast
+    multiply, and per-doc minima come from ``np.minimum.reduceat`` over
+    the doc boundaries — no per-doc numpy calls.
+
+    The shipped signature is each minhash value mod 65521 packed as
+    uint16 (128 B for 64 perms, vs 512 B raw): only component *equality*
+    matters for the Jaccard estimate, and a 1/65521 per-component
+    collision shifts the estimate by < 2e-5 in expectation.
+    """
 
     def __init__(self, n_perm: int = 64, n_bands: int = 16, shingle: int = 2):
         self.a, self.b = _perm_params(n_perm)
@@ -174,7 +232,7 @@ class MinHashStage:
         self.rows_per_band = n_perm // n_bands
         self.shingle = shingle
 
-    def signature(self, text: str) -> np.ndarray:
+    def _gram_hashes(self, text: str) -> np.ndarray:
         words = text.split()
         if len(words) < self.shingle:
             grams = [" ".join(words)]
@@ -183,32 +241,45 @@ class MinHashStage:
                 " ".join(words[i : i + self.shingle])
                 for i in range(len(words) - self.shingle + 1)
             ]
-        hashes = np.array(
-            sorted({zlib.crc32(g.encode()) for g in grams}), dtype=np.int64
+        return np.fromiter(
+            {zlib.crc32(g.encode()) for g in grams}, dtype=np.uint64
         )
-        # h_i(x) = (a_i * x + b_i) mod p, min over shingles — one outer product
-        vals = (np.outer(self.a, hashes) + self.b[:, None]) % _MERSENNE
-        return vals.min(axis=1)
+
+    def signatures(self, texts: list[str]) -> np.ndarray:
+        """→ (n_docs, n_perm) uint16 signature matrix, one vectorized pass."""
+        per_doc = [self._gram_hashes(t) for t in texts]
+        flat = np.concatenate(per_doc) if per_doc else np.empty(0, dtype=np.uint64)
+        starts = np.cumsum([0] + [len(h) for h in per_doc[:-1]])
+        # h_i(x) = (a_i*x + b_i) mod p — (n_perm, total_shingles) at once
+        vals = (self.a[:, None] * flat[None, :] + self.b[:, None]) % _MERSENNE
+        if len(flat) == 0:
+            return np.empty((0, self.n_perm), dtype=np.uint16)
+        mins = np.minimum.reduceat(vals, starts, axis=1)  # (n_perm, n_docs)
+        return (mins.T % _SIG_MOD).astype(np.uint16)
+
+    def band_hashes(self, sig: np.ndarray) -> np.ndarray:
+        """(n_docs, n_perm) → (n_docs, n_bands) int64, vectorized mix."""
+        chunks = sig.reshape(len(sig), self.n_bands, self.rows_per_band)
+        h = np.zeros(chunks.shape[:2], dtype=np.uint64)
+        for r in range(self.rows_per_band):
+            h = h * np.uint64(1_000_003) ^ chunks[:, :, r].astype(np.uint64)
+        return (h & np.uint64((1 << 62) - 1)).astype(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_pylist()
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         texts = batch.column("text").to_pylist()
-        out_band, out_hash, out_doc, out_sig = [], [], [], []
-        for d, t in zip(doc_ids, texts):
-            sig = self.signature(t)
-            sig_bytes = sig.tobytes()
-            for band in range(self.n_bands):
-                chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
-                out_band.append(band)
-                out_hash.append(zlib.crc32(chunk.tobytes()))
-                out_doc.append(d)
-                out_sig.append(sig_bytes)
+        sig = self.signatures(texts)
+        bh = self.band_hashes(sig)
+        n, nb = len(doc_ids), self.n_bands
+        sig_bytes = [s.tobytes() for s in sig]
         return pa.Table.from_pydict(
             {
-                "band": pa.array(out_band, type=pa.int32()),
-                "band_hash": pa.array(out_hash, type=pa.int64()),
-                "doc_id": pa.array(out_doc, type=pa.int64()),
-                "signature": pa.array(out_sig, type=pa.binary()),
+                "band": pa.array(np.tile(np.arange(nb, dtype=np.int32), n)),
+                "band_hash": pa.array(bh.reshape(-1), type=pa.int64()),
+                "doc_id": pa.array(np.repeat(doc_ids, nb), type=pa.int64()),
+                "signature": pa.array(
+                    [b for b in sig_bytes for _ in range(nb)], type=pa.binary()
+                ),
             }
         )
 
@@ -223,10 +294,11 @@ def dedup_minhash_pairs(
     """Near-duplicate pairs via MinHash-LSH (the 10^12-doc scale path).
 
     Pipeline: signature+banding per batch (no shuffle) → groupby
-    (band, band_hash) → pairs within buckets (capped at ``bucket_cap``
-    docs per bucket — a pathological hot bucket is truncated, logged via
-    the ``truncated`` column) → per-pair max over bands → estimated
-    Jaccard from signature agreement ≥ threshold.
+    (band, band_hash) → pairs within buckets (a pathological hot bucket
+    is truncated at ``bucket_cap`` docs; candidates beyond the cap are
+    dropped — recall, not correctness, degrades on adversarial skew) →
+    per-pair max over bands → estimated Jaccard from signature
+    agreement ≥ threshold.
     """
     docs = _read_documents(sf_dir, ["doc_id", "text"])
     banded = docs.map_batches(
@@ -260,7 +332,7 @@ def dedup_minhash_pairs(
             "band_hash"
         ].to_numpy().astype(np.int64)
         ids = df["doc_id"].to_numpy()
-        sig_arr = np.frombuffer(b"".join(df["signature"]), dtype=np.int64).reshape(
+        sig_arr = np.frombuffer(b"".join(df["signature"]), dtype=np.uint16).reshape(
             len(df), -1
         )
         boundaries = np.flatnonzero(np.diff(key)) + 1
@@ -303,41 +375,74 @@ def dedup_minhash_pairs(
 # --------------------------------------------------------------- SimHash
 
 class SimHashStage:
-    """docs → (doc_id, simhash, 4×16-bit band keys)."""
+    """docs → (doc_id, simhash, 4×16-bit band keys).
+
+    Batch-vectorized: token hashes for the whole batch are one flat
+    uint64 array, bit expansion is a single ``np.unpackbits``, per-doc
+    accumulation is ``np.add.reduceat`` over doc boundaries — the old
+    per-token per-bit Python loop (64 ops/token/doc) is gone.
+    """
 
     def __init__(self):
         pass
 
     @staticmethod
-    def simhash(text: str) -> int:
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in set(text.split()):
-            h = zlib.crc32(tok.encode()) | (zlib.crc32(tok[::-1].encode()) << 32)
-            bits = np.array([(h >> k) & 1 for k in range(64)], dtype=np.int64)
-            acc += 2 * bits - 1
-        out = 0
-        for k in range(64):
-            if acc[k] > 0:
-                out |= 1 << k
+    def simhashes(texts: list[str]) -> np.ndarray:
+        """→ uint64 simhash per text, vectorized across the batch."""
+        tok_sets = [set(t.split()) for t in texts]
+        counts = [len(s) for s in tok_sets]
+        flat = np.fromiter(
+            (
+                zlib.crc32(tok.encode()) | (zlib.crc32(tok[::-1].encode()) << 32)
+                for s in tok_sets
+                for tok in s
+            ),
+            dtype=np.uint64,
+            count=sum(counts),
+        )
+        out = np.zeros(len(texts), dtype=np.uint64)
+        if len(flat) == 0:
+            return out
+        # bit k of each hash, little-endian → (n_tokens, 64) in bit order
+        bits = np.unpackbits(
+            flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        ).astype(np.int32)
+        contrib = 2 * bits - 1
+        starts = np.cumsum([0] + counts[:-1])
+        nonempty = np.array(counts) > 0
+        acc = np.add.reduceat(contrib, starts, axis=0)  # (n_docs', 64)
+        # reduceat with equal consecutive indices returns the single row at
+        # that index for empty docs — mask them to 0
+        packed = np.packbits((acc > 0).astype(np.uint8), axis=1, bitorder="little")
+        vals = packed.view(np.uint64).reshape(-1)
+        out[nonempty] = vals[nonempty]
         return out
 
+    @staticmethod
+    def simhash(text: str) -> int:
+        return int(SimHashStage.simhashes([text])[0])
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_pylist()
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         texts = batch.column("text").to_pylist()
-        rows = {"doc_id": [], "simhash": [], "band": [], "band_key": []}
-        for d, t in zip(doc_ids, texts):
-            h = self.simhash(t)
-            for band in range(4):
-                rows["doc_id"].append(d)
-                rows["simhash"].append(h - (1 << 63))  # store as signed int64
-                rows["band"].append(band)
-                rows["band_key"].append((h >> (16 * band)) & 0xFFFF)
+        hs = self.simhashes(texts)
+        n = len(doc_ids)
+        bands = np.tile(np.arange(4, dtype=np.int32), n)
+        keys = (
+            (hs[:, None] >> (np.uint64(16) * np.arange(4, dtype=np.uint64)[None, :]))
+            & np.uint64(0xFFFF)
+        ).astype(np.int64)
         return pa.Table.from_pydict(
             {
-                "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
-                "simhash": pa.array(rows["simhash"], type=pa.int64()),
-                "band": pa.array(rows["band"], type=pa.int32()),
-                "band_key": pa.array(rows["band_key"], type=pa.int64()),
+                "doc_id": pa.array(np.repeat(doc_ids, 4), type=pa.int64()),
+                # store h - 2^63 as signed int64 (uint64 subtract wraps to
+                # exactly that value when reinterpreted)
+                "simhash": pa.array(
+                    (hs - np.uint64(1 << 63)).view(np.int64).repeat(4),
+                    type=pa.int64(),
+                ),
+                "band": pa.array(bands, type=pa.int32()),
+                "band_key": pa.array(keys.reshape(-1), type=pa.int64()),
             }
         )
 
@@ -433,7 +538,7 @@ def dedup_embedding_pairs(sf_dir: str, threshold: float = 0.35):
             ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
             A = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
             a_norms = np.linalg.norm(A, axis=1)
-            cos = np.round(
+            cos = round_ha(
                 (A @ self.M.T) / np.maximum(np.outer(a_norms, self.norms), 1e-300), 5
             )
             rows_a, rows_b, vals = [], [], []

@@ -26,6 +26,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from rust_bert_ray.functions.util import pc_round_ha, round_ha
+
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     return ray.data.read_parquet(
@@ -72,12 +74,12 @@ def q1_pricing_summary(sf_dir: str):
             {
                 "l_returnflag": t.column("l_returnflag"),
                 "l_linestatus": t.column("l_linestatus"),
-                "sum_qty": pc.round(t.column("s_qty"), 2),
-                "sum_base_price": pc.round(t.column("s_base"), 2),
-                "sum_disc_price": pc.round(t.column("s_disc_price"), 2),
-                "avg_qty": pc.round(pc.divide(t.column("s_qty"), n), 4),
-                "avg_price": pc.round(pc.divide(t.column("s_base"), n), 4),
-                "avg_disc": pc.round(pc.divide(t.column("s_discount"), n), 4),
+                "sum_qty": pc_round_ha(t.column("s_qty"), 2),
+                "sum_base_price": pc_round_ha(t.column("s_base"), 2),
+                "sum_disc_price": pc_round_ha(t.column("s_disc_price"), 2),
+                "avg_qty": pc_round_ha(pc.divide(t.column("s_qty"), n), 4),
+                "avg_price": pc_round_ha(pc.divide(t.column("s_base"), n), 4),
+                "avg_disc": pc_round_ha(pc.divide(t.column("s_discount"), n), 4),
                 "count_order": n,
             }
         )
@@ -123,7 +125,7 @@ def q_order_revenue_topk(sf_dir: str, k: int = 10):
 
     def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
         out = df.groupby("l_orderkey", as_index=False).agg(raw_rev=("p_rev", "sum"))
-        out["revenue"] = out["raw_rev"].round(2)
+        out["revenue"] = round_ha(out["raw_rev"], 2)
         return out.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(
             k
         )[["l_orderkey", "revenue"]]
@@ -185,7 +187,7 @@ def q_segment_order_stats(sf_dir: str):
             {
                 "c_mktsegment": t.column("c_mktsegment"),
                 "n_orders": t.column("n_orders"),
-                "total_price": pc.round(t.column("raw_total"), 2),
+                "total_price": pc_round_ha(t.column("raw_total"), 2),
             }
         ),
         batch_format="pyarrow",
@@ -239,7 +241,7 @@ def q_region_acctbal(sf_dir: str):
             {
                 "r_name": t.column("r_name"),
                 "n_suppliers": t.column("n_suppliers"),
-                "total_acctbal": pc.round(t.column("raw_bal"), 2),
+                "total_acctbal": pc_round_ha(t.column("raw_bal"), 2),
             }
         ),
         batch_format="pyarrow",
@@ -265,7 +267,7 @@ def q_filter_highvalue(sf_dir: str):
 
     def fn(t: pa.Table) -> pa.Table:
         rev = pc.multiply(t.column("l_extendedprice"), pc.subtract(1.0, t.column("l_discount")))
-        t = t.append_column("revenue", pc.round(rev, 2))
+        t = t.append_column("revenue", pc_round_ha(rev, 2))
         return t.filter(pc.greater(t.column("revenue"), 90000.0)).select(
             ["l_orderkey", "l_linenumber", "revenue"]
         )
@@ -327,7 +329,7 @@ def q_events_hourly(sf_dir: str):
                 "event_type": t.column("event_type"),
                 "hour": t.column("hour"),
                 "n_events": t.column("n_events"),
-                "sum_value": pc.round(t.column("raw_value"), 4),
+                "sum_value": pc_round_ha(t.column("raw_value"), 4),
             }
         ),
         batch_format="pyarrow",
@@ -374,7 +376,7 @@ def q_join_shuffle(sf_dir: str):
             {
                 "c_nationkey": t.column("c_nationkey"),
                 "n_orders": t.column("n_orders"),
-                "total_price": pc.round(t.column("raw_total"), 2),
+                "total_price": pc_round_ha(t.column("raw_total"), 2),
             }
         ),
         batch_format="pyarrow",
@@ -390,28 +392,38 @@ GROUP BY c_nationkey
 
 # ----------------------------------------------------- sessionization
 
+def _add_user_bucket(t: pa.Table, n_buckets: int = 64) -> pa.Table:
+    """hash(user) % B shuffle key: many tiny per-user groups collapse into
+    B bucket groups, each merged with ONE vectorized pandas body (the
+    many-tiny-groups discipline — same pattern as dedup/canonicalize)."""
+    b = pc.bit_wise_and(pc.cast(t.column("user_id"), pa.int64()), n_buckets - 1)
+    return t.append_column("_ubucket", b)
+
+
 def q_events_sessions(sf_dir: str, gap_minutes: int = 30):
     """Per-user session counts (sessions split on >30 min inactivity).
 
-    Streaming-shaped keyed state (SURVEY.md §2.9): partition by user,
-    order by ts within the group, detect gaps.  ``groupby(user)`` is the
-    partitioned log; the per-group pandas body is the window machine.
+    Streaming-shaped keyed state (SURVEY.md §2.9): partition by a
+    hash(user) bucket, order by (user, ts) within the bucket, detect gaps
+    with one vectorized grouped-diff per bucket — no per-user UDF calls
+    (at millions of users, one ``map_groups`` per user is the straggler).
     """
     ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gaps = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_events": [len(g)],
-                "n_sessions": [1 + int(gaps.sum())],
-            }
+    def sessions_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        prev_ts = df.groupby("user_id")["ts"].shift()
+        gap = (df["ts"] - prev_ts) > pd.Timedelta(minutes=gap_minutes)
+        g = df.assign(_gap=gap).groupby("user_id", as_index=False).agg(
+            n_events=("event_id", "count"), _gaps=("_gap", "sum")
         )
+        g["n_sessions"] = (1 + g.pop("_gaps")).astype("int64")
+        return g[["user_id", "n_events", "n_sessions"]]
 
-    return ev.groupby("user_id", num_partitions=8).map_groups(
-        sessions, batch_format="pandas"
+    return (
+        ev.map_batches(_add_user_bucket, batch_format="pyarrow", batch_size=65536)
+        .groupby("_ubucket", num_partitions=8)
+        .map_groups(sessions_bucket, batch_format="pandas")
     )
 
 
@@ -433,12 +445,14 @@ def q_events_asof(sf_dir: str):
     same user (as-of join).
 
     Ray Data has no as-of join; the portable pattern (guide): bucket both
-    sides by key, sort by ts within the group, ``pd.merge_asof`` per
-    group.  Here user_id is the bucket key directly.
+    sides by hash(key) % B, sort by ts within the bucket, ONE
+    ``pd.merge_asof(by=key)`` per bucket — not one UDF call per user.
+    Ties on (user_id, ts) resolve deterministically to the largest
+    click event_id (the oracle SQL pins the same tie-break).
     """
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         left = g[g["event_type"] == "purchase"].sort_values(["ts", "event_id"])
         right = g[g["event_type"] == "click"].sort_values(["ts", "event_id"])
         if left.empty or right.empty:
@@ -447,8 +461,11 @@ def q_events_asof(sf_dir: str):
             ).astype({"event_id": "int64", "user_id": "int64", "click_event_id": "int64"})
         m = pd.merge_asof(
             left[["event_id", "user_id", "ts"]],
-            right[["event_id", "ts"]].rename(columns={"event_id": "click_event_id"}),
+            right[["event_id", "user_id", "ts"]].rename(
+                columns={"event_id": "click_event_id"}
+            ),
             on="ts",
+            by="user_id",
             direction="backward",
             allow_exact_matches=False,
         )
@@ -456,16 +473,25 @@ def q_events_asof(sf_dir: str):
         m["click_event_id"] = m["click_event_id"].astype("int64")
         return m[["event_id", "user_id", "click_event_id"]]
 
-    return ev.groupby("user_id", num_partitions=8).map_groups(
-        per_user, batch_format="pandas"
+    return (
+        ev.map_batches(_add_user_bucket, batch_format="pyarrow", batch_size=65536)
+        .groupby("_ubucket", num_partitions=8)
+        .map_groups(per_bucket, batch_format="pandas")
     )
 
 
+# Deterministic tie-break: among clicks sharing the max strictly-earlier
+# ts, take the largest event_id (matches merge_asof, which keeps the last
+# row in (ts, event_id) order).
 Q_EVENTS_ASOF_SQL = """
-SELECT a.event_id AS event_id, a.user_id AS user_id, b.event_id AS click_event_id
-FROM (SELECT * FROM events WHERE event_type = 'purchase') a
-ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') b
-  ON a.user_id = b.user_id AND a.ts > b.ts
+SELECT event_id, user_id, click_event_id FROM (
+  SELECT a.event_id AS event_id, a.user_id AS user_id,
+         (SELECT b.event_id FROM events b
+           WHERE b.user_id = a.user_id AND b.event_type = 'click'
+             AND b.ts < a.ts
+           ORDER BY b.ts DESC, b.event_id DESC LIMIT 1) AS click_event_id
+  FROM events a WHERE a.event_type = 'purchase')
+WHERE click_event_id IS NOT NULL
 """
 
 
@@ -478,7 +504,7 @@ def q_sort_top_events(sf_dir: str, k: int = 100):
 
     def rounded(t: pa.Table) -> pa.Table:
         return t.set_column(
-            t.schema.get_field_index("value"), "value", pc.round(t.column("value"), 4)
+            t.schema.get_field_index("value"), "value", pc_round_ha(t.column("value"), 4)
         )
 
     return (
@@ -510,11 +536,12 @@ def q_customers_without_orders(sf_dir: str, price_threshold: float = 300_000.0):
     """
     from rust_bert_ray.functions.util import BloomFilter
 
+    import numpy as np
+
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).to_pandas()
     keys = set(orders.loc[orders["o_totalprice"] > price_threshold, "o_custkey"].tolist())
     bloom = BloomFilter(len(keys))
-    for k in keys:
-        bloom.add(k)
+    bloom.add_many(np.fromiter(keys, dtype=np.int64, count=len(keys)))
     state_ref = ray.put((bloom, keys))
 
     class AntiJoin:
@@ -525,14 +552,18 @@ def q_customers_without_orders(sf_dir: str, price_threshold: float = 300_000.0):
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             df = batch.to_pandas()
-            maybe_has = df["c_custkey"].map(lambda k: k in self.bloom)
+            ck = df["c_custkey"].to_numpy()
+            maybe_has = self.bloom.contains_many(ck)  # vectorized probe
             # bloom-rejected rows are keepers; bloom-accepted need the
             # exact check (false positives would wrongly drop keepers)
-            confirmed_has = df.loc[maybe_has, "c_custkey"].map(
-                lambda k: k in self.keys
-            )
             keep = ~maybe_has
-            keep.loc[confirmed_has.index] = ~confirmed_has
+            if maybe_has.any():
+                cand_idx = np.nonzero(maybe_has)[0]
+                confirmed = np.fromiter(
+                    (k in self.keys for k in ck[cand_idx]),
+                    dtype=bool, count=len(cand_idx),
+                )
+                keep[cand_idx[~confirmed]] = True
             return pa.Table.from_pandas(df[keep], preserve_index=False)
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
@@ -588,7 +619,7 @@ def q_events_sliding(sf_dir: str):
                 "event_type": t.column("event_type"),
                 "window_start": t.column("window_start"),
                 "n_events": t.column("n_events"),
-                "sum_value": pc.round(t.column("raw_value"), 4),
+                "sum_value": pc_round_ha(t.column("raw_value"), 4),
             }
         ),
         batch_format="pyarrow",

@@ -19,6 +19,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from rust_bert_ray.functions.util import round_ha
+
 
 def _read_embeddings(sf_dir: str):
     return ray.data.read_parquet(
@@ -27,16 +29,18 @@ def _read_embeddings(sf_dir: str):
 
 
 def _query_vector(sf_dir: str, query_vec_id: int) -> np.ndarray:
-    import pyarrow.parquet as pq
-    import pyarrow.compute as pc_
+    """Fetch ONE row by key with predicate pushdown — row-group statistics
+    prune the scan; the table is never materialized on the driver."""
+    import pyarrow.dataset as pads
 
-    t = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ds = pads.dataset(os.path.join(sf_dir, "embeddings.parquet"))
+    t = ds.to_table(
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id") == query_vec_id,
     )
-    idx = pc_.index(t.column("vec_id"), query_vec_id).as_py()
-    if idx < 0:
+    if t.num_rows == 0:
         raise KeyError(f"vec_id {query_vec_id} not found")
-    return np.array(t.column("embedding")[idx].as_py(), dtype=np.float64)
+    return np.array(t.column("embedding")[0].as_py(), dtype=np.float64)
 
 
 class CosineScore:
@@ -51,7 +55,7 @@ class CosineScore:
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
         A = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
         norms = np.maximum(np.linalg.norm(A, axis=1), 1e-300)
-        cos = np.round((A @ self.q) / norms, 5)
+        cos = round_ha((A @ self.q) / norms, 5)
         mask = ids != self.exclude_id
         return pa.Table.from_pydict(
             {
@@ -136,7 +140,7 @@ def ann_lsh_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10, n_bits: int = 
                 )
             A, ids = A[keep], ids[keep]
             norms = np.maximum(np.linalg.norm(A, axis=1), 1e-300)
-            cos = np.round((A @ self.q) / norms, 5)
+            cos = round_ha((A @ self.q) / norms, 5)
             return pa.Table.from_pydict(
                 {
                     "vec_id": pa.array(ids, type=pa.int64()),
@@ -167,22 +171,23 @@ def ann_ivf_topk(
     """IVF-style approximate top-k: coarse-quantize vectors to centroids,
     scan only the ``n_probe`` centroids nearest to the query.
 
-    Centroid selection is deterministic (first ``n_centroids`` vectors by
-    vec_id — a seeded k-means would slot in here identically).  The
-    centroid table is broadcast; assignment happens per batch with one
-    matmul.  Expected scan fraction ≈ n_probe/n_centroids.
+    Centroid selection is deterministic: the first ``n_centroids`` rows of
+    the dataset head — a bounded sampled read (``dataset.head`` touches
+    only the leading row group(s), never the full table; a seeded k-means
+    over a larger sample would slot in here identically).  The centroid
+    table is broadcast; assignment happens per batch with one matmul.
+    Expected scan fraction ≈ n_probe/n_centroids.
     """
-    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
 
     q = _query_vector(sf_dir, query_vec_id)
-    t = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).head(
+        n_centroids, columns=["vec_id", "embedding"]
     )
-    ids = t.column("vec_id").to_pylist()
-    order = np.argsort(ids)[:n_centroids]
-    C = np.stack([t.column("embedding")[int(i)].as_py() for i in order]).astype(
-        np.float64
-    )
+    order = np.argsort(t.column("vec_id").to_numpy(zero_copy_only=False))
+    C = np.stack(
+        [t.column("embedding")[int(i)].as_py() for i in order]
+    ).astype(np.float64)
     C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
     qn = q / max(np.linalg.norm(q), 1e-300)
     probe = set(np.argsort(-(C @ qn))[:n_probe].tolist())
@@ -211,7 +216,7 @@ def ann_ivf_topk(
                         "cos": pa.array([], type=pa.float64()),
                     }
                 )
-            cos = np.round(An[keep] @ self.q, 5)
+            cos = round_ha(An[keep] @ self.q, 5)
             return pa.Table.from_pydict(
                 {
                     "vec_id": pa.array(ids[keep], type=pa.int64()),

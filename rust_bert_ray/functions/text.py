@@ -19,6 +19,8 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from rust_bert_ray.functions.util import pc_round_ha
+
 
 def _read_documents(sf_dir: str, columns: list[str] | None = None):
     return ray.data.read_parquet(
@@ -65,7 +67,7 @@ def q_doc_quality(sf_dir: str):
         n_chars = pc.cast(pc.utf8_length(t.column("text")), pa.int64())
         # single-space separated → token chars = n_chars - (n_tokens - 1)
         token_chars = pc.subtract(n_chars, pc.subtract(n_tokens, 1))
-        avg_len = pc.round(
+        avg_len = pc_round_ha(
             pc.divide(pc.cast(token_chars, pa.float64()), pc.cast(n_tokens, pa.float64())),
             5,
         )
@@ -104,7 +106,7 @@ def q_lang_stats(sf_dir: str):
             {
                 "lang": t.column("lang"),
                 "n_docs": t.column("n_docs"),
-                "avg_chars": pc.round(
+                "avg_chars": pc_round_ha(
                     pc.divide(
                         pc.cast(t.column("s_chars"), pa.float64()),
                         pc.cast(t.column("n_docs"), pa.float64()),

@@ -4,6 +4,37 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow.compute as pc
+
+
+def round_ha(a, digits: int):
+    """Round half away from zero — DuckDB ``ROUND`` parity.
+
+    numpy/pandas default to banker's rounding (half to even), so values
+    landing exactly on a representable midpoint (e.g. 0.125 at 2 dp) flip
+    the driver's value hash vs the DuckDB oracle.  Verified bit-exact
+    against DuckDB ROUND on 300k samples at 2/4/5 dp.
+    """
+    a = np.asarray(a, dtype=np.float64)
+    scale = 10.0 ** digits
+    scaled = a * scale
+    return np.copysign(np.floor(np.abs(scaled) + 0.5), scaled) / scale
+
+
+def pc_round_ha(arr, digits: int):
+    """Arrow rounding with DuckDB ``ROUND`` parity (half away from zero).
+
+    Implemented with the same scale→floor(+0.5)→divide double arithmetic
+    DuckDB uses: Arrow's own ``round(round_mode=half_towards_infinity)``
+    skips the final divide on already-representable inputs and returns
+    e.g. 6707.5199999999995 where DuckDB returns 6707.52 — bit-different
+    doubles that flip the driver's value hash.
+    """
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return pa.array(round_ha(arr.to_numpy(zero_copy_only=False), digits))
 
 
 def topk(ds, keys: list[str], descending: list[bool], k: int):
@@ -42,21 +73,45 @@ class BloomFilter:
         self.n_hashes = max(1, int(round(self.n_bits / max(1, n_items) * math.log(2))))
         self.bits = np.zeros((self.n_bits + 63) // 64, dtype=np.uint64)
 
-    def _positions(self, key: int):
-        import zlib
+    @staticmethod
+    def _hash2(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Two independent 64-bit hash streams (splitmix64 finalizer),
+        fully vectorized — the probe path must not loop per key."""
+        k = keys.astype(np.uint64, copy=False)
 
-        h1 = zlib.crc32(str(key).encode())
-        h2 = zlib.crc32(str(key).encode()[::-1]) | 1
+        def mix(x: np.ndarray) -> np.ndarray:
+            x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            return x ^ (x >> np.uint64(31))
+
+        h1 = mix(k + np.uint64(0x9E3779B97F4A7C15))
+        h2 = mix(k + np.uint64(0xD6E8FEB86659FD93)) | np.uint64(1)
+        return h1, h2
+
+    def add_many(self, keys: np.ndarray) -> None:
+        h1, h2 = self._hash2(np.asarray(keys))
+        nb = np.uint64(self.n_bits)
         for i in range(self.n_hashes):
-            yield (h1 + i * h2) % self.n_bits
+            p = (h1 + np.uint64(i) * h2) % nb
+            np.bitwise_or.at(
+                self.bits, (p >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (p & np.uint64(63)),
+            )
+
+    def contains_many(self, keys: np.ndarray) -> np.ndarray:
+        """Vectorized membership test → bool array (no Python per-key loop)."""
+        h1, h2 = self._hash2(np.asarray(keys))
+        nb = np.uint64(self.n_bits)
+        ok = np.ones(len(h1), dtype=bool)
+        for i in range(self.n_hashes):
+            p = (h1 + np.uint64(i) * h2) % nb
+            word = self.bits[(p >> np.uint64(6)).astype(np.int64)]
+            ok &= ((word >> (p & np.uint64(63))) & np.uint64(1)).astype(bool)
+        return ok
 
     def add(self, key: int) -> None:
-        for p in self._positions(key):
-            self.bits[p >> 6] |= np.uint64(1) << np.uint64(p & 63)
+        self.add_many(np.array([key], dtype=np.int64))
 
     def __contains__(self, key: int) -> bool:
-        return all(
-            self.bits[p >> 6] >> np.uint64(p & 63) & np.uint64(1)
-            for p in self._positions(key)
-        )
+        return bool(self.contains_many(np.array([key], dtype=np.int64))[0])
 

@@ -251,6 +251,31 @@ def run_kg_pipeline(
         summary["input_rows"] += input_rows
         summary["triple_rows"] += out_rows["triples"]
 
+    # ---- stage-B staleness: nodes/edges derive from ALL triples, so any
+    # partition recomputed this run (fresh or invalidated) makes an
+    # existing final manifest stale; likewise a regrouping (n_groups
+    # change) leaves orphaned part dirs from the old grouping that the
+    # stage-B glob would silently include.  Drop both before deciding
+    # whether stage B may be skipped.
+    import shutil
+
+    recomputed = bool(summary["partitions"]) or bool(summary.get("invalidated"))
+    valid_parts = {f"part={p}" for p in range(len(groups))}
+    for table in ("triples", "docs_enriched"):
+        tdir = os.path.join(out_dir, table)
+        if os.path.isdir(tdir):
+            for d in os.listdir(tdir):
+                if d.startswith("part=") and d not in valid_parts:
+                    shutil.rmtree(os.path.join(tdir, d))
+                    recomputed = True
+    ckroot = os.path.join(out_dir, "checkpoints")
+    if os.path.isdir(ckroot):
+        for d in os.listdir(ckroot):
+            if d.startswith("part=") and d != "part=final" and d not in valid_parts:
+                shutil.rmtree(os.path.join(ckroot, d))
+    if recomputed and ckpt.is_partition_complete(out_dir, "final"):
+        os.remove(ckpt.manifest_path(out_dir, "final"))
+
     # ---- stage B: global canonicalize + materialize (reads checkpoints) ----
     if not (resume and ckpt.is_partition_complete(out_dir, "final")):
         tb = time.time()

@@ -146,3 +146,22 @@ def test_resume_invalidates_on_input_change(kg_run, ray_session, tmp_path_factor
     summary2 = run_kg_pipeline(kg_run["docs_dir"], out, n_groups=1)
     assert summary2["partitions"] == [0]
     assert summary2.get("invalidated") == [0]
+    # orphaned part dirs from the old grouping must be gone: the stage-B
+    # read would otherwise include part=1's triples twice
+    assert sorted(os.listdir(os.path.join(out, "triples"))) == ["part=0"]
+    # stage B must have re-run (not "resumed" off the stale final manifest)
+    assert "final" not in summary2["resumed"]
+    # nodes/edges must equal a from-scratch n_groups=1 run byte-for-value
+    fresh = str(tmp_path_factory.mktemp("kg_out_fresh"))
+    run_kg_pipeline(kg_run["docs_dir"], fresh, n_groups=1)
+
+    def table_rows(root, table):
+        rows = pads.dataset(os.path.join(root, table)).to_table().to_pylist()
+        for r in rows:
+            for k, v in list(r.items()):
+                if isinstance(v, list):
+                    r[k] = tuple(v)
+        return sorted(map(tuple, (sorted(r.items()) for r in rows)))
+
+    assert table_rows(out, "nodes") == table_rows(fresh, "nodes")
+    assert table_rows(out, "edges") == table_rows(fresh, "edges")

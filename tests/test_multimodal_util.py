@@ -61,3 +61,50 @@ def test_bloom_fp_rate_reasonable():
         b.add(k)
     fps = sum(1 for k in range(10_000, 20_000) if k in b)
     assert fps < 500  # ~1% expected; wide margin for hash quality
+
+
+def test_bloom_vectorized_matches_scalar():
+    import numpy as np
+
+    b = BloomFilter(500)
+    b.add_many(np.arange(0, 1000, 3))
+    probe = np.arange(0, 1500)
+    vec = b.contains_many(probe)
+    assert all(bool(vec[i]) == (int(i) in b) for i in probe)
+    assert vec[::3][:334].all()  # no false negatives
+
+
+def test_round_half_away_matches_duckdb():
+    """round_ha / pc_round_ha must match DuckDB ROUND bit-for-bit —
+    banker's rounding (numpy/pandas/Arrow default) flips value hashes at
+    representable midpoints like 0.125."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    from rust_bert_ray.functions.util import pc_round_ha, round_ha
+
+    rng = np.random.default_rng(3)
+    vals = np.concatenate(
+        [
+            rng.uniform(-1e5, 1e5, 20000),
+            np.round(rng.uniform(0, 1000, 10000), 3),  # many *.xx5 midpoints
+            # price*(1-disc)-shaped products: near-representable values like
+            # 6707.5199999999995 where Arrow's own round kernel skips the
+            # final divide and returns a bit-different double than DuckDB
+            np.round(rng.uniform(0, 1.2e5, 10000), 2)
+            * (1 - np.round(rng.uniform(0, 0.1, 10000), 2)),
+            np.array([0.125, -0.125, 2.675, -2.675, 0.005, 1.005, 6707.5199999999995]),
+        ]
+    )
+    for d in (2, 4, 5):
+        duck = (
+            duckdb.sql(
+                f"SELECT ROUND(v, {d}) r FROM (SELECT UNNEST(?::DOUBLE[]) v)",
+                params=[vals.tolist()],
+            )
+            .df()["r"]
+            .to_numpy()
+        )
+        assert (round_ha(vals, d) == duck).all()
+        assert (pc_round_ha(pa.array(vals), d).to_numpy() == duck).all()
