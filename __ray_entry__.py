@@ -51,6 +51,18 @@ def _ensure_small_corpora() -> None:
 _ensure_small_corpora()
 
 _ORACLE_CORPUS = os.path.join(CORPUS_ROOT, "5000")  # driver correctness runs at sf0.01
+_ORACLE_SF = "/root/testdata/sf0.01"
+
+
+def _ensure_expected() -> str:
+    """Expected tables (single-process reference run) for the sf0.01
+    correctness gate — see rust_bert_ray.expected."""
+    from rust_bert_ray.expected import ensure_expected
+
+    return ensure_expected(_ORACLE_SF, _ORACLE_CORPUS)
+
+
+_EXPECTED_DIR = _ensure_expected()
 
 
 # --------------------------------------------------------------- entry ----
@@ -94,6 +106,11 @@ def _kg_triples(sf_dir: str):
 
 
 def _kg_nodes(sf_dir: str):
+    """Nodes table, aliases flattened to a ';'-joined string (the alias
+    set is already sorted+capped, so the projection is deterministic and
+    hashable by the driver's value compare)."""
+    import pyarrow as pa
+
     import ray.data
 
     from rust_bert_ray.pipelines.kg import extract_and_link
@@ -101,10 +118,22 @@ def _kg_nodes(sf_dir: str):
 
     _, docs_dir = corpus_for(sf_dir)
     docs = ray.data.read_parquet(docs_dir, columns=["doc_id", "spans"])
-    return build_nodes(extract_and_link(docs))
+
+    def project(t: pa.Table) -> pa.Table:
+        joined = [";".join(a) for a in t.column("aliases").to_pylist()]
+        idx = t.schema.get_field_index("aliases")
+        return t.set_column(idx, "aliases", pa.array(joined, type=pa.string()))
+
+    return build_nodes(extract_and_link(docs)).map_batches(
+        project, batch_format="pyarrow"
+    )
 
 
 def _kg_edges(sf_dir: str):
+    """Edges table minus the ``doc_ids`` provenance sample: the sample's
+    membership depends on batch boundaries (per-batch cap before the
+    merge), so it is excluded from the value-hashed projection; n_obs
+    and score are exact."""
     import ray.data
 
     from rust_bert_ray.pipelines.kg import extract_and_link
@@ -112,7 +141,7 @@ def _kg_edges(sf_dir: str):
 
     _, docs_dir = corpus_for(sf_dir)
     docs = ray.data.read_parquet(docs_dir, columns=["doc_id", "spans"])
-    return build_edges(extract_and_link(docs))
+    return build_edges(extract_and_link(docs)).drop_columns(["doc_ids"])
 
 
 def _kg_media_inventory(sf_dir: str):
@@ -126,15 +155,29 @@ def _kg_media_inventory(sf_dir: str):
 
 
 def _kg_media_features(sf_dir: str):
+    import numpy as np
+    import pyarrow as pa
+
     import ray.data
 
+    from rust_bert_ray.expected import emb_digest
     from rust_bert_ray.stages.multimodal import MediaDecodeStage
 
     _, docs_dir = corpus_for(sf_dir)
     docs = ray.data.read_parquet(docs_dir, columns=["doc_id", "spans"])
+
+    def project(t: pa.Table) -> pa.Table:
+        digests = [
+            emb_digest(np.asarray(f, dtype=np.float32))
+            for f in t.column("feature").to_pylist()
+        ]
+        return t.drop_columns(["feature"]).append_column(
+            "feature_digest", pa.array(digests, type=pa.int64())
+        )
+
     return docs.map_batches(
         MediaDecodeStage, batch_format="pyarrow", batch_size=64, concurrency=2
-    )
+    ).map_batches(project, batch_format="pyarrow")
 
 
 def _q_sentiment(sf_dir: str):
@@ -192,9 +235,20 @@ def _q_keywords(sf_dir: str):
     docs = ray.data.read_parquet(
         _os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
+
+    def project(t):
+        import pyarrow as pa
+
+        from rust_bert_ray.expected import offsets_str
+
+        offs = [offsets_str(o) for o in t.column("offsets").to_pylist()]
+        return t.drop_columns(["offsets"]).append_column(
+            "offsets", pa.array(offs, type=pa.string())
+        )
+
     return docs.map_batches(
         KeywordStage, batch_format="pyarrow", batch_size=8192, concurrency=2
-    )
+    ).map_batches(project, batch_format="pyarrow")
 
 
 def _q_masked_lm(sf_dir: str):
@@ -219,32 +273,16 @@ def _q_masked_lm(sf_dir: str):
 
 def _q_qa(sf_dir: str):
     """QA over corpus-derived (question, context) pairs."""
-    import pyarrow as pa
-
     import ray.data
 
     from rust_bert_ray.corpus import GAZETTEER
-    from rust_bert_ray.stages.qa import QaStage
+    from rust_bert_ray.stages.qa import QaStage, qa_inputs_from_docs
 
     _, docs_dir = corpus_for(sf_dir)
     docs = ray.data.read_parquet(docs_dir, columns=["doc_id", "spans"])
-
-    def make_qa(batch: pa.Table) -> pa.Table:
-        rows = {"qa_id": [], "question": [], "context": []}
-        for doc_id, spans in zip(
-            batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
-        ):
-            for span in spans or []:
-                if span["kind"] != "text" or "I live in" not in span["text"]:
-                    continue
-                # "My name is {P}. I live in {L}." → ask where P lives
-                name = span["text"].split("My name is ")[-1].split(".")[0]
-                rows["qa_id"].append(f"{doc_id}:{span['offset']}")
-                rows["question"].append(f"Where does {name} live ?")
-                rows["context"].append(span["text"])
-        return pa.Table.from_pydict(rows)
-
-    qa_inputs = docs.map_batches(make_qa, batch_format="pyarrow", batch_size=4096)
+    qa_inputs = docs.map_batches(
+        qa_inputs_from_docs, batch_format="pyarrow", batch_size=4096
+    )
     return qa_inputs.map_batches(
         QaStage,
         fn_constructor_kwargs={"gazetteer": GAZETTEER},
@@ -308,7 +346,11 @@ def _q_pos(sf_dir: str):
 
 
 def _q_embed(sf_dir: str):
-    """Sentence embeddings per doc (pooling + L2-normalize semantics)."""
+    """Sentence embeddings per doc (pooling + L2-normalize semantics).
+
+    The vector itself is projected to hash-friendly scalars: the first 4
+    components + a crc32 digest of the full float32 vector + the L2 norm
+    — bit-exact vs the single-process expected table."""
     import os as _os
 
     import numpy as np
@@ -316,6 +358,8 @@ def _q_embed(sf_dir: str):
 
     import ray.data
 
+    from rust_bert_ray.expected import emb_digest
+    from rust_bert_ray.functions.util import round_ha
     from rust_bert_ray.scorers import HashEmbedder
 
     docs = ray.data.read_parquet(
@@ -328,14 +372,19 @@ def _q_embed(sf_dir: str):
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             embs = self.embedder.embed_batch(batch.column("text").to_pylist())
+            embs32 = np.asarray(embs, dtype=np.float32)
             return pa.Table.from_pydict(
                 {
                     "doc_id": batch.column("doc_id"),
-                    "embedding": pa.array(
-                        [e.tolist() for e in embs], type=pa.list_(pa.float32(), 64)
+                    "e0": pa.array(round_ha(embs32[:, 0], 5), type=pa.float64()),
+                    "e1": pa.array(round_ha(embs32[:, 1], 5), type=pa.float64()),
+                    "e2": pa.array(round_ha(embs32[:, 2], 5), type=pa.float64()),
+                    "e3": pa.array(round_ha(embs32[:, 3], 5), type=pa.float64()),
+                    "emb_digest": pa.array(
+                        [emb_digest(v) for v in embs32], type=pa.int64()
                     ),
                     "norm": pa.array(
-                        np.round(np.linalg.norm(embs, axis=1), 4), type=pa.float64()
+                        round_ha(np.linalg.norm(embs, axis=1), 4), type=pa.float64()
                     ),
                 }
             )
@@ -417,7 +466,23 @@ GROUP BY s.kind
 """
     from rust_bert_ray.stages import classify
 
+    # Expected-table oracles: the single-process reference run (see
+    # rust_bert_ray.expected) materialized at import time; DuckDB just
+    # reads it back.  The gate verifies the distributed execution
+    # (actor pools, batch boundaries, shuffles) reproduces it exactly.
+    expected_backed = {
+        name: f"SELECT * FROM read_parquet('{_EXPECTED_DIR}/{name}.parquet')"
+        for name in (
+            "q_generate", "q_summarize", "q_translate", "q_pos_tags",
+            "q_embed_docs", "q_keywords", "q_masked_lm", "qa_answers",
+            "q_lang_id", "q_fingerprints", "kg_nodes", "kg_edges",
+            "kg_media_features", "dedup_minhash_pairs", "dedup_simhash_pairs",
+            "ann_lsh_topk", "ann_ivf_topk",
+        )
+    }
+
     return {
+        **expected_backed,
         "kg_triples": kg_triples_sql,
         "kg_media_inventory": kg_media_inventory_sql,
         "q_sentiment": classify.SENTIMENT_SQL,
@@ -443,10 +508,4 @@ GROUP BY s.kind
         "dedup_jaccard_pairs": dedup.DEDUP_JACCARD_SQL,
         "dedup_embedding_pairs": dedup.DEDUP_EMBEDDING_SQL,
         "ann_topk": similarity.ANN_TOPK_SQL,
-        # kg_nodes / kg_edges / kg_media_features: pipeline outputs with
-        #   list columns + union-find semantics — not SQL-expressible.
-        # dedup_minhash_pairs / dedup_simhash_pairs / ann_lsh_topk:
-        #   approximate/sketch operators — rows-only by design.
-        # q_lang_id / q_fingerprints: hash/heuristic scorers (crc32) with
-        #   no DuckDB equivalent — rows-only.
     }

@@ -1,0 +1,444 @@
+"""Single-process expected-output tables — the oracle side for queries
+whose semantics DuckDB SQL cannot express.
+
+The driver's correctness gate runs each ``queries()`` entry AND its
+``oracle_sql()`` side by side.  For deterministic-but-non-SQL operators
+(heuristic NLP stages, sketch/LSH dedup, ANN) the oracle is an
+*expected table*: computed here once, WITHOUT Ray — stages are invoked
+over one in-memory Arrow table (every stage is per-row deterministic),
+and sketch/ANN expectations are recomputed with independent flat-numpy
+implementations over the full corpus (no banding shuffle, no bucketed
+map_groups, no actor pools).  The table is written under
+``/tmp/rbr_expected/<sf>/<query>.parquet`` and the oracle SQL is
+``SELECT * FROM read_parquet(...)``.
+
+What the gate then verifies: the distributed Ray execution — actor
+pools, batch boundaries, all-to-all shuffles, bucketed merges, salted
+two-phase reductions — reproduces the sequential run value-for-value.
+Partitioning bugs (a pair lost in a band shuffle, a group split across
+buckets, batch-boundary state leaks) flip the hash.
+
+Regeneration is idempotent via a versioned marker; bump ``VERSION``
+whenever any algorithm constant changes.
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+EXPECTED_ROOT = "/tmp/rbr_expected"
+VERSION = 1
+
+
+# ------------------------------------------------------------ input helpers
+
+def _documents(sf_dir: str) -> pa.Table:
+    return pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+
+def _embeddings(sf_dir: str) -> pa.Table:
+    return pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+
+
+def _corpus_docs(corpus_root: str) -> pa.Table:
+    import pyarrow.dataset as pads
+
+    return pads.dataset(os.path.join(corpus_root, "docs")).to_table()
+
+
+def emb_digest(vec: np.ndarray) -> int:
+    """Stable digest of a float32 embedding (bit-exact across processes)."""
+    return zlib.crc32(np.asarray(vec, dtype=np.float32).tobytes())
+
+
+def offsets_str(offsets) -> str:
+    return ";".join(f"{b}-{e}" for b, e in offsets)
+
+
+# ----------------------------------------------------- stage-based builders
+# Each invokes the stage exactly as the queries() entry does, on ONE batch.
+
+def _gen(stage) -> "pa.Table":
+    return stage
+
+
+def q_generate(sf_dir: str, corpus_root: str) -> pa.Table:
+    from rust_bert_ray.stages.generation import TextGenerationStage
+
+    return TextGenerationStage()(_documents(sf_dir).slice(0, 200))
+
+
+def q_summarize(sf_dir: str, corpus_root: str) -> pa.Table:
+    from rust_bert_ray.stages.generation import SummarizationStage
+
+    return SummarizationStage()(_documents(sf_dir).slice(0, 200))
+
+
+def q_translate(sf_dir: str, corpus_root: str) -> pa.Table:
+    from rust_bert_ray.stages.generation import TranslationStage
+
+    return TranslationStage(target_lang="fr")(_documents(sf_dir).slice(0, 200))
+
+
+def q_pos_tags(sf_dir: str, corpus_root: str) -> pa.Table:
+    from rust_bert_ray.stages.pos import PosStage
+
+    return PosStage()(_documents(sf_dir))
+
+
+def q_embed_docs(sf_dir: str, corpus_root: str) -> pa.Table:
+    from rust_bert_ray.functions.util import round_ha
+    from rust_bert_ray.scorers import HashEmbedder
+
+    t = _documents(sf_dir)
+    embedder = HashEmbedder(dim=64, pooling="mean")
+    embs = embedder.embed_batch(t.column("text").to_pylist())
+    embs32 = np.asarray(embs, dtype=np.float32)
+    return pa.Table.from_pydict(
+        {
+            "doc_id": t.column("doc_id"),
+            "e0": pa.array(round_ha(embs32[:, 0], 5), type=pa.float64()),
+            "e1": pa.array(round_ha(embs32[:, 1], 5), type=pa.float64()),
+            "e2": pa.array(round_ha(embs32[:, 2], 5), type=pa.float64()),
+            "e3": pa.array(round_ha(embs32[:, 3], 5), type=pa.float64()),
+            "emb_digest": pa.array(
+                [emb_digest(v) for v in embs32], type=pa.int64()
+            ),
+            "norm": pa.array(
+                round_ha(np.linalg.norm(embs, axis=1), 4), type=pa.float64()
+            ),
+        }
+    )
+
+
+def q_keywords(sf_dir: str, corpus_root: str) -> pa.Table:
+    from rust_bert_ray.stages.keywords import KeywordStage
+
+    t = KeywordStage()(_documents(sf_dir))
+    offs = [offsets_str(o) for o in t.column("offsets").to_pylist()]
+    return t.drop_columns(["offsets"]).append_column(
+        "offsets", pa.array(offs, type=pa.string())
+    )
+
+
+def q_masked_lm(sf_dir: str, corpus_root: str) -> pa.Table:
+    from rust_bert_ray.stages.masked_lm import MaskedLmStage, mask_nth_token
+
+    return MaskedLmStage(top_k=3)(mask_nth_token(_documents(sf_dir)))
+
+
+def qa_answers(sf_dir: str, corpus_root: str) -> pa.Table:
+    from rust_bert_ray.corpus import GAZETTEER
+    from rust_bert_ray.stages.qa import QaStage, qa_inputs_from_docs
+
+    return QaStage(gazetteer=GAZETTEER)(qa_inputs_from_docs(_corpus_docs(corpus_root)))
+
+
+def q_lang_id(sf_dir: str, corpus_root: str) -> pa.Table:
+    from rust_bert_ray.functions.text import LangIdStage
+
+    return LangIdStage()(_documents(sf_dir))
+
+
+def q_fingerprints(sf_dir: str, corpus_root: str, shingle: int = 8) -> pa.Table:
+    # independent reimplementation of the rolling min-shingle-hash
+    t = _documents(sf_dir)
+    fps = []
+    for text in t.column("text").to_pylist():
+        words = text.split()
+        if len(words) < shingle:
+            grams = [" ".join(words)]
+        else:
+            grams = [
+                " ".join(words[i : i + shingle])
+                for i in range(len(words) - shingle + 1)
+            ]
+        fps.append(min(zlib.crc32(g.encode()) for g in grams))
+    return pa.Table.from_pydict(
+        {"doc_id": t.column("doc_id"), "fingerprint": pa.array(fps, type=pa.int64())}
+    )
+
+
+def kg_media_features(sf_dir: str, corpus_root: str) -> pa.Table:
+    from rust_bert_ray.stages.multimodal import MediaDecodeStage
+
+    t = MediaDecodeStage()(_corpus_docs(corpus_root))
+    digests = [
+        emb_digest(np.asarray(f, dtype=np.float32))
+        for f in t.column("feature").to_pylist()
+    ]
+    return t.drop_columns(["feature"]).append_column(
+        "feature_digest", pa.array(digests, type=pa.int64())
+    )
+
+
+# ----------------------------------------------- KG nodes/edges (sequential
+# extraction + an INDEPENDENT plain-pandas graph build: no salted two-phase
+# merge, no bucketing — checks canonicalize.py's distributed reduction)
+
+def _linked_triples(corpus_root: str) -> pd.DataFrame:
+    from rust_bert_ray.corpus import GAZETTEER
+    from rust_bert_ray.pipelines.kg import default_alias_index
+    from rust_bert_ray.stages.linking import LinkingStage
+    from rust_bert_ray.stages.ner import NerStage, RelationStage
+
+    docs = _corpus_docs(corpus_root)
+    enriched = NerStage(gazetteer=GAZETTEER)(docs)
+    triples = RelationStage()(enriched)
+    linked = LinkingStage(index_ref=default_alias_index())(triples)
+    return linked.to_pandas()
+
+
+def kg_nodes(sf_dir: str, corpus_root: str, alias_cap: int = 16) -> pa.Table:
+    df = _linked_triples(corpus_root)
+    frames = []
+    for side in ("subj", "obj"):
+        sub = df[
+            [f"{side}_id", f"{side}_key", f"{side}_canonical", f"{side}_label",
+             f"{side}_score"]
+        ].copy()
+        sub.columns = ["node_id", "surface_key", "canonical", "label", "score"]
+        frames.append(sub)
+    m = pd.concat(frames, ignore_index=True)
+
+    def kind_of(node_id: str, label: str) -> str:
+        return node_id.split(":", 2)[1] if node_id.startswith("ent:") else label
+
+    m["kind"] = [kind_of(n, l) for n, l in zip(m["node_id"], m["label"])]
+    g = m.groupby("node_id").agg(
+        canonical=("canonical", "first"),
+        kind=("kind", "first"),
+        aliases=("surface_key", lambda s: ";".join(sorted(set(s))[:alias_cap])),
+        n_mentions=("score", "size"),
+        score=("score", "max"),
+    ).reset_index()
+    return pa.Table.from_pydict(
+        {
+            "node_id": g["node_id"],
+            "canonical": g["canonical"],
+            "kind": g["kind"],
+            "aliases": g["aliases"],
+            "n_mentions": pa.array(g["n_mentions"], type=pa.int64()),
+            "score": pa.array(g["score"], type=pa.float64()),
+        }
+    )
+
+
+def kg_edges(sf_dir: str, corpus_root: str) -> pa.Table:
+    df = _linked_triples(corpus_root)
+    g = df.groupby(["subj_id", "pred", "obj_id"], as_index=False).agg(
+        n_obs=("doc_id", "size"), score=("rel_score", "max")
+    )
+    g["edge_id"] = [
+        f"edge:{zlib.crc32(f'{s}|{p}|{o}'.encode()):08x}"
+        for s, p, o in zip(g["subj_id"], g["pred"], g["obj_id"])
+    ]
+    return pa.Table.from_pydict(
+        {
+            "edge_id": g["edge_id"],
+            "subj_id": g["subj_id"],
+            "pred": g["pred"],
+            "obj_id": g["obj_id"],
+            "n_obs": pa.array(g["n_obs"], type=pa.int64()),
+            "score": pa.array(g["score"], type=pa.float64()),
+        }
+    )
+
+
+# ------------------------------------------- sketch dedup (independent numpy)
+
+def dedup_minhash_pairs(
+    sf_dir: str,
+    corpus_root: str,
+    threshold: float = 0.7,
+    bucket_cap: int = 200,
+) -> pa.Table:
+    from rust_bert_ray.functions.dedup import MinHashStage
+    from rust_bert_ray.functions.util import round_ha
+
+    t = _documents(sf_dir)
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    st = MinHashStage()
+    sig = st.signatures(t.column("text").to_pylist())  # (n, n_perm) uint16
+    bh = st.band_hashes(sig)  # (n, n_bands)
+    order = np.argsort(ids, kind="stable")
+    pairs: dict[tuple[int, int], float] = {}
+    for band in range(st.n_bands):
+        keys = bh[:, band]
+        groups: dict[int, list[int]] = {}
+        for i in order:  # doc_id-sorted, matching the distributed sort
+            groups.setdefault(int(keys[i]), []).append(int(i))
+        for members in groups.values():
+            members = members[:bucket_cap]
+            for a in range(len(members)):
+                for b in range(a + 1, len(members)):
+                    i, j = members[a], members[b]
+                    est = float((sig[i] == sig[j]).mean())
+                    if est >= threshold:
+                        key = (int(ids[i]), int(ids[j]))
+                        pairs.setdefault(key, float(round_ha(est, 5)))
+    rows = sorted(pairs.items())
+    return pa.Table.from_pydict(
+        {
+            "doc_a": pa.array([k[0] for k, _ in rows], type=pa.int64()),
+            "doc_b": pa.array([k[1] for k, _ in rows], type=pa.int64()),
+            "est_jaccard": pa.array([v for _, v in rows], type=pa.float64()),
+        }
+    )
+
+
+def dedup_simhash_pairs(
+    sf_dir: str,
+    corpus_root: str,
+    max_hamming: int = 3,
+    bucket_cap: int = 200,
+) -> pa.Table:
+    from rust_bert_ray.functions.dedup import SimHashStage
+
+    t = _documents(sf_dir)
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    hs = SimHashStage.simhashes(t.column("text").to_pylist())
+    order = np.argsort(ids, kind="stable")
+    pairs: dict[tuple[int, int], int] = {}
+    for band in range(4):
+        keys = (hs >> np.uint64(16 * band)) & np.uint64(0xFFFF)
+        groups: dict[int, list[int]] = {}
+        for i in order:
+            groups.setdefault(int(keys[i]), []).append(int(i))
+        for members in groups.values():
+            members = members[:bucket_cap]
+            for a in range(len(members)):
+                for b in range(a + 1, len(members)):
+                    i, j = members[a], members[b]
+                    ham = int(bin(int(hs[i]) ^ int(hs[j])).count("1"))
+                    if ham <= max_hamming:
+                        pairs.setdefault((int(ids[i]), int(ids[j])), ham)
+    rows = sorted(pairs.items())
+    return pa.Table.from_pydict(
+        {
+            "doc_a": pa.array([k[0] for k, _ in rows], type=pa.int64()),
+            "doc_b": pa.array([k[1] for k, _ in rows], type=pa.int64()),
+            "hamming": pa.array([v for _, v in rows], type=pa.int64()),
+        }
+    )
+
+
+# ----------------------------------------------------- ANN (independent numpy)
+
+def _ann_common(sf_dir: str, query_vec_id: int = 0):
+    t = _embeddings(sf_dir)
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+    M = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    qi = int(np.nonzero(ids == query_vec_id)[0][0])
+    q = M[qi]
+    return ids, M, q
+
+
+def _topk_table(ids, cos, k: int = 10) -> pa.Table:
+    df = pd.DataFrame({"vec_id": ids, "cos": cos}).sort_values(
+        ["cos", "vec_id"], ascending=[False, True]
+    ).head(k)
+    return pa.Table.from_pydict(
+        {
+            "vec_id": pa.array(df["vec_id"].to_numpy(), type=pa.int64()),
+            "cos": pa.array(df["cos"].to_numpy(), type=pa.float64()),
+        }
+    )
+
+
+def ann_lsh_topk(
+    sf_dir: str, corpus_root: str, query_vec_id: int = 0, k: int = 10,
+    n_bits: int = 8,
+) -> pa.Table:
+    from rust_bert_ray.functions.similarity import _srp_hash, _srp_planes
+    from rust_bert_ray.functions.util import round_ha
+
+    ids, M, q = _ann_common(sf_dir, query_vec_id)
+    planes = _srp_planes(M.shape[1], n_bits)
+    q_bucket = int(_srp_hash(planes, q[None, :])[0])
+    near = {q_bucket} | {q_bucket ^ (1 << b) for b in range(n_bits)}
+    buckets = _srp_hash(planes, M)
+    keep = np.array(
+        [b in near and i != query_vec_id for b, i in zip(buckets, ids)]
+    )
+    qn = q / max(np.linalg.norm(q), 1e-300)
+    norms = np.maximum(np.linalg.norm(M[keep], axis=1), 1e-300)
+    cos = round_ha((M[keep] @ qn) / norms, 5)
+    return _topk_table(ids[keep], cos, k)
+
+
+def ann_ivf_topk(
+    sf_dir: str, corpus_root: str, query_vec_id: int = 0, k: int = 10,
+    n_centroids: int = 16, n_probe: int = 4,
+) -> pa.Table:
+    from rust_bert_ray.functions.util import round_ha
+
+    ids, M, q = _ann_common(sf_dir, query_vec_id)
+    # centroid sample = first n_centroids dataset rows, sorted by vec_id
+    # (mirrors the bounded head read)
+    head_order = np.argsort(ids[:n_centroids])
+    C = M[:n_centroids][head_order]
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    qn = q / max(np.linalg.norm(q), 1e-300)
+    probe = set(np.argsort(-(C @ qn))[:n_probe].tolist())
+    norms = np.maximum(np.linalg.norm(M, axis=1), 1e-300)
+    An = M / norms[:, None]
+    assign = (An @ C.T).argmax(axis=1)
+    keep = np.array(
+        [a in probe and i != query_vec_id for a, i in zip(assign, ids)]
+    )
+    cos = round_ha(An[keep] @ qn, 5)
+    return _topk_table(ids[keep], cos, k)
+
+
+# ------------------------------------------------------------------ registry
+
+BUILDERS = {
+    "q_generate": q_generate,
+    "q_summarize": q_summarize,
+    "q_translate": q_translate,
+    "q_pos_tags": q_pos_tags,
+    "q_embed_docs": q_embed_docs,
+    "q_keywords": q_keywords,
+    "q_masked_lm": q_masked_lm,
+    "qa_answers": qa_answers,
+    "q_lang_id": q_lang_id,
+    "q_fingerprints": q_fingerprints,
+    "kg_nodes": kg_nodes,
+    "kg_edges": kg_edges,
+    "kg_media_features": kg_media_features,
+    "dedup_minhash_pairs": dedup_minhash_pairs,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
+    "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
+}
+
+
+def expected_path(sf_name: str, query: str) -> str:
+    return os.path.join(EXPECTED_ROOT, sf_name, f"{query}.parquet")
+
+
+def ensure_expected(sf_dir: str, corpus_root: str) -> str:
+    """Write every expected table for ``sf_dir``; idempotent (versioned
+    marker).  Single-process by design — never touches Ray."""
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(EXPECTED_ROOT, sf_name)
+    marker = os.path.join(out_dir, f".complete-v{VERSION}")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    for name, builder in BUILDERS.items():
+        pq.write_table(builder(sf_dir, corpus_root), expected_path(sf_name, name))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir

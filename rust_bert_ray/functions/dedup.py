@@ -328,14 +328,17 @@ def dedup_minhash_pairs(
         df = df.drop_duplicates(["band", "band_hash", "doc_id"]).sort_values(
             ["band", "band_hash", "doc_id"]
         )
-        key = df["band"].to_numpy().astype(np.int64) * (1 << 33) + df[
-            "band_hash"
-        ].to_numpy().astype(np.int64)
+        band_arr = df["band"].to_numpy().astype(np.int64)
+        hash_arr = df["band_hash"].to_numpy().astype(np.int64)
         ids = df["doc_id"].to_numpy()
         sig_arr = np.frombuffer(b"".join(df["signature"]), dtype=np.uint16).reshape(
             len(df), -1
         )
-        boundaries = np.flatnonzero(np.diff(key)) + 1
+        # group boundary = change in EITHER column (band hashes span the
+        # full int64 range — packing them into one key would collide)
+        boundaries = np.flatnonzero(
+            (np.diff(band_arr) != 0) | (np.diff(hash_arr) != 0)
+        ) + 1
         starts = np.concatenate(([0], boundaries))
         ends = np.concatenate((boundaries, [len(df)]))
         rows = []
@@ -351,7 +354,9 @@ def dedup_minhash_pairs(
             iu, ju = np.triu_indices(n, 1)
             hit = eq[iu, ju] >= threshold
             for i, j, est in zip(iu[hit], ju[hit], eq[iu[hit], ju[hit]]):
-                rows.append((int(ids[s + i]), int(ids[s + j]), round(float(est), 5)))
+                rows.append(
+                    (int(ids[s + i]), int(ids[s + j]), float(round_ha(est, 5)))
+                )
         out = pd.DataFrame(rows, columns=["doc_a", "doc_b", "est_jaccard"])
         out["_pbucket"] = (out["doc_a"] * 1_000_003 + out["doc_b"]) % n_buckets
         return pa.Table.from_pandas(out, preserve_index=False)
@@ -475,7 +480,11 @@ def dedup_simhash_pairs(sf_dir: str, max_hamming: int = 3, bucket_cap: int = 200
             "band_key"
         ].to_numpy().astype(np.int64)
         ids = df["doc_id"].to_numpy()
-        hs = (df["simhash"].to_numpy().astype(np.int64) + (1 << 63)).astype(np.uint64)
+        # inverse of the store: wrapping uint64 add (int64 + 2**63 would
+        # silently promote to float64 and destroy the low 11 bits)
+        hs = df["simhash"].to_numpy().astype(np.int64).view(np.uint64) + np.uint64(
+            1 << 63
+        )
         # 64-bit popcount via two 32-bit bit_count lookups (vectorized)
         boundaries = np.flatnonzero(np.diff(key)) + 1
         starts = np.concatenate(([0], boundaries))

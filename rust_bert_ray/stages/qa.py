@@ -50,6 +50,25 @@ _QUESTION_KIND = [
 ]
 
 
+def qa_inputs_from_docs(batch: pa.Table) -> pa.Table:
+    """Interleaved docs → (qa_id, question, context) rows for the demo
+    corpus: each "My name is {P}. I live in {L}." span asks where P lives.
+    Plain batch fn — used by the driver query AND the expected-table
+    builder so both sides see identical inputs."""
+    rows: dict[str, list] = {"qa_id": [], "question": [], "context": []}
+    for doc_id, spans in zip(
+        batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
+    ):
+        for span in spans or []:
+            if span["kind"] != "text" or "I live in" not in span["text"]:
+                continue
+            name = span["text"].split("My name is ")[-1].split(".")[0]
+            rows["qa_id"].append(f"{doc_id}:{span['offset']}")
+            rows["question"].append(f"Where does {name} live ?")
+            rows["context"].append(span["text"])
+    return pa.Table.from_pydict(rows)
+
+
 class QaStage:
     """rows (qa_id, question, context) → extracted answers."""
 

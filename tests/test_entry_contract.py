@@ -29,6 +29,16 @@ def test_oracle_keys_subset_of_queries():
     assert len(sql) >= 24
 
 
+def test_every_query_has_an_oracle():
+    """Full verified surface: every queries() entry must carry an oracle
+    (SQL-native or expected-table) — a new query without one silently
+    downgrades the correctness gate to rows-only."""
+    import __ray_entry__ as e
+
+    qs, sql = e.queries(), e.oracle_sql()
+    assert set(qs) == set(sql), f"rows-only queries: {sorted(set(qs) - set(sql))}"
+
+
 def test_entry_returns_dataset_with_stable_schema(ray_session):
     import __ray_entry__ as e
 
