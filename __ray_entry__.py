@@ -330,6 +330,31 @@ def _q_translate(sf_dir: str):
     return _gen_query(TranslationStage, target_lang="fr")(sf_dir)
 
 
+def _q_translate_m2m(sf_dir: str):
+    """M2M100-family path: source prefix + forced decoder BOS token."""
+    from rust_bert_ray.stages.generation import TranslationStage
+
+    return _gen_query(
+        TranslationStage, target_lang="de", source_lang="en", model_type="m2m100"
+    )(sf_dir)
+
+
+def _q_zero_shot_multi(sf_dir: str):
+    import os as _os
+
+    import ray.data
+
+    from rust_bert_ray.stages.classify import ZeroShotMultiLabelStage
+
+    docs = ray.data.read_parquet(
+        _os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return docs.map_batches(
+        ZeroShotMultiLabelStage, batch_format="pyarrow", batch_size=65536,
+        concurrency=2,
+    )
+
+
 def _q_pos(sf_dir: str):
     import os as _os
 
@@ -345,52 +370,58 @@ def _q_pos(sf_dir: str):
     )
 
 
+class _EmbedStage:
+    """Sentence embeddings per doc, projected to hash-friendly scalars
+    (leading components + full-vector crc32 digest + L2 norm) — bit-exact
+    vs the single-process expected table.  ``make_embedder`` runs once per
+    actor in ``__init__`` (vocab-free, but the Dense weights build here)."""
+
+    def __init__(self, make_embedder):
+        self.embedder = make_embedder()
+
+    def __call__(self, batch):
+        from rust_bert_ray.expected import embed_projection
+
+        return embed_projection(batch, self.embedder)
+
+
 def _q_embed(sf_dir: str):
-    """Sentence embeddings per doc (pooling + L2-normalize semantics).
-
-    The vector itself is projected to hash-friendly scalars: the first 4
-    components + a crc32 digest of the full float32 vector + the L2 norm
-    — bit-exact vs the single-process expected table."""
     import os as _os
-
-    import numpy as np
-    import pyarrow as pa
 
     import ray.data
 
-    from rust_bert_ray.expected import emb_digest
-    from rust_bert_ray.functions.util import round_ha
-    from rust_bert_ray.scorers import HashEmbedder
+    from rust_bert_ray.expected import _mean_embedder
 
     docs = ray.data.read_parquet(
         _os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
-
-    class EmbedStage:
-        def __init__(self):
-            self.embedder = HashEmbedder(dim=64, pooling="mean")
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            embs = self.embedder.embed_batch(batch.column("text").to_pylist())
-            embs32 = np.asarray(embs, dtype=np.float32)
-            return pa.Table.from_pydict(
-                {
-                    "doc_id": batch.column("doc_id"),
-                    "e0": pa.array(round_ha(embs32[:, 0], 5), type=pa.float64()),
-                    "e1": pa.array(round_ha(embs32[:, 1], 5), type=pa.float64()),
-                    "e2": pa.array(round_ha(embs32[:, 2], 5), type=pa.float64()),
-                    "e3": pa.array(round_ha(embs32[:, 3], 5), type=pa.float64()),
-                    "emb_digest": pa.array(
-                        [emb_digest(v) for v in embs32], type=pa.int64()
-                    ),
-                    "norm": pa.array(
-                        round_ha(np.linalg.norm(embs, axis=1), 4), type=pa.float64()
-                    ),
-                }
-            )
-
     return docs.map_batches(
-        EmbedStage, batch_format="pyarrow", batch_size=8192, concurrency=2
+        _EmbedStage,
+        fn_constructor_kwargs={"make_embedder": _mean_embedder},
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=2,
+    )
+
+
+def _q_embed_dense(sf_dir: str):
+    """mean_sqrt_len pooling + Dense(64→32, tanh) projection layer
+    (sentence_embeddings/layers.rs:113-153)."""
+    import os as _os
+
+    import ray.data
+
+    from rust_bert_ray.expected import _dense_embedder
+
+    docs = ray.data.read_parquet(
+        _os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return docs.map_batches(
+        _EmbedStage,
+        fn_constructor_kwargs={"make_embedder": _dense_embedder},
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=2,
     )
 
 
@@ -403,9 +434,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_generate": _q_generate,
         "q_summarize": _q_summarize,
         "q_translate": _q_translate,
+        "q_translate_m2m": _q_translate_m2m,
         "q_pos_tags": _q_pos,
         "q_embed_docs": _q_embed,
+        "q_embed_dense": _q_embed_dense,
         "q_zero_shot": _q_zero_shot,
+        "q_zero_shot_multi": _q_zero_shot_multi,
         "q_multilabel": _q_multilabel,
         "q_keywords": _q_keywords,
         "q_masked_lm": _q_masked_lm,
@@ -435,6 +469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_quality": text.q_doc_quality,
         "q_lang_stats": text.q_lang_stats,
         "q_lang_id": text.q_lang_id,
+        "q_decode": text.q_decode,
         "q_fingerprints": text.q_fingerprints,
         # --- deduplication family ---
         "dedup_exact": dedup.dedup_exact,
@@ -442,6 +477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_pairs": dedup.dedup_minhash_pairs,
         "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
         "dedup_embedding_pairs": dedup.dedup_embedding_pairs,
+        "dedup_clusters": dedup.dedup_clusters,
         # --- similarity search (embeddings) ---
         "ann_topk": similarity.ann_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
@@ -473,9 +509,11 @@ GROUP BY s.kind
     expected_backed = {
         name: f"SELECT * FROM read_parquet('{_EXPECTED_DIR}/{name}.parquet')"
         for name in (
-            "q_generate", "q_summarize", "q_translate", "q_pos_tags",
-            "q_embed_docs", "q_keywords", "q_masked_lm", "qa_answers",
-            "q_lang_id", "q_fingerprints", "kg_nodes", "kg_edges",
+            "q_generate", "q_summarize", "q_translate", "q_translate_m2m",
+            "q_pos_tags",
+            "q_embed_docs", "q_embed_dense", "q_keywords", "q_masked_lm",
+            "qa_answers",
+            "q_lang_id", "q_decode", "q_fingerprints", "kg_nodes", "kg_edges",
             "kg_media_features", "dedup_minhash_pairs", "dedup_simhash_pairs",
             "ann_lsh_topk", "ann_ivf_topk",
         )
@@ -487,6 +525,7 @@ GROUP BY s.kind
         "kg_media_inventory": kg_media_inventory_sql,
         "q_sentiment": classify.SENTIMENT_SQL,
         "q_zero_shot": classify.ZERO_SHOT_SQL,
+        "q_zero_shot_multi": classify.ZERO_SHOT_MULTI_SQL,
         "q_multilabel": classify.MULTILABEL_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q_order_revenue_topk": relational.Q_ORDER_REVENUE_TOPK_SQL,
@@ -507,5 +546,6 @@ GROUP BY s.kind
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_jaccard_pairs": dedup.DEDUP_JACCARD_SQL,
         "dedup_embedding_pairs": dedup.DEDUP_EMBEDDING_SQL,
+        "dedup_clusters": dedup.DEDUP_CLUSTERS_SQL,
         "ann_topk": similarity.ANN_TOPK_SQL,
     }

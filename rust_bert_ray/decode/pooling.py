@@ -45,3 +45,50 @@ def l2_normalize(embeddings: np.ndarray) -> np.ndarray:
     emb = np.asarray(embeddings, dtype=np.float64)
     norms = np.linalg.norm(emb, axis=-1, keepdims=True)
     return emb / np.clip(norms, 1e-12, None)
+
+
+class Dense:
+    """Feed-forward projection over pooled sentence embeddings.
+
+    Reproduces ``Dense::forward`` at
+    /root/reference/src/pipelines/sentence_embeddings/layers.rs:113-153:
+    a Linear(in_features → out_features, optional bias) followed by an
+    activation — the sentence-transformers "dense module" applied between
+    pooling and normalization.
+    """
+
+    ACTIVATIONS = {
+        "tanh": np.tanh,
+        "relu": lambda x: np.maximum(x, 0.0),
+        "identity": lambda x: x,
+    }
+
+    def __init__(
+        self,
+        weight: np.ndarray,  # (out_features, in_features), like nn::Linear ws
+        bias: np.ndarray | None = None,
+        activation: str = "tanh",
+    ):
+        self.weight = np.asarray(weight, dtype=np.float64)
+        self.bias = None if bias is None else np.asarray(bias, dtype=np.float64)
+        if activation not in self.ACTIVATIONS:
+            raise ValueError(f"Invalid Activation: {activation}")
+        self.activation = self.ACTIVATIONS[activation]
+
+    def __call__(self, x: np.ndarray) -> np.ndarray:
+        out = np.asarray(x, dtype=np.float64) @ self.weight.T
+        if self.bias is not None:
+            out = out + self.bias
+        return self.activation(out)
+
+    @classmethod
+    def deterministic(
+        cls, in_features: int, out_features: int, seed: int = 17,
+        activation: str = "tanh",
+    ) -> "Dense":
+        """Seeded stand-in for loaded dense weights (``vs_dense.load``) —
+        reproducible across processes/actors."""
+        rng = np.random.default_rng(seed)
+        w = rng.standard_normal((out_features, in_features)) / np.sqrt(in_features)
+        b = rng.standard_normal(out_features) * 0.01
+        return cls(w, b, activation)

@@ -33,7 +33,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 EXPECTED_ROOT = "/tmp/rbr_expected"
-VERSION = 1
+VERSION = 3  # bump whenever any builder's semantics change
 
 
 # ------------------------------------------------------------ input helpers
@@ -90,18 +90,26 @@ def q_translate(sf_dir: str, corpus_root: str) -> pa.Table:
     return TranslationStage(target_lang="fr")(_documents(sf_dir).slice(0, 200))
 
 
+def q_translate_m2m(sf_dir: str, corpus_root: str) -> pa.Table:
+    from rust_bert_ray.stages.generation import TranslationStage
+
+    return TranslationStage(
+        target_lang="de", source_lang="en", model_type="m2m100"
+    )(_documents(sf_dir).slice(0, 200))
+
+
 def q_pos_tags(sf_dir: str, corpus_root: str) -> pa.Table:
     from rust_bert_ray.stages.pos import PosStage
 
     return PosStage()(_documents(sf_dir))
 
 
-def q_embed_docs(sf_dir: str, corpus_root: str) -> pa.Table:
+def embed_projection(t: pa.Table, embedder) -> pa.Table:
+    """Hash-friendly scalar projection of an embedding batch: leading 4
+    components + full-vector digest + norm.  Shared by the Ray query and
+    the expected builder so both sides compute the identical floats."""
     from rust_bert_ray.functions.util import round_ha
-    from rust_bert_ray.scorers import HashEmbedder
 
-    t = _documents(sf_dir)
-    embedder = HashEmbedder(dim=64, pooling="mean")
     embs = embedder.embed_batch(t.column("text").to_pylist())
     embs32 = np.asarray(embs, dtype=np.float32)
     return pa.Table.from_pydict(
@@ -119,6 +127,31 @@ def q_embed_docs(sf_dir: str, corpus_root: str) -> pa.Table:
             ),
         }
     )
+
+
+def _mean_embedder():
+    from rust_bert_ray.scorers import HashEmbedder
+
+    return HashEmbedder(dim=64, pooling="mean")
+
+
+def _dense_embedder():
+    """mean_sqrt_len pooling + Dense(64→32, tanh) projection — the
+    layers.rs:113-153 path."""
+    from rust_bert_ray.decode.pooling import Dense
+    from rust_bert_ray.scorers import HashEmbedder
+
+    return HashEmbedder(
+        dim=64, pooling="mean_sqrt_len", dense=Dense.deterministic(64, 32)
+    )
+
+
+def q_embed_docs(sf_dir: str, corpus_root: str) -> pa.Table:
+    return embed_projection(_documents(sf_dir), _mean_embedder())
+
+
+def q_embed_dense(sf_dir: str, corpus_root: str) -> pa.Table:
+    return embed_projection(_documents(sf_dir), _dense_embedder())
 
 
 def q_keywords(sf_dir: str, corpus_root: str) -> pa.Table:
@@ -148,6 +181,12 @@ def q_lang_id(sf_dir: str, corpus_root: str) -> pa.Table:
     from rust_bert_ray.functions.text import LangIdStage
 
     return LangIdStage()(_documents(sf_dir))
+
+
+def q_decode(sf_dir: str, corpus_root: str) -> pa.Table:
+    from rust_bert_ray.functions.text import WordPieceRoundTrip
+
+    return WordPieceRoundTrip()(_documents(sf_dir))
 
 
 def q_fingerprints(sf_dir: str, corpus_root: str, shingle: int = 8) -> pa.Table:
@@ -407,12 +446,15 @@ BUILDERS = {
     "q_generate": q_generate,
     "q_summarize": q_summarize,
     "q_translate": q_translate,
+    "q_translate_m2m": q_translate_m2m,
     "q_pos_tags": q_pos_tags,
     "q_embed_docs": q_embed_docs,
+    "q_embed_dense": q_embed_dense,
     "q_keywords": q_keywords,
     "q_masked_lm": q_masked_lm,
     "qa_answers": qa_answers,
     "q_lang_id": q_lang_id,
+    "q_decode": q_decode,
     "q_fingerprints": q_fingerprints,
     "kg_nodes": kg_nodes,
     "kg_edges": kg_edges,

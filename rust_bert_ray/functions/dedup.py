@@ -523,6 +523,187 @@ def dedup_simhash_pairs(sf_dir: str, max_hamming: int = 3, bucket_cap: int = 200
     )
 
 
+# ------------------------------------- connected components → cluster/keep
+
+def connected_components(
+    pairs_ds,
+    *,
+    n_buckets: int = 64,
+    num_partitions: int = 16,
+    max_iters: int = 16,
+):
+    """Candidate pairs (doc_a, doc_b) → (doc_id, cluster_id) labels via
+    iterative hash-to-min star contraction — the map-reduce CC algorithm:
+
+    each round, every node's neighborhood N(u) ∪ {u} is re-wired into a
+    star centered on its minimum m; connectivity is preserved and the
+    component minimum propagates to every member in O(log diameter)
+    rounds.  All per-round work is one bucketed groupby (hash(u) % B)
+    with a single vectorized pandas body — no per-node tasks, no driver
+    materialization of the edge list.  Convergence is detected from two
+    scalar aggregates (row count + xor-style checksum); only those two
+    numbers ever reach the driver.
+
+    Near-dup components are tiny (dup clusters), so the edge list is
+    ≪ corpus size; each round's frontier is re-materialized to keep the
+    lineage bounded — at 10^12 docs each round would checkpoint to
+    parquet instead (same shape).  Returns only labels for documents
+    that appear in ≥1 pair; singletons are handled by the caller.
+    """
+    from ray.data.aggregate import Sum
+
+    def make_sym(a_col: str, b_col: str):
+        def sym(t: pa.Table) -> pa.Table:
+            u = pa.concat_arrays(
+                [t.column(a_col).combine_chunks(), t.column(b_col).combine_chunks()]
+            )
+            v = pa.concat_arrays(
+                [t.column(b_col).combine_chunks(), t.column(a_col).combine_chunks()]
+            )
+            return pa.Table.from_pydict({"u": u, "v": v})
+
+        return sym
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_bucket", pc.bit_wise_and(pc.cast(t.column("u"), pa.int64()), n_buckets - 1)
+        )
+
+    def contract(df: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized body per bucket: per-u min over (N(u) ∪ {u}),
+        # then the star edges (x, m) for every x in N(u) ∪ {u}
+        df = df[["u", "v"]].drop_duplicates()
+        m = np.minimum(df.groupby("u")["v"].transform("min"), df["u"])
+        star = pd.DataFrame(
+            {"u": pd.concat([df["v"], df["u"]]), "v": pd.concat([m, m])}
+        )
+        star = star[star["u"] != star["v"]].drop_duplicates()
+        return star
+
+    def checksum_partial(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = t.column("v").to_numpy(zero_copy_only=False).astype(np.uint64)
+        mix = (u * np.uint64(2654435761) ^ v) & np.uint64((1 << 62) - 1)
+        return pa.Table.from_pydict(
+            {
+                "n": pa.array([len(u)], type=pa.int64()),
+                "ck": pa.array([int(mix.sum() & np.uint64((1 << 62) - 1))],
+                               type=pa.int64()),
+            }
+        )
+
+    def signature(ds) -> tuple[int, int]:
+        agg = (
+            ds.map_batches(checksum_partial, batch_format="pyarrow", batch_size=65536)
+            .aggregate(Sum("n", alias_name="n"), Sum("ck", alias_name="ck"))
+        )
+        return (agg.get("n") or 0, agg.get("ck") or 0)
+
+    edges = pairs_ds.map_batches(
+        make_sym("doc_a", "doc_b"), batch_format="pyarrow", batch_size=65536
+    )
+    prev_sig = None
+    for _ in range(max_iters):
+        edges = (
+            edges.map_batches(add_bucket, batch_format="pyarrow", batch_size=65536)
+            .groupby("_bucket", num_partitions=num_partitions)
+            .map_groups(contract, batch_format="pandas")
+            .map_batches(make_sym("u", "v"), batch_format="pyarrow", batch_size=65536)
+            .materialize()
+        )
+        sig = signature(edges)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    def labels(df: pd.DataFrame) -> pd.DataFrame:
+        lab = df.groupby("u", as_index=False)["v"].min()
+        lab["cluster_id"] = np.minimum(lab["u"], lab["v"])
+        return lab.rename(columns={"u": "doc_id"})[["doc_id", "cluster_id"]]
+
+    return (
+        edges.map_batches(add_bucket, batch_format="pyarrow", batch_size=65536)
+        .groupby("_bucket", num_partitions=num_partitions)
+        .map_groups(labels, batch_format="pandas")
+    )
+
+
+def dedup_clusters(sf_dir: str, threshold: float = 0.9):
+    """Full dedup keep-list: near-dup pairs (token-set Jaccard ≥ 0.9) →
+    connected components → one row per document with its cluster id and
+    keep flag (keep = the cluster's minimum doc_id survives).
+
+    This is what a training-data pipeline actually consumes: the corpus
+    anti-joins ``keep = 0`` rows away.  The cluster labels are the
+    small side (docs in ≥1 pair only) and are broadcast for the final
+    corpus pass, so document text never enters a shuffle.
+    """
+    labels_df = connected_components(
+        dedup_jaccard_pairs(sf_dir, threshold)
+    ).to_pandas()  # small side: clustered docs only
+    label_map = (
+        dict(zip(labels_df["doc_id"], labels_df["cluster_id"]))
+        if len(labels_df)
+        else {}
+    )
+    ref = ray.put(label_map)
+
+    class AssignCluster:
+        def __init__(self, label_ref):
+            self.labels = (
+                ray.get(label_ref)
+                if isinstance(label_ref, ray.ObjectRef)
+                else label_ref
+            )
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            cluster = np.array(
+                [self.labels.get(int(i), int(i)) for i in ids], dtype=np.int64
+            )
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array(ids, type=pa.int64()),
+                    "cluster_id": pa.array(cluster, type=pa.int64()),
+                    "keep": pa.array((ids == cluster).astype(np.int64)),
+                }
+            )
+
+    docs = _read_documents(sf_dir, ["doc_id"])
+    return docs.map_batches(
+        AssignCluster,
+        fn_constructor_kwargs={"label_ref": ref},
+        batch_format="pyarrow",
+        batch_size=65536,
+        concurrency=2,
+    )
+
+
+DEDUP_CLUSTERS_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.toks, b.toks)) * 1.0 /
+           (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jacc
+    FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents) a
+    JOIN (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents) b
+      ON a.doc_id < b.doc_id
+  ) WHERE ROUND(jacc, 5) >= 0.9
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), reach(u, v) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id, MIN(v) AS cluster_id,
+       CAST(u = MIN(v) AS BIGINT) AS keep
+FROM reach GROUP BY u
+"""
+
+
 # ------------------------------------------------------ embedding near-dup
 
 def dedup_embedding_pairs(sf_dir: str, threshold: float = 0.35):

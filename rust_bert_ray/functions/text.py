@@ -174,6 +174,50 @@ def q_lang_id(sf_dir: str):
     )
 
 
+# ------------------------------------------------------- tokenize + decode
+
+class WordPieceRoundTrip:
+    """documents → encode → id-space → decode round-trip (the reference's
+    tokenize / decode pair, common.rs:1332-1466).  Stateful actor stage:
+    the vocab loads once per actor in ``__init__``."""
+
+    def __init__(self, lower_case: bool = False):
+        from rust_bert_ray.tokenization import WordPieceTokenizer
+
+        self.tokenizer = WordPieceTokenizer(lower_case=lower_case)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tk = self.tokenizer
+        n_pieces, n_unk, decoded, roundtrip = [], [], [], []
+        for text in batch.column("text").to_pylist():
+            enc = tk.encode(text)
+            full = tk.build_with_special_tokens(enc)
+            out = tk.decode(
+                full.ids, skip_special_tokens=True, clean_up_tokenization_spaces=True
+            )
+            n_pieces.append(len(enc.ids))
+            n_unk.append(sum(1 for i in enc.ids if i == tk.unk_id))
+            decoded.append(out)
+            roundtrip.append(int(out == text))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_pieces": pa.array(n_pieces, type=pa.int64()),
+                "n_unk": pa.array(n_unk, type=pa.int64()),
+                "decoded": pa.array(decoded, type=pa.string()),
+                "roundtrip": pa.array(roundtrip, type=pa.int64()),
+            }
+        )
+
+
+def q_decode(sf_dir: str):
+    """WordPiece encode→decode round-trip over every document."""
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+    return docs.map_batches(
+        WordPieceRoundTrip, batch_format="pyarrow", batch_size=65536, concurrency=2
+    )
+
+
 # ----------------------------------------------------------- fingerprints
 
 def q_fingerprints(sf_dir: str, shingle: int = 8):

@@ -141,9 +141,13 @@ class HashEmbedder:
     (sentence_embeddings/mod.rs:64).
     """
 
-    def __init__(self, dim: int = 64, pooling: str = "mean"):
+    def __init__(self, dim: int = 64, pooling: str = "mean", dense=None):
+        # ``dense``: optional decode.pooling.Dense projection applied
+        # between pooling and L2 normalization (the sentence-transformers
+        # module order the reference follows, pipeline.rs:372-417)
         self.dim = dim
         self.pooling = pooling
+        self.dense = dense
 
     def _word_vec(self, word: str) -> np.ndarray:
         v = np.zeros(self.dim, dtype=np.float64)
@@ -153,18 +157,24 @@ class HashEmbedder:
             v[_crc(g) % self.dim] += 1.0
         return v
 
+    @property
+    def out_dim(self) -> int:
+        return self.dim if self.dense is None else self.dense.weight.shape[0]
+
     def embed(self, text: str) -> np.ndarray:
         words = text.split()
         if not words:
-            return np.zeros(self.dim, dtype=np.float32)
+            return np.zeros(self.out_dim, dtype=np.float32)
         token_emb = np.stack([self._word_vec(w) for w in words])
         mask = np.ones(len(words))
         pooled = pool(token_emb, mask, self.pooling)
+        if self.dense is not None:
+            pooled = self.dense(pooled)
         return l2_normalize(pooled[None, :])[0].astype(np.float32)
 
     def embed_batch(self, texts: list[str]) -> np.ndarray:
         if not texts:
-            return np.zeros((0, self.dim), dtype=np.float32)
+            return np.zeros((0, self.out_dim), dtype=np.float32)
         return np.stack([self.embed(t) for t in texts])
 
 

@@ -137,6 +137,70 @@ FROM documents
 """
 
 
+class ZeroShotMultiLabelStage(ZeroShotStage):
+    """Zero-shot **multilabel**: each (premise, hypothesis) pair is scored
+    independently by a softmax over its (contradiction, entailment) logits
+    and the entailment probability is returned for EVERY label
+    (zero_shot_classification.rs:983-1031: ``output.slice(-1, 0, 3, 2)
+    .softmax(-1).select(-1, -1)`` — no argmax across labels, no
+    threshold).  softmax([c, e])[1] == sigmoid(e − c).
+
+    Deterministic backend: entailment logit = keyword count, contradiction
+    logit = ``bias`` — so score = sigmoid(count − bias).
+    """
+
+    def __init__(self, labels: list[str] | None = None, template=None,
+                 bias: float = 2.0):
+        super().__init__(labels, template)
+        self.bias = bias
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from rust_bert_ray.functions.util import round_ha
+
+        texts = batch.column("text")
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        counts = np.stack(
+            [_count_terms(texts, kws) for kws in self.keywords], axis=1
+        ).astype(np.float64)
+        # per-pair two-way softmax == sigmoid(entailment − contradiction)
+        scores = 1.0 / (1.0 + np.exp(-(counts - self.bias)))
+        n = len(doc_ids)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(np.repeat(doc_ids, len(self.labels)),
+                                   type=pa.int64()),
+                "label": pa.array(self.labels * n, type=pa.string()),
+                "score": pa.array(
+                    round_ha(scores.reshape(-1), 5), type=pa.float64()
+                ),
+            }
+        )
+
+
+# per-pair sigmoid(count − 2), every (doc, label) emitted
+ZERO_SHOT_MULTI_SQL = """
+SELECT doc_id, label, ROUND(1 / (1 + EXP(-(c - 2.0))), 5) AS score FROM (
+  SELECT doc_id, 'querying' AS label,
+         (length(text) - length(replace(text, 'join', ''))) // 4
+       + (length(text) - length(replace(text, 'filter', ''))) // 6
+       + (length(text) - length(replace(text, 'sort', ''))) // 4 AS c
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'storage',
+         (length(text) - length(replace(text, 'table', ''))) // 5
+       + (length(text) - length(replace(text, 'row', ''))) // 3
+       + (length(text) - length(replace(text, 'column', ''))) // 6
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'streaming',
+         (length(text) - length(replace(text, 'stream', ''))) // 6
+       + (length(text) - length(replace(text, 'window', ''))) // 6
+       + (length(text) - length(replace(text, 'batch', ''))) // 5
+  FROM documents
+)
+"""
+
+
 class MultiLabelStage:
     """Multilabel sequence classification: sigmoid(logit) ≥ threshold per
     label, independently (sequence_classification.rs:799-848 semantics —

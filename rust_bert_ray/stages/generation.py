@@ -112,6 +112,18 @@ class GenerateOptions:
     early_stopping: bool = True
     seed: int = 42
     prefix_allowed_tokens_fn: Optional[Callable[[list[str]], list[str]]] = None
+    # CTRL-style repetition penalty (generation_utils.rs:476-507): logits of
+    # already-seen tokens are multiplied (if negative) / divided (if
+    # positive) by the penalty.  1.0 = off.
+    repetition_penalty: float = 1.0
+    # Diverse beam search (generation_utils.rs:615-648): beams split into
+    # groups; each group's logits are penalized by diversity_penalty ×
+    # (count of tokens already chosen by earlier groups at this step).
+    num_beam_groups: int = 1
+    diversity_penalty: float = 0.0
+    # Forced decoder BOS (translation_pipeline.rs:1239-1263): the FIRST
+    # generated token is pinned (MBart/M2M100/NLLB target-language token).
+    forced_bos_token: Optional[str] = None
 
 
 @dataclass
@@ -153,8 +165,25 @@ class Generator:
     def __init__(self, lm: DeterministicLM | None = None):
         self.lm = lm if lm is not None else DeterministicLM()
 
-    def _step_logits(self, tokens: list[str], opts: GenerateOptions) -> np.ndarray:
+    def _step_logits(
+        self, tokens: list[str], opts: GenerateOptions, n_generated: int = -1
+    ) -> np.ndarray:
         logits = self.lm.logits(tokens)
+        if opts.forced_bos_token is not None and n_generated == 0:
+            # pin the first generated token (forced decoder BOS)
+            want = self.lm.vocab.index(opts.forced_bos_token)
+            logits = np.full_like(logits, -np.inf)
+            logits[want] = 0.0
+            return logits
+        if opts.repetition_penalty != 1.0:
+            seen = set(tokens)
+            for i, tok in enumerate(self.lm.vocab):
+                if tok in seen:
+                    logits[i] = (
+                        logits[i] * opts.repetition_penalty
+                        if logits[i] < 0
+                        else logits[i] / opts.repetition_penalty
+                    )
         if opts.min_length and len(tokens) < opts.min_length:
             logits[self.lm.eos_id] = -np.inf
         if opts.no_repeat_ngram_size:
@@ -172,7 +201,9 @@ class Generator:
     def generate(self, prompt: str, opts: GenerateOptions | None = None) -> str:
         opts = opts or GenerateOptions()
         prompt_tokens = prompt.split() if prompt else []
-        if opts.num_beams > 1:
+        if opts.num_beams > 1 and opts.num_beam_groups > 1:
+            out = self._beam_grouped(prompt_tokens, opts)
+        elif opts.num_beams > 1:
             out = self._beam(prompt_tokens, opts)
         else:
             out = self._greedy_or_sample(prompt_tokens, opts)
@@ -181,8 +212,8 @@ class Generator:
     def _greedy_or_sample(self, prompt: list[str], opts: GenerateOptions) -> list[str]:
         rng = np.random.default_rng(opts.seed)
         tokens = list(prompt)
-        for _ in range(opts.max_length):
-            logits = self._step_logits(tokens, opts)
+        for step in range(opts.max_length):
+            logits = self._step_logits(tokens, opts, n_generated=step)
             if opts.do_sample:
                 logits = top_k_top_p_filter(
                     logits / max(opts.temperature, 1e-9), opts.top_k, opts.top_p
@@ -205,7 +236,7 @@ class Generator:
         for _step in range(opts.max_length):
             candidates: list[_Hyp] = []
             for h in beams:
-                logits = self._step_logits(h.tokens, opts)
+                logits = self._step_logits(h.tokens, opts, n_generated=_step)
                 logp = logits - np.log(np.exp(logits - logits.max()).sum()) - logits.max()
                 # top 2×beams successors per beam (reference keeps 2×beams)
                 for idx in np.argsort(-logp)[: 2 * opts.num_beams]:
@@ -231,6 +262,79 @@ class Generator:
         for h in beams:
             done.add(h)
         best = done.hyps[0][1]
+        return best.tokens[len(prompt) :]
+
+    def _beam_grouped(self, prompt: list[str], opts: GenerateOptions) -> list[str]:
+        """Diverse beam search (generation_utils.rs:615-648 semantics):
+        ``num_beams`` split into ``num_beam_groups`` groups decoded in
+        order within each step; group g's logits are penalized by
+        ``diversity_penalty × count(token chosen by groups < g at this
+        step)`` — the hamming diversity penalty.  Each group keeps its own
+        ``BeamHypotheses``; the global best across groups wins."""
+        if opts.num_beams % opts.num_beam_groups != 0:
+            raise ValueError(
+                f"num_beams ({opts.num_beams}) must be divisible by "
+                f"num_beam_groups ({opts.num_beam_groups})"
+            )
+        n_groups = opts.num_beam_groups
+        group_size = opts.num_beams // n_groups
+        vocab_index = {tok: i for i, tok in enumerate(self.lm.vocab)}
+        groups: list[list[_Hyp]] = [[_Hyp(list(prompt), 0.0)] for _ in range(n_groups)]
+        done = [
+            BeamHypotheses(group_size, opts.length_penalty, opts.early_stopping)
+            for _ in range(n_groups)
+        ]
+        for _step in range(opts.max_length):
+            step_counts: dict[str, int] = {}
+            any_alive = False
+            for gi in range(n_groups):
+                beams = groups[gi]
+                if not beams:
+                    continue
+                candidates: list[_Hyp] = []
+                for h in beams:
+                    logits = self._step_logits(h.tokens, opts, n_generated=_step)
+                    if gi > 0 and opts.diversity_penalty > 0.0:
+                        for tok, cnt in step_counts.items():
+                            logits[vocab_index[tok]] -= opts.diversity_penalty * cnt
+                    logp = (
+                        logits
+                        - np.log(np.exp(logits - logits.max()).sum())
+                        - logits.max()
+                    )
+                    for idx in np.argsort(-logp)[: 2 * group_size]:
+                        tok = self.lm.vocab[int(idx)]
+                        candidates.append(
+                            _Hyp(h.tokens + [tok], h.logp + float(logp[idx]))
+                        )
+                candidates.sort(key=lambda h: -h.logp)
+                new_beams: list[_Hyp] = []
+                for c in candidates:
+                    if c.tokens[-1] == EOS:
+                        done[gi].add(_Hyp(c.tokens[:-1], c.logp))
+                    else:
+                        new_beams.append(c)
+                    if len(new_beams) >= group_size:
+                        break
+                for b in new_beams:
+                    last = b.tokens[-1]
+                    step_counts[last] = step_counts.get(last, 0) + 1
+                groups[gi] = new_beams
+                if new_beams:
+                    best_possible = max(h.logp for h in new_beams) / max(
+                        1, len(new_beams[0].tokens)
+                    ) ** opts.length_penalty
+                    if done[gi].is_done(best_possible):
+                        groups[gi] = []
+                    else:
+                        any_alive = True
+            if not any_alive:
+                break
+        for gi in range(n_groups):
+            for h in groups[gi]:
+                done[gi].add(h)
+        finished = [d.hyps[0] for d in done if d.hyps]
+        best = max(finished, key=lambda t: t[0])[1]
         return best.tokens[len(prompt) :]
 
 
@@ -281,20 +385,111 @@ class SummarizationStage(TextGenerationStage):
         return self.PREFIX + " ".join(text.split()[: self.prompt_words])
 
 
-class TranslationStage(TextGenerationStage):
-    """Marian-style ``>>xx<<`` target-language prefix with validation
-    (translation_pipeline.rs:1479-1496)."""
+# (iso639-1, English name, NLLB code) for the supported language set
+LANGUAGES = {
+    "en": ("English", "eng_Latn"),
+    "fr": ("French", "fra_Latn"),
+    "de": ("German", "deu_Latn"),
+    "es": ("Spanish", "spa_Latn"),
+    "zh": ("ChineseMandarin", "zho_Hans"),
+}
 
-    SUPPORTED = {"fr", "de", "es", "zh"}
 
-    def __init__(self, target_lang: str, opts: GenerateOptions | None = None):
-        if target_lang not in self.SUPPORTED:
+def get_prefix_and_forced_bos(
+    model_type: str,
+    source_lang: str | None,
+    target_lang: str | None,
+    supported_source: set[str],
+    supported_target: set[str],
+) -> tuple[str | None, str | None]:
+    """Per-family source prefix + forced decoder-BOS token, mirroring
+    ``get_prefix_and_forced_bos_id`` (common.rs:1570-1725):
+
+    - marian: multi-target models take a ``>>xx<< `` TEXT prefix, no BOS;
+    - t5: ``translate {Source} to {Target}:`` task prefix, no BOS;
+    - mbart50: ``>>src<< `` prefix + forced BOS ``>>tgt<<``;
+    - m2m100: ``>>src.<< `` prefix (2-letter codes carry the dot) +
+      forced BOS ``>>tgt.<<``;
+    - nllb: NLLB source code as prefix + forced BOS of the target code.
+    Language validation errors mirror the reference's ValueError paths.
+    """
+    for lang, pool, side in (
+        (source_lang, supported_source, "source"),
+        (target_lang, supported_target, "target"),
+    ):
+        if lang is not None and lang not in pool:
             raise ValueError(
-                f"unsupported target language {target_lang!r}; "
-                f"supported: {sorted(self.SUPPORTED)}"
+                f"{lang} not in list of supported {side} languages: {sorted(pool)}"
             )
-        super().__init__(opts or GenerateOptions(max_length=12, num_beams=1))
-        self.prefix = f">>{target_lang}<< "
+
+    def need(lang: str | None, side: str) -> str:
+        if lang is None:
+            raise ValueError(f"Missing {side} language for {model_type}")
+        return lang
+
+    if model_type == "marian":
+        if len(supported_target) > 1:
+            return f">>{need(target_lang, 'target')}<< ", None
+        return None, None
+    if model_type == "t5":
+        return (
+            f"translate {LANGUAGES[need(source_lang, 'source')][0]} "
+            f"to {LANGUAGES[need(target_lang, 'target')][0]}:",
+            None,
+        )
+    if model_type == "mbart50":
+        return (
+            f">>{need(source_lang, 'source')}<< ",
+            f">>{need(target_lang, 'target')}<<",
+        )
+    if model_type == "m2m100":
+        # 2-letter iso codes carry a trailing dot in the token
+        src = need(source_lang, "source")
+        tgt = need(target_lang, "target")
+        dot = lambda c: f">>{c}.<<" if len(c) == 2 else f">>{c}<<"  # noqa: E731
+        return dot(src) + " ", dot(tgt)
+    if model_type == "nllb":
+        return (
+            LANGUAGES[need(source_lang, "source")][1] + " ",
+            LANGUAGES[need(target_lang, "target")][1],
+        )
+    raise ValueError(f"unknown translation model type {model_type!r}")
+
+
+class TranslationStage(TextGenerationStage):
+    """Translation across the reference's model families: Marian text
+    prefix, T5 task prefix, and the MBart50/M2M100/NLLB forced-BOS path
+    (translation_pipeline.rs:1479-1496 + common.rs:1570-1725).  The
+    forced-BOS token is pinned as the first generated token, exactly as
+    ``GenerateOptions { forced_bos_token_id }`` does in the reference."""
+
+    SUPPORTED = set(LANGUAGES) - {"en"}
+
+    def __init__(
+        self,
+        target_lang: str,
+        source_lang: str = "en",
+        model_type: str = "marian",
+        opts: GenerateOptions | None = None,
+    ):
+        prefix, forced_bos = get_prefix_and_forced_bos(
+            model_type,
+            source_lang,
+            target_lang,
+            supported_source={"en"},
+            supported_target=self.SUPPORTED,
+        )
+        opts = opts or GenerateOptions(max_length=12, num_beams=1)
+        if forced_bos is not None:
+            opts = GenerateOptions(**{**opts.__dict__, "forced_bos_token": forced_bos})
+        super().__init__(opts)
+        if forced_bos is not None:
+            # the language token must be id-resolvable (convert_tokens_to_ids)
+            lm = DeterministicLM()
+            lm.vocab = lm.vocab[:-1] + [forced_bos, EOS]
+            lm.eos_id = len(lm.vocab) - 1
+            self.generator = Generator(lm)
+        self.prefix = prefix or ""
 
     def _prompt(self, text: str) -> str:
         return self.prefix + " ".join(text.split()[: self.prompt_words])

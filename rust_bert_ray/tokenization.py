@@ -126,3 +126,173 @@ class SubwordTokenizer:
             word_indices=[-1, *enc.word_indices, -1],
             words=enc.words,
         )
+
+
+# --------------------------------------------------------------- WordPiece
+
+DEFAULT_VOCAB_PATH = __file__.rsplit("/", 1)[0] + "/data/wordpiece_vocab.txt"
+
+PAD_TOKEN, UNK_TOKEN, CLS_TOKEN, SEP_TOKEN, MASK_TOKEN_WP = (
+    "[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+)
+SPECIAL_TOKENS = {PAD_TOKEN, UNK_TOKEN, CLS_TOKEN, SEP_TOKEN, MASK_TOKEN_WP}
+
+
+def load_vocab(path: str = DEFAULT_VOCAB_PATH) -> dict[str, int]:
+    """piece → id, by file line number (the standard vocab.txt layout the
+    reference's BertTokenizer consumes, common.rs:1332-1396)."""
+    vocab: dict[str, int] = {}
+    with open(path, encoding="utf-8") as f:
+        for i, line in enumerate(f):
+            vocab[line.rstrip("\n")] = i
+    return vocab
+
+
+class WordPieceTokenizer:
+    """Real greedy longest-match-first WordPiece over a bundled vocab.
+
+    Same interface contract as ``SubwordTokenizer`` (ids, char offsets,
+    masks, word_indices) so it drops into the injectable-tokenizer slot
+    of every stage; additionally implements the id→text ``decode`` +
+    cleanup path (/root/reference/src/pipelines/common.rs:1397-1466 —
+    the reference delegates to rust_tokenizers' decode with
+    ``skip_special_tokens`` / ``clean_up_tokenization_spaces``).
+
+    Words whose greedy match dead-ends become a single [UNK] covering
+    the whole word span (standard WordPiece ``is_bad`` semantics); the
+    bundled vocab carries an ascii char + ##char alphabet so this only
+    happens for non-ascii-alphabet words.
+    """
+
+    def __init__(
+        self,
+        vocab_path: str = DEFAULT_VOCAB_PATH,
+        lower_case: bool = False,
+        max_input_chars_per_word: int = 100,
+        cache_cap: int = 500_000,
+    ):
+        self.vocab = load_vocab(vocab_path)
+        self.inv_vocab = {i: p for p, i in self.vocab.items()}
+        self.unk_id = self.vocab[UNK_TOKEN]
+        self.cls_id = self.vocab[CLS_TOKEN]
+        self.sep_id = self.vocab[SEP_TOKEN]
+        self.special_ids = {self.vocab[t] for t in SPECIAL_TOKENS if t in self.vocab}
+        self.lower_case = lower_case
+        self.max_input_chars_per_word = max_input_chars_per_word
+        self._word_cache: dict[str, tuple[list[int], list[int], list[int]]] = {}
+        self._cache_cap = cache_cap
+
+    def _encode_word(self, word: str) -> tuple[list[int], list[int], list[int]]:
+        """→ (piece ids, piece char-lengths, piece masks); greedy
+        longest-match-first; [UNK] spans the whole word on dead-end."""
+        cached = self._word_cache.get(word)
+        if cached is not None:
+            return cached
+        if len(word) > self.max_input_chars_per_word:
+            out = ([self.unk_id], [len(word)], [MASK_NONE])
+        else:
+            ids: list[int] = []
+            lengths: list[int] = []
+            masks: list[int] = []
+            pos = 0
+            bad = False
+            while pos < len(word):
+                end = len(word)
+                cur_id = None
+                while pos < end:
+                    sub = word[pos:end]
+                    if pos > 0:
+                        sub = "##" + sub
+                    pid = self.vocab.get(sub)
+                    if pid is not None:
+                        cur_id = pid
+                        break
+                    end -= 1
+                if cur_id is None:
+                    bad = True
+                    break
+                ids.append(cur_id)
+                lengths.append(end - pos)
+                masks.append(MASK_NONE if pos == 0 else MASK_CONTINUATION)
+                pos = end
+            out = (
+                ([self.unk_id], [len(word)], [MASK_NONE]) if bad
+                else (ids, lengths, masks)
+            )
+        if len(self._word_cache) < self._cache_cap:
+            self._word_cache[word] = out
+        return out
+
+    def encode(self, text: str) -> EncodedText:
+        ids: list[int] = []
+        offsets: list[Optional[tuple[int, int]]] = []
+        masks: list[int] = []
+        word_indices: list[int] = []
+        words: list[str] = []
+        for w_idx, m in enumerate(_WORD_RE.finditer(text)):
+            begin = m.start()
+            word = m.group(0)
+            if self.lower_case:
+                word = word.lower()
+            words.append(word)
+            w_ids, w_lens, w_masks = self._encode_word(word)
+            ids.extend(w_ids)
+            masks.extend(w_masks)
+            pos = begin
+            for ln in w_lens:
+                offsets.append((pos, pos + ln))
+                word_indices.append(w_idx)
+                pos += ln
+        return EncodedText(
+            ids=ids, offsets=offsets, masks=masks, word_indices=word_indices,
+            words=words,
+        )
+
+    def build_with_special_tokens(self, enc: EncodedText) -> EncodedText:
+        return EncodedText(
+            ids=[self.cls_id, *enc.ids, self.sep_id],
+            offsets=[None, *enc.offsets, None],
+            masks=[MASK_SPECIAL, *enc.masks, MASK_SPECIAL],
+            word_indices=[-1, *enc.word_indices, -1],
+            words=enc.words,
+        )
+
+    # ----------------------------------------------------------- decode
+
+    def convert_ids_to_tokens(self, ids: list[int]) -> list[str]:
+        return [self.inv_vocab.get(i, UNK_TOKEN) for i in ids]
+
+    def decode(
+        self,
+        ids: list[int],
+        skip_special_tokens: bool = True,
+        clean_up_tokenization_spaces: bool = True,
+    ) -> str:
+        """ids → text (common.rs:1397-1412 contract): join pieces, fusing
+        ``##`` continuations; optional special-token skip + cleanup."""
+        parts: list[str] = []
+        for i in ids:
+            if skip_special_tokens and i in self.special_ids:
+                continue
+            piece = self.inv_vocab.get(i, UNK_TOKEN)
+            if piece.startswith("##") and parts:
+                parts[-1] += piece[2:]
+            else:
+                parts.append(piece)
+        text = " ".join(parts)
+        if clean_up_tokenization_spaces:
+            text = clean_up_tokenization(text)
+        return text
+
+
+def clean_up_tokenization(text: str) -> str:
+    """The standard decode cleanup (rust_tokenizers / common.rs:1413-1466
+    behavior): re-attach punctuation and English contractions that the
+    whitespace join detached."""
+    for src, dst in (
+        (" .", "."), (" ?", "?"), (" !", "!"), (" ,", ","),
+        (" ' ", "'"), (" n't", "n't"), (" 'm", "'m"), (" 's", "'s"),
+        (" 've", "'ve"), (" 're", "'re"),
+    ):
+        text = text.replace(src, dst)
+    return text

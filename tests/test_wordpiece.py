@@ -1,0 +1,101 @@
+"""WordPiece tokenizer: greedy longest-match, char offsets, decode+cleanup,
+and drop-in substitution into the NER stage's injectable tokenizer slot."""
+
+import pyarrow as pa
+import pytest
+
+from rust_bert_ray.corpus import GAZETTEER, generate
+from rust_bert_ray.stages.ner import NerStage
+from rust_bert_ray.tokenization import (
+    MASK_CONTINUATION,
+    MASK_NONE,
+    MASK_SPECIAL,
+    WordPieceTokenizer,
+    clean_up_tokenization,
+)
+
+REF_SENTENCES = [
+    "My name is Amy. I live in Paris.",
+    "Paris is a city in France.",
+    "Asked John Smith about Acme Corp",
+    "Let's go to New York!",
+]
+
+
+@pytest.fixture(scope="module")
+def tk():
+    return WordPieceTokenizer()
+
+
+def test_greedy_longest_match_prefers_whole_words(tk):
+    enc = tk.encode("Paris is a city in France.")
+    toks = tk.convert_ids_to_tokens(enc.ids)
+    assert toks == ["Paris", "is", "a", "city", "in", "France", "."]
+    assert all(m == MASK_NONE for m in enc.masks)
+
+
+def test_continuation_pieces_and_masks(tk):
+    enc = tk.encode("zzz")  # not in vocab → char pieces
+    toks = tk.convert_ids_to_tokens(enc.ids)
+    assert toks == ["z", "##z", "##z"]
+    assert enc.masks == [MASK_NONE, MASK_CONTINUATION, MASK_CONTINUATION]
+    assert enc.offsets == [(0, 1), (1, 2), (2, 3)]
+
+
+def test_char_offsets_slice_source(tk):
+    for text in REF_SENTENCES:
+        enc = tk.encode(text)
+        for (b, e), tok in zip(enc.offsets, tk.convert_ids_to_tokens(enc.ids)):
+            raw = tok[2:] if tok.startswith("##") else tok
+            assert text[b:e] == raw or tok == "[UNK]"
+
+
+def test_unk_covers_whole_word(tk):
+    enc = tk.encode("naïve")  # 'ï' not in the ascii alphabet → dead-end
+    toks = tk.convert_ids_to_tokens(enc.ids)
+    assert toks == ["[UNK]"]
+    assert enc.offsets == [(0, 5)]
+
+
+def test_special_token_assembly(tk):
+    enc = tk.build_with_special_tokens(tk.encode("Paris"))
+    assert enc.ids[0] == tk.cls_id and enc.ids[-1] == tk.sep_id
+    assert enc.masks[0] == MASK_SPECIAL and enc.masks[-1] == MASK_SPECIAL
+    assert enc.offsets[0] is None and enc.offsets[-1] is None
+    # standard BERT vocab layout: [CLS]=101, [SEP]=102
+    assert (tk.cls_id, tk.sep_id) == (101, 102)
+
+
+def test_decode_roundtrip_reference_sentences(tk):
+    for text in REF_SENTENCES:
+        full = tk.build_with_special_tokens(tk.encode(text))
+        assert tk.decode(full.ids) == text
+
+
+def test_decode_keeps_specials_when_asked(tk):
+    full = tk.build_with_special_tokens(tk.encode("Paris"))
+    assert tk.decode(full.ids, skip_special_tokens=False) == "[CLS] Paris [SEP]"
+
+
+def test_cleanup_rules():
+    assert clean_up_tokenization("do n't stop") == "don't stop"
+    assert clean_up_tokenization("it 's here , now .") == "it's here, now."
+    assert clean_up_tokenization("they 've , we 're") == "they've, we're"
+
+
+def test_ner_stage_with_wordpiece_backend_matches_default(tk):
+    """The injectable-tokenizer slot: swapping the synthetic splitter for
+    real WordPiece must not change the decoded entities (both produce
+    word-aligned pieces; the decode algebra is tokenizer-agnostic)."""
+    docs, _ = generate(40)
+    default_out = NerStage(gazetteer=GAZETTEER)(docs)
+    wp_out = NerStage(gazetteer=GAZETTEER, tokenizer=tk)(docs)
+
+    def ents(t: pa.Table):
+        return [
+            [(e["word"], e["label"], e["begin"], e["end"]) for e in row]
+            for row in t.column("entities").to_pylist()
+        ]
+
+    assert ents(default_out) == ents(wp_out)
+    assert any(ents(default_out))  # non-trivial corpus
