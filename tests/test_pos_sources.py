@@ -138,3 +138,48 @@ def test_squad_reader_composes_with_qa_stage(tmp_path):
     # FIXTURES.md §3.4: answer "Amsterdam", char span [13, 22)
     assert out[0]["answer"] == "Amsterdam"
     assert (out[0]["start"], out[0]["end"]) == (13, 22)
+
+
+def test_sst2_reader(tmp_path, ray_session):
+    from rust_bert_ray.sources.sst2 import read_sst2
+
+    p = tmp_path / "train.tsv"
+    p.write_text("sentence\tlabel\nthis is fast\t1\nso very slow\t0\n")
+    ds = read_sst2(str(p))
+    rows = ds.to_pandas()
+    assert list(rows.columns) == ["sentence", "label"]
+    assert sorted(rows["sentence"].tolist()) == ["so very slow", "this is fast"]
+
+
+def test_sst2_reader_composes_with_sentiment(tmp_path, ray_session):
+    import pyarrow as pa
+
+    from rust_bert_ray.sources.sst2 import read_sst2
+    from rust_bert_ray.stages.classify import SentimentStage
+
+    p = tmp_path / "dev.tsv"
+    p.write_text("sentence\tlabel\nfast fast small\t1\nslow big big\t0\n")
+
+    def adapt(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"doc_id": list(range(t.num_rows)), "text": t.column("sentence")}
+        )
+
+    out = (
+        read_sst2(str(p), include_labels=False)
+        .map_batches(adapt, batch_format="pyarrow")
+        .map_batches(SentimentStage, batch_format="pyarrow", concurrency=1)
+        .to_pandas()
+    )
+    assert sorted(out["label"].tolist()) == ["negative", "positive"]
+
+
+def test_sst2_reader_rejects_wrong_schema(tmp_path, ray_session):
+    import pytest as _pytest
+
+    from rust_bert_ray.sources.sst2 import read_sst2
+
+    p = tmp_path / "bad.tsv"
+    p.write_text("a\tb\n1\t2\n")
+    with _pytest.raises(ValueError, match="sentence"):
+        read_sst2(str(p))
