@@ -477,6 +477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_pairs": dedup.dedup_minhash_pairs,
         "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
         "dedup_embedding_pairs": dedup.dedup_embedding_pairs,
+        "dedup_embedding_lsh_pairs": dedup.dedup_embedding_lsh_pairs,
         "dedup_clusters": dedup.dedup_clusters,
         # --- similarity search (embeddings) ---
         "ann_topk": similarity.ann_topk,
@@ -515,7 +516,7 @@ GROUP BY s.kind
             "qa_answers",
             "q_lang_id", "q_decode", "q_fingerprints", "kg_nodes", "kg_edges",
             "kg_media_features", "dedup_minhash_pairs", "dedup_simhash_pairs",
-            "ann_lsh_topk", "ann_ivf_topk",
+            "dedup_embedding_lsh_pairs", "ann_lsh_topk", "ann_ivf_topk",
         )
     }
 

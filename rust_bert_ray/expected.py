@@ -33,7 +33,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 EXPECTED_ROOT = "/tmp/rbr_expected"
-VERSION = 4  # bump whenever any builder's semantics change
+VERSION = 5  # bump whenever any builder's semantics change
 
 
 # ------------------------------------------------------------ input helpers
@@ -382,6 +382,49 @@ def dedup_simhash_pairs(
     )
 
 
+def dedup_embedding_lsh_pairs(
+    sf_dir: str,
+    corpus_root: str,
+    threshold: float = 0.35,
+    n_bits: int = 8,
+    n_tables: int = 8,
+    bucket_cap: int = 2000,
+) -> pa.Table:
+    from rust_bert_ray.functions.similarity import _srp_hash, _srp_planes
+    from rust_bert_ray.functions.util import round_ha
+
+    t = _embeddings(sf_dir)
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+    M = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+    pairs: dict[tuple[int, int], float] = {}
+    for tab in range(n_tables):
+        srp = _srp_hash(_srp_planes(M.shape[1], n_bits, seed=11 + tab), M)
+        order = np.lexsort((ids, srp))
+        groups: dict[int, list[int]] = {}
+        for i in order:
+            groups.setdefault(int(srp[i]), []).append(int(i))
+        for members in groups.values():
+            m = np.array(members[:bucket_cap])
+            if len(m) < 2:
+                continue
+            sub = Mn[m]
+            cos = sub @ sub.T
+            iu, ju = np.triu_indices(len(m), 1)
+            c = round_ha(cos[iu, ju], 5)
+            keep = c >= threshold
+            for i, j, v in zip(iu[keep], ju[keep], c[keep]):
+                pairs.setdefault((int(ids[m[i]]), int(ids[m[j]])), float(v))
+    rows = sorted(pairs.items())
+    return pa.Table.from_pydict(
+        {
+            "vec_a": pa.array([k[0] for k, _ in rows], type=pa.int64()),
+            "vec_b": pa.array([k[1] for k, _ in rows], type=pa.int64()),
+            "cos": pa.array([v for _, v in rows], type=pa.float64()),
+        }
+    )
+
+
 # ----------------------------------------------------- ANN (independent numpy)
 
 def _ann_common(sf_dir: str, query_vec_id: int = 0):
@@ -471,6 +514,7 @@ BUILDERS = {
     "kg_media_features": kg_media_features,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_simhash_pairs": dedup_simhash_pairs,
+    "dedup_embedding_lsh_pairs": dedup_embedding_lsh_pairs,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
 }

@@ -799,3 +799,97 @@ SELECT vec_a, vec_b, cos FROM (
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 ) WHERE cos >= 0.35
 """
+
+
+def dedup_embedding_lsh_pairs(
+    sf_dir: str,
+    threshold: float = 0.35,
+    n_bits: int = 8,
+    n_tables: int = 8,
+    bucket_cap: int = 2000,
+):
+    """Embedding near-dup pairs via multi-table sign-random-projection
+    LSH — the 10^12-vector scale path for ``dedup_embedding_pairs``.
+
+    Per batch each vector gets ``n_tables`` independent ``n_bits``-bit
+    SRP buckets (one matmul per table vs broadcast hyperplanes); the
+    all-to-all moves (table, bucket, vec_id, vector) rows — no n²
+    broadcast side.  Within each bucket, exact cosine verifies
+    candidates ≥ threshold; cross-table duplicates collapse in a final
+    bucketed dedupe.  Approximate — recall ≈ 1−(1−p^b)^T with
+    p = 1−θ/π — but every emitted pair is exact-verified.
+    """
+    from rust_bert_ray.functions.similarity import _srp_hash, _srp_planes
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    n_buckets = 32
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        A = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+        n = len(A)
+        tabs, srps = [], []
+        for tab in range(n_tables):
+            planes = _srp_planes(A.shape[1], n_bits, seed=11 + tab)
+            srps.append(_srp_hash(planes, A))
+            tabs.append(np.full(n, tab, dtype=np.int64))
+        srp = np.concatenate(srps)
+        tab = np.concatenate(tabs)
+        idx = np.tile(np.arange(n), n_tables)
+        return pa.Table.from_pydict(
+            {
+                "vec_id": t.column("vec_id").take(pa.array(idx)),
+                "embedding": t.column("embedding").take(pa.array(idx)),
+                "table": pa.array(tab, type=pa.int64()),
+                "srp": pa.array(srp, type=pa.int64()),
+                "_bucket": pa.array(
+                    (tab * 1_000_003 + srp) % n_buckets, type=pa.int64()
+                ),
+            }
+        )
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["table", "srp", "vec_id"])
+        tab = df["table"].to_numpy()
+        srp = df["srp"].to_numpy()
+        ids = df["vec_id"].to_numpy()
+        M = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+        boundaries = np.flatnonzero((np.diff(tab) != 0) | (np.diff(srp) != 0)) + 1
+        starts = np.concatenate(([0], boundaries))
+        ends = np.concatenate((boundaries, [len(df)]))
+        out_a, out_b, out_cos = [], [], []
+        for s, e in zip(starts, ends):
+            n = min(e - s, bucket_cap)
+            if n < 2:
+                continue
+            sub = M[s : s + n]
+            cos = sub @ sub.T
+            iu, ju = np.triu_indices(n, 1)
+            c = round_ha(cos[iu, ju], 5)
+            keep = c >= threshold
+            sl = ids[s : s + n]
+            out_a.append(sl[iu[keep]])
+            out_b.append(sl[ju[keep]])
+            out_cos.append(c[keep])
+        if out_a:
+            a = np.concatenate(out_a)
+            b = np.concatenate(out_b)
+            c = np.concatenate(out_cos)
+        else:
+            a = b = np.empty(0, dtype=np.int64)
+            c = np.empty(0, dtype=np.float64)
+        out = pd.DataFrame({"vec_a": a, "vec_b": b, "cos": c})
+        out["_pbucket"] = (out["vec_a"] * 1_000_003 + out["vec_b"]) % n_buckets
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    pairs = (
+        emb.map_batches(add_bucket, batch_format="pyarrow", batch_size=8192)
+        .groupby("_bucket", num_partitions=16)
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    return pairs.groupby("_pbucket", num_partitions=16).map_groups(
+        lambda df: df.drop_duplicates(["vec_a", "vec_b"])[["vec_a", "vec_b", "cos"]],
+        batch_format="pandas",
+    )

@@ -56,9 +56,20 @@ FROM documents
 
 # ----------------------------------------------------------- quality score
 
+# quality-filter stopword probe (subset of the documents-table vocab so
+# the ratio is non-trivial on the synthetic corpus)
+QUALITY_STOPWORDS = ["a", "the"]
+
+
 def q_doc_quality(sf_dir: str):
-    """Per-document quality features: token count + mean token length."""
+    """Per-document quality features: token count, mean token length,
+    distinct-token ratio (repetitiveness) and stopword ratio — the usual
+    heuristic quality filters of a training-data pipeline, fully
+    vectorized (Arrow split + is_in + reduceat; no Python row loop)."""
+    import numpy as np
+
     docs = _read_documents(sf_dir, ["doc_id", "text", "n_chars"])
+    sw = pa.array(QUALITY_STOPWORDS, type=pa.string())
 
     def fn(t: pa.Table) -> pa.Table:
         n_tokens = pc.cast(
@@ -67,15 +78,41 @@ def q_doc_quality(sf_dir: str):
         n_chars = pc.cast(pc.utf8_length(t.column("text")), pa.int64())
         # single-space separated → token chars = n_chars - (n_tokens - 1)
         token_chars = pc.subtract(n_chars, pc.subtract(n_tokens, 1))
+        nt_f = pc.cast(n_tokens, pa.float64())
         avg_len = pc_round_ha(
-            pc.divide(pc.cast(token_chars, pa.float64()), pc.cast(n_tokens, pa.float64())),
-            5,
+            pc.divide(pc.cast(token_chars, pa.float64()), nt_f), 5
+        )
+        # token lists once; per-row sums via reduceat over list offsets
+        toks = pc.split_pattern(t.column("text"), " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)[:-1]
+        flat = toks.values  # paired with .offsets (absolute indices)
+        is_sw = pc.is_in(flat, value_set=sw).to_numpy(zero_copy_only=False)
+        sw_counts = np.add.reduceat(is_sw.astype(np.int64), offsets)
+        nt = n_tokens.to_numpy(zero_copy_only=False)
+        from rust_bert_ray.functions.util import round_ha
+
+        # distinct ratio: unique tokens per row (sorted-run trick on the
+        # flat token array would need per-row sort; use pandas nunique on
+        # the exploded frame — still columnar, no Python loop)
+        import pandas as pd
+
+        row_ids = np.repeat(np.arange(len(nt)), nt)
+        distinct = (
+            pd.DataFrame({"r": row_ids, "t": flat.to_pandas()})
+            .groupby("r")["t"].nunique().to_numpy()
         )
         return pa.Table.from_pydict(
             {
                 "doc_id": t.column("doc_id"),
                 "n_tokens": n_tokens,
                 "avg_token_len": avg_len,
+                "distinct_ratio": pa.array(
+                    round_ha(distinct / nt, 5), type=pa.float64()
+                ),
+                "stopword_ratio": pa.array(
+                    round_ha(sw_counts / nt, 5), type=pa.float64()
+                ),
             }
         )
 
@@ -86,7 +123,12 @@ Q_DOC_QUALITY_SQL = """
 SELECT doc_id,
        length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
        ROUND((length(text) - (length(text) - length(replace(text, ' ', '')))) * 1.0
-             / (length(text) - length(replace(text, ' ', '')) + 1), 5) AS avg_token_len
+             / (length(text) - length(replace(text, ' ', '')) + 1), 5) AS avg_token_len,
+       ROUND(len(list_distinct(string_split(text, ' '))) * 1.0
+             / len(string_split(text, ' ')), 5) AS distinct_ratio,
+       ROUND(len(list_filter(string_split(text, ' '),
+                             t -> list_contains(['a', 'the'], t))) * 1.0
+             / len(string_split(text, ' ')), 5) AS stopword_ratio
 FROM documents
 """
 

@@ -1,0 +1,55 @@
+"""Connected-components / cluster-assignment unit tests (hash-to-min)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from rust_bert_ray.functions.dedup import connected_components
+
+
+def _pairs_ds(pairs):
+    t = pa.Table.from_pydict(
+        {
+            "doc_a": pa.array([a for a, _ in pairs], type=pa.int64()),
+            "doc_b": pa.array([b for _, b in pairs], type=pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(t)
+
+
+def _labels(pairs):
+    df = connected_components(_pairs_ds(pairs)).to_pandas()
+    return dict(zip(df["doc_id"], df["cluster_id"]))
+
+
+def test_chain_collapses_to_min(ray_session):
+    # 1-2-3-4-5 chain: min-label propagation needs > 1 round
+    lab = _labels([(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert lab == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_two_components(ray_session):
+    lab = _labels([(10, 11), (11, 12), (20, 21)])
+    assert lab == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_long_path_converges(ray_session):
+    # path of length 40 — stresses the O(log d) round bound
+    pairs = [(i, i + 1) for i in range(40)]
+    lab = _labels(pairs)
+    assert set(lab.values()) == {0}
+    assert len(lab) == 41
+
+
+def test_star_and_clique(ray_session):
+    pairs = [(5, i) for i in range(6, 12)] + [(100, 101), (101, 102), (100, 102)]
+    lab = _labels(pairs)
+    assert all(lab[i] == 5 for i in range(5, 12))
+    assert all(lab[i] == 100 for i in (100, 101, 102))
+
+
+def test_labels_only_cover_paired_docs(ray_session):
+    lab = _labels([(3, 7)])
+    assert set(lab) == {3, 7}
