@@ -425,6 +425,35 @@ def _q_embed_dense(sf_dir: str):
     )
 
 
+def _q_conversation(sf_dir: str):
+    """Multi-turn conversation decode (batched keyed state)."""
+    import os as _os
+
+    import ray.data
+
+    from rust_bert_ray.state.conversation import ConversationStage
+
+    docs = ray.data.read_parquet(
+        _os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).limit(100)
+    return docs.map_batches(
+        ConversationStage(), batch_format="pyarrow", batch_size=64
+    )
+
+
+def _kg_media_frames(sf_dir: str):
+    """Frame sampling over timed media spans (multimodal explode)."""
+    import ray.data
+
+    from rust_bert_ray.stages.multimodal import MediaFrameSampleStage
+
+    _, docs_dir = corpus_for(sf_dir)
+    docs = ray.data.read_parquet(docs_dir, columns=["doc_id", "spans"])
+    return docs.map_batches(
+        MediaFrameSampleStage(), batch_format="pyarrow", batch_size=64
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from rust_bert_ray.functions import dedup, relational, similarity, text
 
@@ -444,12 +473,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_keywords": _q_keywords,
         "q_masked_lm": _q_masked_lm,
         "qa_answers": _q_qa,
+        "q_conversation": _q_conversation,
         # --- KG construction (interleaved corpus; north rule) ---
         "kg_triples": _kg_triples,
         "kg_nodes": _kg_nodes,
         "kg_edges": _kg_edges,
         "kg_media_inventory": _kg_media_inventory,
         "kg_media_features": _kg_media_features,
+        "kg_media_frames": _kg_media_frames,
         # --- relational plumbing (TPC-H-ish tables) ---
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q_order_revenue_topk": relational.q_order_revenue_topk,
@@ -513,7 +544,7 @@ GROUP BY s.kind
             "q_generate", "q_summarize", "q_translate", "q_translate_m2m",
             "q_pos_tags",
             "q_embed_docs", "q_embed_dense", "q_keywords", "q_masked_lm",
-            "qa_answers",
+            "qa_answers", "q_conversation", "kg_media_frames",
             "q_lang_id", "q_decode", "q_fingerprints", "kg_nodes", "kg_edges",
             "kg_media_features", "dedup_minhash_pairs", "dedup_simhash_pairs",
             "dedup_embedding_lsh_pairs", "ann_lsh_topk", "ann_ivf_topk",

@@ -33,7 +33,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 EXPECTED_ROOT = "/tmp/rbr_expected"
-VERSION = 5  # bump whenever any builder's semantics change
+VERSION = 6  # bump whenever any builder's semantics change
 
 
 # ------------------------------------------------------------ input helpers
@@ -206,6 +206,18 @@ def q_fingerprints(sf_dir: str, corpus_root: str, shingle: int = 8) -> pa.Table:
     return pa.Table.from_pydict(
         {"doc_id": t.column("doc_id"), "fingerprint": pa.array(fps, type=pa.int64())}
     )
+
+
+def q_conversation(sf_dir: str, corpus_root: str) -> pa.Table:
+    from rust_bert_ray.state.conversation import ConversationStage
+
+    return ConversationStage()(_documents(sf_dir).slice(0, 100))
+
+
+def kg_media_frames(sf_dir: str, corpus_root: str) -> pa.Table:
+    from rust_bert_ray.stages.multimodal import MediaFrameSampleStage
+
+    return MediaFrameSampleStage()(_corpus_docs(corpus_root))
 
 
 def kg_media_features(sf_dir: str, corpus_root: str) -> pa.Table:
@@ -506,6 +518,8 @@ BUILDERS = {
     "q_keywords": q_keywords,
     "q_masked_lm": q_masked_lm,
     "qa_answers": qa_answers,
+    "q_conversation": q_conversation,
+    "kg_media_frames": kg_media_frames,
     "q_lang_id": q_lang_id,
     "q_decode": q_decode,
     "q_fingerprints": q_fingerprints,

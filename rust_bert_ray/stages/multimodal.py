@@ -93,6 +93,63 @@ class MediaDecodeStage:
         return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)
 
 
+FRAME_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("span_offset", pa.int32()),
+        ("kind", pa.string()),
+        ("media_ref", pa.string()),
+        ("frame_idx", pa.int32()),
+        ("ts_ms", pa.int32()),
+        ("feature_digest", pa.int64()),
+    ]
+)
+
+
+class MediaFrameSampleStage:
+    """timed media spans (audio/video) → evenly-spaced frame samples.
+
+    The frame-sample operator of a multimodal training pipeline: each
+    timed span yields ``n_frames`` rows at evenly spaced timestamps with
+    a per-frame feature vector.  Decode is the same declared STUB as
+    ``decode_media`` (deterministic fake keyed on ref hash + frame index;
+    ``strict=True`` raises like a missing codec) — the Ray plumbing
+    (schema, small batches for large payloads, per-frame explode) is
+    real.  Features ship as crc32 digests, not vectors, so the output is
+    value-hashable and small.
+    """
+
+    def __init__(self, n_frames: int = 3, strict: bool = False):
+        self.n_frames = n_frames
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows: dict[str, list] = {name: [] for name in FRAME_SCHEMA.names}
+        for doc_id, spans in zip(
+            batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
+        ):
+            for span in spans or []:
+                if span["kind"] not in ("audio", "video"):
+                    continue
+                meta = decode_media(span["kind"], span["media_ref"], self.strict)
+                duration = meta["duration_ms"]
+                h = zlib.crc32(span["media_ref"].encode())
+                for k in range(self.n_frames):
+                    ts = (duration * (k + 1)) // (self.n_frames + 1)
+                    frame_rng = np.random.default_rng((h + 1) * 1_000_003 + k)
+                    feat = frame_rng.standard_normal(MEDIA_FEATURE_DIM).astype(
+                        np.float32
+                    )
+                    rows["doc_id"].append(doc_id)
+                    rows["span_offset"].append(span["offset"])
+                    rows["kind"].append(span["kind"])
+                    rows["media_ref"].append(span["media_ref"])
+                    rows["frame_idx"].append(k)
+                    rows["ts_ms"].append(int(ts))
+                    rows["feature_digest"].append(zlib.crc32(feat.tobytes()))
+        return pa.Table.from_pydict(rows, schema=FRAME_SCHEMA)
+
+
 def media_inventory(docs_ds, concurrency: int = 2):
     """Per-kind span counts over an interleaved corpus (media + text)."""
 

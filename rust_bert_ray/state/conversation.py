@@ -107,3 +107,51 @@ def conversation_actor(**kwargs):
 
     cls = ray.remote(ConversationManager)
     return cls.options(name="conversation_manager", get_if_exists=True).remote(**kwargs)
+
+
+class ConversationStage:
+    """documents → multi-turn conversation transcript rows.
+
+    Batched conversational decode: each batch hosts one
+    ``ConversationManager``; every doc opens a conversation, turn t's
+    user input is the doc's t-th word window, and ONE
+    ``generate_responses()`` call per turn answers every pending
+    conversation (the reference's batch semantics,
+    conversation.rs:925-934).  Conversations are independent, so output
+    rows are per-doc deterministic regardless of batch composition.
+    """
+
+    def __init__(self, turns: int = 2, words_per_turn: int = 3):
+        self.turns = turns
+        self.words_per_turn = words_per_turn
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        mgr = ConversationManager()
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        cids = [mgr.create() for _ in doc_ids]
+        out = {"doc_id": [], "turn": [], "user_input": [], "response": []}
+        wpt = self.words_per_turn
+        for t in range(self.turns):
+            inputs = []
+            for cid, text in zip(cids, texts):
+                words = text.split()
+                seg = " ".join(words[t * wpt : (t + 1) * wpt]) or "pad"
+                mgr.add_user_input(cid, seg)
+                inputs.append(seg)
+            responses = mgr.generate_responses()
+            for doc_id, cid, seg in zip(doc_ids, cids, inputs):
+                out["doc_id"].append(doc_id)
+                out["turn"].append(t)
+                out["user_input"].append(seg)
+                out["response"].append(responses[cid])
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                "turn": pa.array(out["turn"], type=pa.int64()),
+                "user_input": pa.array(out["user_input"], type=pa.string()),
+                "response": pa.array(out["response"], type=pa.string()),
+            }
+        )

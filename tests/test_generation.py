@@ -171,3 +171,31 @@ def test_conversation_actor(ray_session):
     assert cid in out
     conv = ray.get(actor.get.remote(cid))
     assert conv.past_user_inputs == ["hello from actor"]
+
+
+def test_conversation_stage_batch_invariant():
+    """ConversationStage output is per-doc deterministic regardless of
+    how docs are batched together (independent keyed state)."""
+    import pyarrow as pa
+
+    from rust_bert_ray.state.conversation import ConversationStage
+
+    t = pa.Table.from_pydict(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "data table row scan merge sort",
+                "fast slow window hash group value",
+                "query join batch stream key part",
+            ],
+        }
+    )
+    whole = ConversationStage()(t).to_pylist()
+    split = (
+        ConversationStage()(t.slice(0, 1)).to_pylist()
+        + ConversationStage()(t.slice(1, 2)).to_pylist()
+    )
+    key = lambda r: (r["doc_id"], r["turn"])
+    assert sorted(whole, key=key) == sorted(split, key=key)
+    # two turns per doc, second turn sees first turn's history
+    assert {r["turn"] for r in whole} == {0, 1}

@@ -108,3 +108,32 @@ def test_round_half_away_matches_duckdb():
         )
         assert (round_ha(vals, d) == duck).all()
         assert (pc_round_ha(pa.array(vals), d).to_numpy() == duck).all()
+
+
+def test_media_frame_sample_rows_and_determinism():
+    from rust_bert_ray.stages.multimodal import FRAME_SCHEMA, MediaFrameSampleStage
+
+    docs, _ = generate(80)
+    out = MediaFrameSampleStage(n_frames=3)(docs)
+    assert out.schema.equals(FRAME_SCHEMA)
+    n_timed = sum(
+        1 for spans in docs.column("spans").to_pylist()
+        for s in spans if s["kind"] in ("audio", "video")
+    )
+    assert out.num_rows == 3 * n_timed
+    again = MediaFrameSampleStage(n_frames=3)(docs)
+    assert out.equals(again)
+    # timestamps are evenly spaced within the duration, increasing
+    rows = out.to_pylist()
+    by_ref = {}
+    for r in rows:
+        by_ref.setdefault(r["media_ref"], []).append(r["ts_ms"])
+    assert all(ts == sorted(ts) for ts in by_ref.values())
+
+
+def test_media_frame_sample_strict_raises():
+    from rust_bert_ray.stages.multimodal import MediaFrameSampleStage
+
+    docs, _ = generate(80)
+    with pytest.raises(NotImplementedError):
+        MediaFrameSampleStage(strict=True)(docs)
