@@ -510,6 +510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_pairs": dedup.dedup_embedding_pairs,
         "dedup_embedding_lsh_pairs": dedup.dedup_embedding_lsh_pairs,
         "dedup_clusters": dedup.dedup_clusters,
+        "dedup_clusters_minhash": dedup.dedup_clusters_minhash,
         # --- similarity search (embeddings) ---
         "ann_topk": similarity.ann_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
@@ -547,7 +548,8 @@ GROUP BY s.kind
             "qa_answers", "q_conversation", "kg_media_frames",
             "q_lang_id", "q_decode", "q_fingerprints", "kg_nodes", "kg_edges",
             "kg_media_features", "dedup_minhash_pairs", "dedup_simhash_pairs",
-            "dedup_embedding_lsh_pairs", "ann_lsh_topk", "ann_ivf_topk",
+            "dedup_embedding_lsh_pairs", "dedup_clusters_minhash",
+            "ann_lsh_topk", "ann_ivf_topk",
         )
     }
 

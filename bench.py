@@ -35,7 +35,11 @@ BENCH_QUERIES = [
     "q_token_counts",
     "dedup_exact",
     "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
+    "dedup_clusters_minhash",
+    "q_decode",
     "ann_topk",
+    "ann_lsh_topk",
 ]
 
 

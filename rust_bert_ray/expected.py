@@ -33,7 +33,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 EXPECTED_ROOT = "/tmp/rbr_expected"
-VERSION = 6  # bump whenever any builder's semantics change
+VERSION = 8  # bump whenever any builder's semantics change
 
 
 # ------------------------------------------------------------ input helpers
@@ -394,6 +394,42 @@ def dedup_simhash_pairs(
     )
 
 
+def dedup_clusters_minhash(
+    sf_dir: str, corpus_root: str, threshold: float = 0.7
+) -> pa.Table:
+    """Independent union-find over the expected MinHash pairs → per-doc
+    (cluster_id, keep) — no star contraction, no bucketing."""
+    pairs = dedup_minhash_pairs(sf_dir, corpus_root, threshold=threshold)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in zip(
+        pairs.column("doc_a").to_pylist(), pairs.column("doc_b").to_pylist()
+    ):
+        union(int(a), int(b))
+    # union always parents the larger root under the smaller, so each
+    # component's root IS its minimum doc_id
+    ids = _documents(sf_dir).column("doc_id").to_numpy(zero_copy_only=False)
+    cluster = np.array([find(int(i)) for i in ids], dtype=np.int64)
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "cluster_id": pa.array(cluster, type=pa.int64()),
+            "keep": pa.array((ids == cluster).astype(np.int64)),
+        }
+    )
+
+
 def dedup_embedding_lsh_pairs(
     sf_dir: str,
     corpus_root: str,
@@ -483,16 +519,15 @@ def ann_lsh_topk(
 
 def ann_ivf_topk(
     sf_dir: str, corpus_root: str, query_vec_id: int = 0, k: int = 10,
-    n_centroids: int = 16, n_probe: int = 4,
+    n_centroids: int = 16, n_probe: int = 4, sample_rows: int = 256,
 ) -> pa.Table:
+    from rust_bert_ray.functions.similarity import kmeans_centroids
     from rust_bert_ray.functions.util import round_ha
 
     ids, M, q = _ann_common(sf_dir, query_vec_id)
-    # centroid sample = first n_centroids dataset rows, sorted by vec_id
-    # (mirrors the bounded head read)
-    head_order = np.argsort(ids[:n_centroids])
-    C = M[:n_centroids][head_order]
-    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    # seeded spherical k-means over the first sample_rows dataset rows
+    # (mirrors the bounded head read exactly)
+    C = kmeans_centroids(M[:sample_rows], n_centroids)
     qn = q / max(np.linalg.norm(q), 1e-300)
     probe = set(np.argsort(-(C @ qn))[:n_probe].tolist())
     norms = np.maximum(np.linalg.norm(M, axis=1), 1e-300)
@@ -529,6 +564,7 @@ BUILDERS = {
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_embedding_lsh_pairs": dedup_embedding_lsh_pairs,
+    "dedup_clusters_minhash": dedup_clusters_minhash,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
 }

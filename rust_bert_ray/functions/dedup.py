@@ -159,18 +159,13 @@ def dedup_jaccard_pairs(sf_dir: str, threshold: float = 0.9):
             a_sizes = np.array([len(s) for s in sets], dtype=np.float64)[:, None]
             union = a_sizes + self.sizes[None, :] - inter
             jacc = round_ha(inter / np.maximum(union, 1.0), 5)
-            rows_a, rows_b, vals = [], [], []
-            for i in range(len(ids)):
-                mask = (jacc[i] >= self.threshold) & (self.ids > ids[i])
-                for j in np.nonzero(mask)[0]:
-                    rows_a.append(int(ids[i]))
-                    rows_b.append(int(self.ids[j]))
-                    vals.append(float(jacc[i, j]))
+            mask = (jacc >= self.threshold) & (self.ids[None, :] > ids[:, None])
+            ii, jj = np.nonzero(mask)  # vectorized emission (no per-pair loop)
             return pa.Table.from_pydict(
                 {
-                    "doc_a": pa.array(rows_a, type=pa.int64()),
-                    "doc_b": pa.array(rows_b, type=pa.int64()),
-                    "jacc": pa.array(vals, type=pa.float64()),
+                    "doc_a": pa.array(ids[ii], type=pa.int64()),
+                    "doc_b": pa.array(self.ids[jj], type=pa.int64()),
+                    "jacc": pa.array(jacc[ii, jj], type=pa.float64()),
                 }
             )
 
@@ -664,47 +659,42 @@ def connected_components(
     )
 
 
-def dedup_clusters(sf_dir: str, threshold: float = 0.9):
-    """Full dedup keep-list: near-dup pairs (token-set Jaccard ≥ 0.9) →
-    connected components → one row per document with its cluster id and
-    keep flag (keep = the cluster's minimum doc_id survives).
+class AssignCluster:
+    """Broadcast cluster labels → (doc_id, cluster_id, keep) per doc."""
+
+    def __init__(self, label_ref):
+        self.labels = (
+            ray.get(label_ref) if isinstance(label_ref, ray.ObjectRef) else label_ref
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        cluster = np.array(
+            [self.labels.get(int(i), int(i)) for i in ids], dtype=np.int64
+        )
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "cluster_id": pa.array(cluster, type=pa.int64()),
+                "keep": pa.array((ids == cluster).astype(np.int64)),
+            }
+        )
+
+
+def _cluster_keep_list(sf_dir: str, pairs_ds):
+    """pairs → CC labels (small side, broadcast) → per-doc keep-list.
 
     This is what a training-data pipeline actually consumes: the corpus
-    anti-joins ``keep = 0`` rows away.  The cluster labels are the
-    small side (docs in ≥1 pair only) and are broadcast for the final
-    corpus pass, so document text never enters a shuffle.
+    anti-joins ``keep = 0`` rows away.  The cluster labels cover only
+    docs appearing in ≥1 pair, so document text never enters a shuffle.
     """
-    labels_df = connected_components(
-        dedup_jaccard_pairs(sf_dir, threshold)
-    ).to_pandas()  # small side: clustered docs only
+    labels_df = connected_components(pairs_ds).to_pandas()
     label_map = (
         dict(zip(labels_df["doc_id"], labels_df["cluster_id"]))
         if len(labels_df)
         else {}
     )
     ref = ray.put(label_map)
-
-    class AssignCluster:
-        def __init__(self, label_ref):
-            self.labels = (
-                ray.get(label_ref)
-                if isinstance(label_ref, ray.ObjectRef)
-                else label_ref
-            )
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-            cluster = np.array(
-                [self.labels.get(int(i), int(i)) for i in ids], dtype=np.int64
-            )
-            return pa.Table.from_pydict(
-                {
-                    "doc_id": pa.array(ids, type=pa.int64()),
-                    "cluster_id": pa.array(cluster, type=pa.int64()),
-                    "keep": pa.array((ids == cluster).astype(np.int64)),
-                }
-            )
-
     docs = _read_documents(sf_dir, ["doc_id"])
     return docs.map_batches(
         AssignCluster,
@@ -713,6 +703,19 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.9):
         batch_size=65536,
         concurrency=2,
     )
+
+
+def dedup_clusters(sf_dir: str, threshold: float = 0.9):
+    """Full dedup keep-list over EXACT Jaccard pairs (≥ 0.9) — the
+    oracle-friendly variant (DuckDB recursive-CTE check)."""
+    return _cluster_keep_list(sf_dir, dedup_jaccard_pairs(sf_dir, threshold))
+
+
+def dedup_clusters_minhash(sf_dir: str, threshold: float = 0.7):
+    """Full dedup keep-list over MinHash-LSH candidate pairs — the
+    10^12-doc scale path (banded shuffle instead of all-pairs; the pair
+    set is approximate, the clustering over it is exact)."""
+    return _cluster_keep_list(sf_dir, dedup_minhash_pairs(sf_dir, threshold))
 
 
 DEDUP_CLUSTERS_SQL = """
@@ -767,18 +770,13 @@ def dedup_embedding_pairs(sf_dir: str, threshold: float = 0.35):
             cos = round_ha(
                 (A @ self.M.T) / np.maximum(np.outer(a_norms, self.norms), 1e-300), 5
             )
-            rows_a, rows_b, vals = [], [], []
-            for i in range(len(ids)):
-                mask = (cos[i] >= self.threshold) & (self.ids > ids[i])
-                for j in np.nonzero(mask)[0]:
-                    rows_a.append(int(ids[i]))
-                    rows_b.append(int(self.ids[j]))
-                    vals.append(float(cos[i, j]))
+            mask = (cos >= self.threshold) & (self.ids[None, :] > ids[:, None])
+            ii, jj = np.nonzero(mask)
             return pa.Table.from_pydict(
                 {
-                    "vec_a": pa.array(rows_a, type=pa.int64()),
-                    "vec_b": pa.array(rows_b, type=pa.int64()),
-                    "cos": pa.array(vals, type=pa.float64()),
+                    "vec_a": pa.array(ids[ii], type=pa.int64()),
+                    "vec_b": pa.array(self.ids[jj], type=pa.int64()),
+                    "cos": pa.array(cos[ii, jj], type=pa.float64()),
                 }
             )
 

@@ -161,34 +161,47 @@ def ann_lsh_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10, n_bits: int = 
     return topk(scored, ["cos", "vec_id"], [True, False], k)
 
 
+def kmeans_centroids(X: np.ndarray, k: int, n_iter: int = 5) -> np.ndarray:
+    """Deterministic Lloyd's k-means on L2-normalized rows (spherical
+    k-means: cosine assignment, mean + renormalize update).  Init = first
+    k sample rows — seeded and reproducible across processes."""
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+    C = Xn[:k].copy()
+    for _ in range(n_iter):
+        assign = (Xn @ C.T).argmax(axis=1)
+        for j in range(k):
+            members = Xn[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    return C
+
+
 def ann_ivf_topk(
     sf_dir: str,
     query_vec_id: int = 0,
     k: int = 10,
     n_centroids: int = 16,
     n_probe: int = 4,
+    sample_rows: int = 256,
 ):
     """IVF-style approximate top-k: coarse-quantize vectors to centroids,
     scan only the ``n_probe`` centroids nearest to the query.
 
-    Centroid selection is deterministic: the first ``n_centroids`` rows of
-    the dataset head — a bounded sampled read (``dataset.head`` touches
-    only the leading row group(s), never the full table; a seeded k-means
-    over a larger sample would slot in here identically).  The centroid
-    table is broadcast; assignment happens per batch with one matmul.
-    Expected scan fraction ≈ n_probe/n_centroids.
+    Centroids come from a seeded spherical k-means over a BOUNDED head
+    sample (``dataset.head(sample_rows)`` touches only the leading row
+    group(s), never the full table).  The centroid table is broadcast;
+    assignment happens per batch with one matmul.  Expected scan
+    fraction ≈ n_probe/n_centroids.
     """
     import pyarrow.dataset as pads
 
     q = _query_vector(sf_dir, query_vec_id)
     t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).head(
-        n_centroids, columns=["vec_id", "embedding"]
+        sample_rows, columns=["vec_id", "embedding"]
     )
-    order = np.argsort(t.column("vec_id").to_numpy(zero_copy_only=False))
-    C = np.stack(
-        [t.column("embedding")[int(i)].as_py() for i in order]
-    ).astype(np.float64)
-    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    sample = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    C = kmeans_centroids(sample, n_centroids)
     qn = q / max(np.linalg.norm(q), 1e-300)
     probe = set(np.argsort(-(C @ qn))[:n_probe].tolist())
     state_ref = ray.put((qn, C, probe))
