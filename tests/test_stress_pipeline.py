@@ -97,3 +97,36 @@ def test_enrich_preserves_spans_for_degenerate_docs(ray_session):
             for s in out.loc[doc_id, "spans"]
         ]
         assert got == spans
+
+
+def test_wordpiece_backend_survives_stress_docs(ray_session):
+    """Real-WordPiece NER over the stress corpus: unicode words fall to
+    [UNK] spanning the whole word, offsets still slice the source, and
+    long docs window identically to the default backend."""
+    import ray.data
+
+    from rust_bert_ray.stages.ner import NerStage
+    from rust_bert_ray.tokenization import WordPieceTokenizer
+
+    docs = ray.data.from_arrow(_docs_table())
+    out = docs.map_batches(
+        NerStage,
+        fn_constructor_kwargs={
+            "gazetteer": GAZETTEER,
+            "tokenizer": WordPieceTokenizer(),
+        },
+        batch_format="pyarrow",
+        concurrency=1,
+    ).to_pandas()
+    by_id = dict(zip(out["doc_id"], out["entities"]))
+    texts = {
+        r["doc_id"]: (r["spans"][0]["text"] if len(r["spans"]) else "")
+        for r in _docs_table().to_pylist()
+    }
+    for doc_id, n_expected in (("stress-long", 4), ("stress-unicode", 2)):
+        ents = by_id[doc_id]
+        assert len(ents) >= n_expected  # John Smith, Acme Corp, Amy, Paris
+        for e in ents:
+            assert texts[doc_id][e["begin"]:e["end"]] == e["word"]
+    assert list(by_id["stress-empty-text"]) == []
+    assert list(by_id["stress-no-spans"]) == []
