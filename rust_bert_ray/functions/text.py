@@ -266,13 +266,17 @@ def q_fingerprints(sf_dir: str, shingle: int = 8):
     """Rolling-hash document fingerprint: min crc32 over word ``shingle``-grams.
 
     The winnowing-style primitive behind shingle dedup; crc32 is stable
-    across processes (Python ``hash`` is salted).
+    across processes (Python ``hash`` is salted).  Per-doc minima are
+    computed with one ``np.minimum.reduceat`` over the batch-flat gram
+    hashes (same vectorization as the MinHash signature stage) instead
+    of a per-doc Python ``min`` generator.
     """
     docs = _read_documents(sf_dir, ["doc_id", "text"])
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        fps = []
-        for text in df["text"]:
+    def fn(t: pa.Table) -> pa.Table:
+        counts: list[int] = []
+        gram_iter: list[int] = []
+        for text in t.column("text").to_pylist():
             words = text.split()
             if len(words) < shingle:
                 grams = [" ".join(words)]
@@ -281,7 +285,20 @@ def q_fingerprints(sf_dir: str, shingle: int = 8):
                     " ".join(words[i : i + shingle])
                     for i in range(len(words) - shingle + 1)
                 ]
-            fps.append(min(zlib.crc32(g.encode()) for g in grams))
-        return pd.DataFrame({"doc_id": df["doc_id"], "fingerprint": fps})
+            counts.append(len(grams))
+            gram_iter.extend(zlib.crc32(g.encode()) for g in grams)
+        flat = np.asarray(gram_iter, dtype=np.int64)
+        starts = np.cumsum([0] + counts[:-1])
+        fps = (
+            np.minimum.reduceat(flat, starts)
+            if len(flat)
+            else np.empty(0, dtype=np.int64)
+        )
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t.column("doc_id"),
+                "fingerprint": pa.array(fps, type=pa.int64()),
+            }
+        )
 
-    return docs.map_batches(fn, batch_format="pandas", batch_size=65536)
+    return docs.map_batches(fn, batch_format="pyarrow", batch_size=65536)
