@@ -1,0 +1,157 @@
+"""Property-based checks (hypothesis) over the pure decode/sketch layers.
+
+Fast, deterministic profile: small example counts, no Ray in the hot
+loop (the distributed CC cross-check uses the session fixture with a
+fixed set of random graphs, not hypothesis-driven Ray calls).
+"""
+
+import string
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from rust_bert_ray.functions.dedup import MinHashStage, SimHashStage
+from rust_bert_ray.tokenization import WordPieceTokenizer
+
+_TK = WordPieceTokenizer()
+
+words = st.text(alphabet=string.ascii_letters + string.digits, min_size=1, max_size=12)
+texts = st.lists(words, min_size=1, max_size=12).map(" ".join)
+
+
+@settings(max_examples=60, deadline=None)
+@given(texts)
+def test_wordpiece_offsets_tile_each_word(text):
+    enc = _TK.encode(text)
+    toks = _TK.convert_ids_to_tokens(enc.ids)
+    # offsets must slice the source exactly, piece by piece
+    for (b, e), tok in zip(enc.offsets, toks):
+        raw = tok[2:] if tok.startswith("##") else tok
+        assert tok == "[UNK]" or text[b:e] == raw
+    # pieces of one word are contiguous and cover it completely
+    by_word = {}
+    for (b, e), w in zip(enc.offsets, enc.word_indices):
+        lo, hi = by_word.get(w, (b, e))
+        by_word[w] = (min(lo, b), max(hi, e))
+    for (lo, hi) in by_word.values():
+        assert text[lo:hi].strip() == text[lo:hi]  # no whitespace inside a word
+
+
+@settings(max_examples=60, deadline=None)
+@given(texts)
+def test_wordpiece_ascii_roundtrip(text):
+    # ascii-word texts round-trip exactly (char+##char fallback alphabet)
+    full = _TK.build_with_special_tokens(_TK.encode(text))
+    assert _TK.decode(full.ids) == text
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(texts, min_size=1, max_size=8))
+def test_minhash_signature_properties(batch):
+    st_ = MinHashStage()
+    sig = st_.signatures(batch)
+    assert sig.shape == (len(batch), st_.n_perm)
+    # identical text → identical signature; est of self == 1.0
+    sig2 = st_.signatures(list(batch))
+    assert np.array_equal(sig, sig2)
+    for row in sig:
+        assert float((row == row).mean()) == 1.0
+
+
+@settings(max_examples=30, deadline=None)
+@given(texts, texts)
+def test_simhash_hamming_bounds(a, b):
+    ha, hb = SimHashStage.simhashes([a, b])
+    ham = bin(int(ha) ^ int(hb)).count("1")
+    assert 0 <= ham <= 64
+    if set(a.split()) == set(b.split()):
+        assert ham == 0  # simhash depends only on the token set
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_unionfind_reference_matches_adjacency_bfs(pairs):
+    """The expected-side union-find labeling equals a BFS ground truth."""
+    # union-find (as in expected.dedup_clusters_minhash)
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # BFS ground truth
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seen = {}
+    for start in sorted(adj):
+        if start in seen:
+            continue
+        comp, stack = [], [start]
+        while stack:
+            x = stack.pop()
+            if x in comp:
+                continue
+            comp.append(x)
+            stack.extend(adj[x] - set(comp))
+        m = min(comp)
+        for x in comp:
+            seen[x] = m
+    for node, label in seen.items():
+        assert find(node) == label
+
+
+def test_distributed_cc_matches_unionfind_on_random_graphs(ray_session):
+    """Distributed hash-to-min CC == sequential union-find on 5 seeded
+    random graphs (one Ray call per graph, outside hypothesis)."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from rust_bert_ray.functions.dedup import connected_components
+
+    rng = np.random.default_rng(23)
+    for trial in range(5):
+        n_edges = int(rng.integers(1, 60))
+        a = rng.integers(0, 50, n_edges)
+        b = rng.integers(0, 50, n_edges)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        if not len(a):
+            continue
+        ds = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {"doc_a": pa.array(a, type=pa.int64()),
+                 "doc_b": pa.array(b, type=pa.int64())}
+            )
+        )
+        got = dict(
+            zip(*[connected_components(ds).to_pandas()[c] for c in ("doc_id", "cluster_id")])
+        )
+        parent = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for u, v in zip(a.tolist(), b.tolist()):
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        want = {x: find(x) for x in set(a.tolist()) | set(b.tolist())}
+        assert got == want, f"trial {trial}"
