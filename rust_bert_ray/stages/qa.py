@@ -80,8 +80,12 @@ class QaStage:
         max_query_length: int = 64,
         max_answer_length: int = 15,
         top_k: int = 1,
+        tokenizer=None,
     ):
-        self.tokenizer = SubwordTokenizer()
+        # injectable tokenizer (same slot as NerStage): any object with
+        # .encode() producing EncodedText works — WordPieceTokenizer is a
+        # drop-in (test_wordpiece/test_nlp_stages exercise it)
+        self.tokenizer = tokenizer or SubwordTokenizer()
         self.tagger = DeterministicTagScorer(gazetteer)
         self.max_seq_length = max_seq_length
         self.doc_stride = doc_stride

@@ -99,3 +99,29 @@ def test_ner_stage_with_wordpiece_backend_matches_default(tk):
 
     assert ents(default_out) == ents(wp_out)
     assert any(ents(default_out))  # non-trivial corpus
+
+
+def test_qa_stage_with_wordpiece_backend_matches_default(tk):
+    """QA answers are tokenizer-agnostic too: char-space span decode over
+    word-aligned pieces gives identical answers with real WordPiece."""
+    import pyarrow as pa
+
+    from rust_bert_ray.stages.qa import QaStage
+
+    inputs = pa.Table.from_pydict(
+        {
+            "qa_id": ["a", "b"],
+            "question": ["Where does Amy live ?", "Where does John Smith live ?"],
+            "context": [
+                "My name is Amy. I live in Paris.",
+                "My name is John Smith. I live in New York.",
+            ],
+        }
+    )
+    default_out = QaStage(gazetteer=GAZETTEER)(inputs).to_pylist()
+    wp_out = QaStage(gazetteer=GAZETTEER, tokenizer=tk)(inputs).to_pylist()
+    strip = lambda rows: [
+        (r["qa_id"], r["answer"], r["start"], r["end"]) for r in rows
+    ]
+    assert strip(default_out) == strip(wp_out)
+    assert {r["answer"] for r in wp_out} == {"Paris", "New York"}
