@@ -19,8 +19,10 @@ Layers
 - ``functions``  — relational / text / dedup / similarity operators used by
   the oracle-checked query surface in ``__ray_entry__.py``.
 
-Nothing in this package calls ``ray.init()``; sessions are owned by the
-driver, ``bench.py``, or the test fixture.
+No library code calls ``ray.init()``; sessions are owned by the driver,
+``bench.py``, the test fixture, or the ``python -m
+rust_bert_ray.pipelines.kg`` job entrypoint (a guarded ``__main__`` CLI
+for ``ray job submit``).
 """
 
 __version__ = "0.1.0"

@@ -341,3 +341,45 @@ def run_kg_pipeline(
 
     summary["total_sec"] = time.time() - t0
     return summary
+
+
+def _main() -> None:
+    """Job entrypoint (north rule: ``ray job submit`` execution):
+
+        ray job submit --working-dir . -- \\
+            python -m rust_bert_ray.pipelines.kg INPUT_DIR OUT_DIR \\
+                [--n-groups N] [--batch-size B] [--no-resume]
+
+    On a cluster the driver connects to the running Ray instance
+    (RAY_ADDRESS from the job environment); standalone it starts a local
+    session.  Only this CLI owns the session — library code never calls
+    ray.init().
+    """
+    import argparse
+    import json
+
+    p = argparse.ArgumentParser(description="KG-construction pipeline")
+    p.add_argument("input_dir")
+    p.add_argument("out_dir")
+    p.add_argument("--n-groups", type=int, default=4)
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--no-enriched", action="store_true")
+    args = p.parse_args()
+
+    if not ray.is_initialized():
+        ray.init(include_dashboard=False)
+    summary = run_kg_pipeline(
+        args.input_dir,
+        args.out_dir,
+        n_groups=args.n_groups,
+        batch_size=args.batch_size,
+        resume=not args.no_resume,
+        write_enriched=not args.no_enriched,
+    )
+    print(json.dumps(summary))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    _main()
