@@ -584,7 +584,13 @@ def ensure_expected(sf_dir: str, corpus_root: str) -> str:
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
     for name, builder in BUILDERS.items():
-        pq.write_table(builder(sf_dir, corpus_root), expected_path(sf_name, name))
-    with open(marker, "w") as f:
+        # write-then-rename: a concurrent reader (the DuckDB oracle) never
+        # sees a partially written parquet
+        final = expected_path(sf_name, name)
+        tmp = final + f".tmp-{os.getpid()}"
+        pq.write_table(builder(sf_dir, corpus_root), tmp)
+        os.replace(tmp, final)
+    with open(marker + f".tmp-{os.getpid()}", "w") as f:
         f.write("ok")
+    os.replace(marker + f".tmp-{os.getpid()}", marker)
     return out_dir
