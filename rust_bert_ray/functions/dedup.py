@@ -309,11 +309,14 @@ def dedup_minhash_pairs(
     """Near-duplicate pairs via MinHash-LSH (the 10^12-doc scale path).
 
     Pipeline: signature+banding per batch (no shuffle) → groupby
-    (band, band_hash) → pairs within buckets (a pathological hot bucket
-    is truncated at ``bucket_cap`` docs; candidates beyond the cap are
-    dropped — recall, not correctness, degrades on adversarial skew) →
-    per-pair max over bands → estimated Jaccard from signature
-    agreement ≥ threshold.
+    (band, band_hash) → pairs within buckets → estimated Jaccard from
+    signature agreement ≥ threshold.  A pair is scored only in its FIRST
+    signature-colliding band (else near-identical clusters pay the pair
+    work × n_bands).  Recall trade on adversarial skew: a hot bucket is
+    truncated at ``bucket_cap`` docs, and a pair whose first-colliding
+    band was truncated past either doc is not recovered by later bands
+    (the first-band rule skips them there) — recall, never correctness,
+    degrades, and only when > bucket_cap docs share a band hash.
     """
     docs = _read_documents(sf_dir, ["doc_id", "text"])
     # instance (not class) → task pool: construction is trivial (perm
@@ -444,14 +447,15 @@ class SimHashStage:
             flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
         ).astype(np.int32)
         contrib = 2 * bits - 1
-        starts = np.cumsum([0] + counts[:-1])
-        nonempty = np.array(counts) > 0
-        acc = np.add.reduceat(contrib, starts, axis=0)  # (n_docs', 64)
-        # reduceat with equal consecutive indices returns the single row at
-        # that index for empty docs — mask them to 0
+        counts_arr = np.asarray(counts)
+        nonempty = counts_arr > 0
+        # reduceat only over nonempty docs' start offsets: an empty doc
+        # at the END of the batch would otherwise make the final start
+        # index == len(flat), which reduceat rejects
+        starts_all = np.concatenate(([0], np.cumsum(counts_arr)[:-1]))
+        acc = np.add.reduceat(contrib, starts_all[nonempty], axis=0)
         packed = np.packbits((acc > 0).astype(np.uint8), axis=1, bitorder="little")
-        vals = packed.view(np.uint64).reshape(-1)
-        out[nonempty] = vals[nonempty]
+        out[nonempty] = packed.view(np.uint64).reshape(-1)
         return out
 
     @staticmethod
@@ -614,12 +618,14 @@ def connected_components(
     def checksum_partial(t: pa.Table) -> pa.Table:
         u = t.column("u").to_numpy(zero_copy_only=False).astype(np.uint64)
         v = t.column("v").to_numpy(zero_copy_only=False).astype(np.uint64)
-        mix = (u * np.uint64(2654435761) ^ v) & np.uint64((1 << 62) - 1)
+        # per-ELEMENT 31-bit mask so partial sums add exactly across any
+        # block layout (masking the per-batch SUM would make the checksum
+        # depend on partitioning and defeat convergence detection)
+        mix = (u * np.uint64(2654435761) ^ v) & np.uint64((1 << 31) - 1)
         return pa.Table.from_pydict(
             {
                 "n": pa.array([len(u)], type=pa.int64()),
-                "ck": pa.array([int(mix.sum() & np.uint64((1 << 62) - 1))],
-                               type=pa.int64()),
+                "ck": pa.array([int(mix.sum())], type=pa.int64()),
             }
         )
 
@@ -669,9 +675,14 @@ class AssignCluster:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        cluster = np.array(
-            [self.labels.get(int(i), int(i)) for i in ids], dtype=np.int64
-        )
+        # vectorized lookup: sorted-key binary search, default = own id
+        keys, vals = self.labels
+        cluster = ids.astype(np.int64, copy=True)
+        if len(keys):
+            pos = np.searchsorted(keys, ids)
+            pos_c = np.clip(pos, 0, len(keys) - 1)
+            hit = keys[pos_c] == ids
+            cluster[hit] = vals[pos_c[hit]]
         return pa.Table.from_pydict(
             {
                 "doc_id": pa.array(ids, type=pa.int64()),
@@ -689,12 +700,13 @@ def _cluster_keep_list(sf_dir: str, pairs_ds):
     docs appearing in ≥1 pair, so document text never enters a shuffle.
     """
     labels_df = connected_components(pairs_ds).to_pandas()
-    label_map = (
-        dict(zip(labels_df["doc_id"], labels_df["cluster_id"]))
-        if len(labels_df)
-        else {}
-    )
-    ref = ray.put(label_map)
+    if len(labels_df):
+        order = np.argsort(labels_df["doc_id"].to_numpy())
+        keys = labels_df["doc_id"].to_numpy()[order].astype(np.int64)
+        vals = labels_df["cluster_id"].to_numpy()[order].astype(np.int64)
+    else:
+        keys = vals = np.empty(0, dtype=np.int64)
+    ref = ray.put((keys, vals))
     docs = _read_documents(sf_dir, ["doc_id"])
     return docs.map_batches(
         AssignCluster,
@@ -824,13 +836,23 @@ def dedup_embedding_lsh_pairs(
     )
     n_buckets = 32
 
+    planes_cache: dict[int, list[np.ndarray]] = {}
+
     def add_bucket(t: pa.Table) -> pa.Table:
         A = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
         n = len(A)
+        # hyperplanes are per-table constants — draw once per worker,
+        # not once per batch
+        planes_list = planes_cache.get(A.shape[1])
+        if planes_list is None:
+            planes_list = [
+                _srp_planes(A.shape[1], n_bits, seed=11 + tab)
+                for tab in range(n_tables)
+            ]
+            planes_cache[A.shape[1]] = planes_list
         tabs, srps = [], []
         for tab in range(n_tables):
-            planes = _srp_planes(A.shape[1], n_bits, seed=11 + tab)
-            srps.append(_srp_hash(planes, A))
+            srps.append(_srp_hash(planes_list[tab], A))
             tabs.append(np.full(n, tab, dtype=np.int64))
         srp = np.concatenate(srps)
         tab = np.concatenate(tabs)

@@ -20,9 +20,12 @@ def read_sst2(path: str, include_labels: bool = True):
 
     import ray.data
 
+    # quote_char=False: SST-2 is raw unquoted TSV (the reference's csv
+    # reader does no quote handling either) — real sentences contain
+    # unbalanced double quotes that would otherwise swallow tabs/rows
     ds = ray.data.read_csv(
         path,
-        parse_options=pacsv.ParseOptions(delimiter="\t"),
+        parse_options=pacsv.ParseOptions(delimiter="\t", quote_char=False),
     )
     names = ds.schema().names
     if "sentence" not in names:

@@ -66,7 +66,15 @@ def qa_inputs_from_docs(batch: pa.Table) -> pa.Table:
             rows["qa_id"].append(f"{doc_id}:{span['offset']}")
             rows["question"].append(f"Where does {name} live ?")
             rows["context"].append(span["text"])
-    return pa.Table.from_pydict(rows)
+    # explicit schema: a batch with zero QA spans must still emit string
+    # columns, not null-typed ones (block schema unification)
+    return pa.Table.from_pydict(
+        rows,
+        schema=pa.schema(
+            [("qa_id", pa.string()), ("question", pa.string()),
+             ("context", pa.string())]
+        ),
+    )
 
 
 class QaStage:

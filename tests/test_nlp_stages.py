@@ -191,3 +191,25 @@ def test_ner_stage_accepts_alternate_scorer():
     found = {(e["word"], e["label"]) for e in ents}
     assert ("John Smith", "PER") in found
     assert ("Acme Corp", "ORG") in found
+
+
+def test_qa_inputs_empty_batch_keeps_string_schema():
+    """Batches with no QA spans must emit string columns, not null-typed
+    ones (block schema unification)."""
+    import pyarrow as pa
+
+    from rust_bert_ray.stages.qa import qa_inputs_from_docs
+    from rust_bert_ray.corpus import SPAN_TYPE
+
+    batch = pa.Table.from_pydict(
+        {
+            "doc_id": ["d0"],
+            "spans": pa.array(
+                [[{"kind": "image", "text": "", "media_ref": "m://x", "offset": 0}]],
+                type=SPAN_TYPE,
+            ),
+        }
+    )
+    out = qa_inputs_from_docs(batch)
+    assert out.num_rows == 0
+    assert all(t == pa.string() for t in out.schema.types)

@@ -183,3 +183,14 @@ def test_sst2_reader_rejects_wrong_schema(tmp_path, ray_session):
     p.write_text("a\tb\n1\t2\n")
     with _pytest.raises(ValueError, match="sentence"):
         read_sst2(str(p))
+
+
+def test_sst2_reader_tolerates_quotes(tmp_path, ray_session):
+    """Real SST-2 sentences carry unbalanced double quotes; the reader
+    must parse raw TSV without quote handling."""
+    from rust_bert_ray.sources.sst2 import read_sst2
+
+    p = tmp_path / "q.tsv"
+    p.write_text('sentence\tlabel\nhe said " go fast\t1\nplain row\t0\n')
+    rows = read_sst2(str(p)).to_pandas()
+    assert sorted(rows["sentence"].tolist()) == ['he said " go fast', "plain row"]

@@ -155,3 +155,14 @@ def test_distributed_cc_matches_unionfind_on_random_graphs(ray_session):
                 parent[max(ru, rv)] = min(ru, rv)
         want = {x: find(x) for x in set(a.tolist()) | set(b.tolist())}
         assert got == want, f"trial {trial}"
+
+
+def test_simhash_trailing_empty_doc_regression():
+    """A batch whose LAST doc tokenizes to zero tokens must not crash
+    (reduceat start index == len(flat))."""
+    from rust_bert_ray.functions.dedup import SimHashStage
+
+    out = SimHashStage.simhashes(["hello world", ""])
+    assert out[1] == 0 and out[0] != 0
+    out2 = SimHashStage.simhashes(["", "", "a b", ""])
+    assert list(out2[[0, 1, 3]]) == [0, 0, 0] and out2[2] != 0
