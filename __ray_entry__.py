@@ -3,9 +3,10 @@
 ``entry()`` — flagship KG extraction on the sf0.001-scale interleaved
 corpus.  ``queries()`` — one entry per implemented operator/pipeline from
 SURVEY.md §2 (+ the training-data-pipeline operators).  ``oracle_sql()``
-— DuckDB-equivalent SQL for every SQL-expressible query; KG/stateful/
-approximate operators are rows-only by design (the driver records the
-weaker check).
+— an oracle for EVERY query: native DuckDB SQL where expressible, else a
+``read_parquet`` of the single-process expected table materialized by
+``rust_bert_ray.expected`` (the distributed-vs-sequential equivalence
+gate).
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here (or in rust_bert_ray) calls ``ray.init()`` / ``ray.shutdown()``.
@@ -191,7 +192,7 @@ def _q_sentiment(sf_dir: str):
         _os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     return docs.map_batches(
-        SentimentStage, batch_format="pyarrow", batch_size=65536, concurrency=2
+        SentimentStage(), batch_format="pyarrow", batch_size=65536
     ).drop_columns(["score"])
 
 
@@ -206,7 +207,7 @@ def _q_multilabel(sf_dir: str):
         _os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     return docs.map_batches(
-        MultiLabelStage, batch_format="pyarrow", batch_size=65536, concurrency=2
+        MultiLabelStage(), batch_format="pyarrow", batch_size=65536
     ).drop_columns(["score"])
 
 
@@ -221,7 +222,7 @@ def _q_zero_shot(sf_dir: str):
         _os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     return docs.map_batches(
-        ZeroShotStage, batch_format="pyarrow", batch_size=65536, concurrency=2
+        ZeroShotStage(), batch_format="pyarrow", batch_size=65536
     ).drop_columns(["score"])
 
 
@@ -263,11 +264,7 @@ def _q_masked_lm(sf_dir: str):
     )
     masked = docs.map_batches(mask_nth_token, batch_format="pyarrow", batch_size=65536)
     return masked.map_batches(
-        MaskedLmStage,
-        fn_constructor_kwargs={"top_k": 3},
-        batch_format="pyarrow",
-        batch_size=65536,
-        concurrency=2,
+        MaskedLmStage(top_k=3), batch_format="pyarrow", batch_size=65536
     )
 
 
@@ -350,8 +347,7 @@ def _q_zero_shot_multi(sf_dir: str):
         _os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     return docs.map_batches(
-        ZeroShotMultiLabelStage, batch_format="pyarrow", batch_size=65536,
-        concurrency=2,
+        ZeroShotMultiLabelStage(), batch_format="pyarrow", batch_size=65536
     )
 
 
@@ -396,11 +392,7 @@ def _q_embed(sf_dir: str):
         _os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     return docs.map_batches(
-        _EmbedStage,
-        fn_constructor_kwargs={"make_embedder": _mean_embedder},
-        batch_format="pyarrow",
-        batch_size=8192,
-        concurrency=2,
+        _EmbedStage(_mean_embedder), batch_format="pyarrow", batch_size=8192
     )
 
 
@@ -417,11 +409,7 @@ def _q_embed_dense(sf_dir: str):
         _os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     return docs.map_batches(
-        _EmbedStage,
-        fn_constructor_kwargs={"make_embedder": _dense_embedder},
-        batch_format="pyarrow",
-        batch_size=8192,
-        concurrency=2,
+        _EmbedStage(_dense_embedder), batch_format="pyarrow", batch_size=8192
     )
 
 

@@ -68,10 +68,6 @@ def offsets_str(offsets) -> str:
 # ----------------------------------------------------- stage-based builders
 # Each invokes the stage exactly as the queries() entry does, on ONE batch.
 
-def _gen(stage) -> "pa.Table":
-    return stage
-
-
 def q_generate(sf_dir: str, corpus_root: str) -> pa.Table:
     from rust_bert_ray.stages.generation import TextGenerationStage
 

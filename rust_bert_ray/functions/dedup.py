@@ -618,23 +618,32 @@ def connected_components(
     def checksum_partial(t: pa.Table) -> pa.Table:
         u = t.column("u").to_numpy(zero_copy_only=False).astype(np.uint64)
         v = t.column("v").to_numpy(zero_copy_only=False).astype(np.uint64)
-        # per-ELEMENT 31-bit mask so partial sums add exactly across any
+        # per-ELEMENT 31-bit masks so partial sums add exactly across any
         # block layout (masking the per-batch SUM would make the checksum
-        # depend on partitioning and defeat convergence detection)
-        mix = (u * np.uint64(2654435761) ^ v) & np.uint64((1 << 31) - 1)
+        # depend on partitioning and defeat convergence detection); two
+        # independent mixes → false-convergence odds ~2^-62 per round
+        m1 = (u * np.uint64(2654435761) ^ v) & np.uint64((1 << 31) - 1)
+        m2 = (v * np.uint64(0x9E3779B1) ^ (u >> np.uint64(1))) & np.uint64(
+            (1 << 31) - 1
+        )
         return pa.Table.from_pydict(
             {
                 "n": pa.array([len(u)], type=pa.int64()),
-                "ck": pa.array([int(mix.sum())], type=pa.int64()),
+                "ck": pa.array([int(m1.sum())], type=pa.int64()),
+                "ck2": pa.array([int(m2.sum())], type=pa.int64()),
             }
         )
 
-    def signature(ds) -> tuple[int, int]:
+    def signature(ds) -> tuple[int, int, int]:
         agg = (
             ds.map_batches(checksum_partial, batch_format="pyarrow", batch_size=65536)
-            .aggregate(Sum("n", alias_name="n"), Sum("ck", alias_name="ck"))
+            .aggregate(
+                Sum("n", alias_name="n"),
+                Sum("ck", alias_name="ck"),
+                Sum("ck2", alias_name="ck2"),
+            )
         )
-        return (agg.get("n") or 0, agg.get("ck") or 0)
+        return (agg.get("n") or 0, agg.get("ck") or 0, agg.get("ck2") or 0)
 
     edges = pairs_ds.map_batches(
         make_sym("doc_a", "doc_b"), batch_format="pyarrow", batch_size=65536
@@ -836,20 +845,22 @@ def dedup_embedding_lsh_pairs(
     )
     n_buckets = 32
 
-    planes_cache: dict[int, list[np.ndarray]] = {}
+    # hyperplanes are per-table constants: draw ONCE on the driver (dim
+    # from a 1-row head read) and ship them in the task closure — a
+    # per-task cache would still redraw per block
+    import pyarrow.dataset as pads
+
+    head = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).head(
+        1, columns=["embedding"]
+    )
+    dim = len(head.column("embedding")[0])
+    planes_list = [
+        _srp_planes(dim, n_bits, seed=11 + tab) for tab in range(n_tables)
+    ]
 
     def add_bucket(t: pa.Table) -> pa.Table:
         A = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
         n = len(A)
-        # hyperplanes are per-table constants — draw once per worker,
-        # not once per batch
-        planes_list = planes_cache.get(A.shape[1])
-        if planes_list is None:
-            planes_list = [
-                _srp_planes(A.shape[1], n_bits, seed=11 + tab)
-                for tab in range(n_tables)
-            ]
-            planes_cache[A.shape[1]] = planes_list
         tabs, srps = [], []
         for tab in range(n_tables):
             srps.append(_srp_hash(planes_list[tab], A))

@@ -261,20 +261,29 @@ def run_kg_pipeline(
 
     recomputed = bool(summary["partitions"]) or bool(summary.get("invalidated"))
     valid_parts = {f"part={p}" for p in range(len(groups))}
-    for table in ("triples", "docs_enriched"):
-        tdir = os.path.join(out_dir, table)
-        if os.path.isdir(tdir):
-            for d in os.listdir(tdir):
-                if d.startswith("part=") and d not in valid_parts:
-                    shutil.rmtree(os.path.join(tdir, d))
-                    recomputed = True
-    ckroot = os.path.join(out_dir, "checkpoints")
-    if os.path.isdir(ckroot):
-        for d in os.listdir(ckroot):
-            if d.startswith("part=") and d != "part=final" and d not in valid_parts:
-                shutil.rmtree(os.path.join(ckroot, d))
+
+    def _orphans(root: str) -> list[str]:
+        if not os.path.isdir(root):
+            return []
+        return [
+            os.path.join(root, d)
+            for d in os.listdir(root)
+            if d.startswith("part=") and d != "part=final" and d not in valid_parts
+        ]
+
+    orphan_dirs = [
+        p
+        for table in ("triples", "docs_enriched")
+        for p in _orphans(os.path.join(out_dir, table))
+    ]
+    recomputed = recomputed or bool(orphan_dirs)
+    # Invalidate the final manifest FIRST, then remove the orphan dirs
+    # that indict it — a crash between the two must leave stage B marked
+    # stale, never the reverse (stale nodes/edges served forever).
     if recomputed and ckpt.is_partition_complete(out_dir, "final"):
         os.remove(ckpt.manifest_path(out_dir, "final"))
+    for p in orphan_dirs + _orphans(os.path.join(out_dir, "checkpoints")):
+        shutil.rmtree(p)
 
     # ---- stage B: global canonicalize + materialize (reads checkpoints) ----
     if not (resume and ckpt.is_partition_complete(out_dir, "final")):

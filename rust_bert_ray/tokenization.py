@@ -231,9 +231,16 @@ class WordPieceTokenizer:
         words: list[str] = []
         for w_idx, m in enumerate(_WORD_RE.finditer(text)):
             begin = m.start()
-            word = m.group(0)
+            raw = m.group(0)
+            word = raw
             if self.lower_case:
-                word = word.lower()
+                lowered = raw.lower()
+                # Unicode lowercase can change length ('İ' → 'i̇'): piece
+                # lengths would then drift off the ORIGINAL char positions
+                # downstream slices against.  Keep the raw casing for
+                # those rare words (pieces fall back to the char/[UNK]
+                # alphabet); offsets stay exact.
+                word = lowered if len(lowered) == len(raw) else raw
             words.append(word)
             w_ids, w_lens, w_masks = self._encode_word(word)
             ids.extend(w_ids)
@@ -275,8 +282,13 @@ class WordPieceTokenizer:
             if skip_special_tokens and i in self.special_ids:
                 continue
             piece = self.inv_vocab.get(i, UNK_TOKEN)
-            if piece.startswith("##") and parts:
-                parts[-1] += piece[2:]
+            if piece.startswith("##"):
+                # continuation marker is stripped even when the sequence
+                # STARTS mid-word (e.g. decoding an answer-span slice)
+                if parts:
+                    parts[-1] += piece[2:]
+                else:
+                    parts.append(piece[2:])
             else:
                 parts.append(piece)
         text = " ".join(parts)
