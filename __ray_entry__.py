@@ -177,7 +177,7 @@ def _kg_media_features(sf_dir: str):
         )
 
     return docs.map_batches(
-        MediaDecodeStage, batch_format="pyarrow", batch_size=64, concurrency=2
+        MediaDecodeStage(), batch_format="pyarrow", batch_size=64
     ).map_batches(project, batch_format="pyarrow")
 
 
@@ -248,7 +248,7 @@ def _q_keywords(sf_dir: str):
         )
 
     return docs.map_batches(
-        KeywordStage, batch_format="pyarrow", batch_size=8192, concurrency=2
+        KeywordStage(), batch_format="pyarrow", batch_size=8192
     ).map_batches(project, batch_format="pyarrow")
 
 
@@ -299,11 +299,7 @@ def _gen_query(stage_cls, **ctor_kwargs):
             _os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
         ).limit(200)  # generation is sequential per row; bound the demo set
         return docs.map_batches(
-            stage_cls,
-            fn_constructor_kwargs=ctor_kwargs,
-            batch_format="pyarrow",
-            batch_size=64,
-            concurrency=2,
+            stage_cls(**ctor_kwargs), batch_format="pyarrow", batch_size=64
         )
 
     return run
@@ -362,7 +358,7 @@ def _q_pos(sf_dir: str):
         _os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     return docs.map_batches(
-        PosStage, batch_format="pyarrow", batch_size=8192, concurrency=2
+        PosStage(), batch_format="pyarrow", batch_size=8192
     )
 
 

@@ -212,7 +212,7 @@ class LangIdStage:
 def q_lang_id(sf_dir: str):
     docs = _read_documents(sf_dir, ["doc_id", "text"])
     return docs.map_batches(
-        LangIdStage, batch_format="pyarrow", batch_size=65536, concurrency=2
+        LangIdStage(), batch_format="pyarrow", batch_size=65536
     )
 
 
@@ -256,7 +256,7 @@ def q_decode(sf_dir: str):
     """WordPiece encode→decode round-trip over every document."""
     docs = _read_documents(sf_dir, ["doc_id", "text"])
     return docs.map_batches(
-        WordPieceRoundTrip, batch_format="pyarrow", batch_size=65536, concurrency=2
+        WordPieceRoundTrip(), batch_format="pyarrow", batch_size=65536
     )
 
 
