@@ -90,8 +90,16 @@ def extract_and_link(
     index_ref=None,
     batch_size: int = 256,
     concurrency: int | None = None,
+    ner_ray_remote_args: dict | None = None,
 ) -> "ray.data.Dataset":
-    """docs → linked triple candidates (no shuffle anywhere)."""
+    """docs → linked triple candidates (no shuffle anywhere).
+
+    ``ner_ray_remote_args`` flows to the NER actor pool's scheduling —
+    a GPU-backed scorer runs the identical plan with
+    ``ner_ray_remote_args={"num_gpus": 1}`` (one model replica per GPU;
+    north-star shape): decode algebra, batch flow and shuffle topology
+    are unchanged by the device swap.
+    """
     gaz = gazetteer if gazetteer is not None else GAZETTEER
     if index_ref is None:
         index_ref = ray.put(default_alias_index())
@@ -102,6 +110,7 @@ def extract_and_link(
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=ner_c,
+        **(ner_ray_remote_args or {}),
     )
     triples = enriched.map_batches(
         RelationStage,
