@@ -326,7 +326,26 @@ def dedup_minhash_pairs(
         batch_format="pyarrow",
         batch_size=1024,  # small batches → the signature stage actually parallelizes
     )
+    return minhash_pairs_from_banded(
+        banded, threshold=threshold, n_perm=n_perm, n_bands=n_bands,
+        bucket_cap=bucket_cap,
+    )
 
+
+def minhash_pairs_from_banded(
+    banded,
+    *,
+    threshold: float = 0.7,
+    n_perm: int = 64,
+    n_bands: int = 16,
+    bucket_cap: int = 200,
+):
+    """Banded (band, band_hash, doc_id, signature) rows → verified pairs.
+
+    The shuffle+verify half of the MinHash pipeline, factored out so a
+    checkpointed pipeline can persist the banded rows per input group
+    (stage A) and run this exchange over the re-read checkpoints
+    (stage B)."""
     n_buckets = 32
 
     def add_bucket(t: pa.Table) -> pa.Table:
