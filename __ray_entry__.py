@@ -365,8 +365,9 @@ def _q_pos(sf_dir: str):
 class _EmbedStage:
     """Sentence embeddings per doc, projected to hash-friendly scalars
     (leading components + full-vector crc32 digest + L2 norm) — bit-exact
-    vs the single-process expected table.  ``make_embedder`` runs once per
-    actor in ``__init__`` (vocab-free, but the Dense weights build here)."""
+    vs the single-process expected table.  Instantiated on the driver
+    (task pool): ``make_embedder`` builds the (small, seeded) embedder
+    once at plan time and it ships in the task closure."""
 
     def __init__(self, make_embedder):
         self.embedder = make_embedder()

@@ -872,6 +872,16 @@ def dedup_embedding_lsh_pairs(
     head = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).head(
         1, columns=["embedding"]
     )
+    if head.num_rows == 0:  # empty table → empty pair set, not an IndexError
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "vec_a": pa.array([], type=pa.int64()),
+                    "vec_b": pa.array([], type=pa.int64()),
+                    "cos": pa.array([], type=pa.float64()),
+                }
+            )
+        )
     dim = len(head.column("embedding")[0])
     planes_list = [
         _srp_planes(dim, n_bits, seed=11 + tab) for tab in range(n_tables)

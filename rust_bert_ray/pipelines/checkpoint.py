@@ -76,15 +76,56 @@ def read_manifest(out_dir: str, part: int | str) -> dict:
 
 
 def atomic_write_parquet(ds, target_dir: str) -> None:
-    """write_parquet into a temp dir, then rename into place."""
+    """write_parquet into a temp dir, then rename into place.
+
+    The tmp dir is pre-created: Ray's write_parquet of an EMPTY dataset
+    writes no files and creates no directory, which would make the
+    rename fail — an empty (zero-file) checkpoint dir is valid output.
+    """
     tmp = target_dir + ".tmp"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
-    os.makedirs(os.path.dirname(target_dir) or ".", exist_ok=True)
+    os.makedirs(tmp, exist_ok=True)
     ds.write_parquet(tmp)
     if os.path.exists(target_dir):
         shutil.rmtree(target_dir)
     os.replace(tmp, target_dir)
+
+
+def invalidate_downstream(
+    out_dir: str,
+    tables: list[str],
+    valid_parts: set[str],
+    recomputed: bool,
+) -> bool:
+    """Shared stage-B/C staleness handling for checkpointed pipelines.
+
+    Removes part dirs not in ``valid_parts`` (orphans from an older input
+    grouping) under each table and under ``checkpoints/``; if anything was
+    recomputed or orphaned, the ``final`` manifest is deleted so the
+    downstream global stage re-runs.  Ordering matters: the final
+    manifest is invalidated BEFORE the orphan dirs that indict it are
+    removed — a crash in between must leave downstream marked stale,
+    never the reverse.  Returns the updated ``recomputed`` flag.
+    """
+    keep = {"part=final"} | valid_parts
+
+    def orphans(root: str) -> list[str]:
+        if not os.path.isdir(root):
+            return []
+        return [
+            os.path.join(root, d)
+            for d in os.listdir(root)
+            if d.startswith("part=") and d not in keep
+        ]
+
+    orphan_dirs = [p for table in tables for p in orphans(os.path.join(out_dir, table))]
+    recomputed = recomputed or bool(orphan_dirs)
+    if recomputed and is_partition_complete(out_dir, "final"):
+        os.remove(manifest_path(out_dir, "final"))
+    for p in orphan_dirs + orphans(os.path.join(out_dir, "checkpoints")):
+        shutil.rmtree(p)
+    return recomputed
 
 
 def completed_partitions(out_dir: str) -> list[str]:

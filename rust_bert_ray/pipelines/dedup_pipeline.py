@@ -45,6 +45,27 @@ from rust_bert_ray.pipelines import checkpoint as ckpt
 from rust_bert_ray.pipelines.kg import _input_groups, _pq_rows
 
 
+class _DropByIds:
+    """Anti-join a batch against a broadcast sorted id array.
+
+    Holds only the ``ray.put`` ref when pickled; the array resolves from
+    the object store LAZILY in the first ``__call__`` on each worker —
+    instantiating on the driver must not bake the array into the task
+    closure (that would defeat the broadcast)."""
+
+    def __init__(self, ref):
+        self.ref = ref
+        self._drop = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._drop is None:
+            self._drop = (
+                ray.get(self.ref) if isinstance(self.ref, ray.ObjectRef) else self.ref
+            )
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(~np.isin(ids, self._drop)))
+
+
 def run_dedup_pipeline(
     input_path: str,
     out_dir: str,
@@ -60,12 +81,20 @@ def run_dedup_pipeline(
     t0 = time.time()
     groups = _input_groups(input_path, n_groups)
     summary: dict = {"partitions": [], "resumed": [], "input_rows": 0}
+    # params recorded in every manifest: a rerun with different sketch
+    # parameters must RECOMPUTE, not silently serve the old keep-list
+    params = {
+        "threshold": threshold, "n_perm": n_perm, "n_bands": n_bands,
+    }
 
     # ---- stage A: banded signatures per input group (checkpointed) ----
     for part, files in enumerate(groups):
         if resume and ckpt.is_partition_complete(out_dir, part):
             manifest = ckpt.read_manifest(out_dir, part)
-            if manifest.get("input_files") == files:
+            if (
+                manifest.get("input_files") == files
+                and manifest.get("metrics", {}).get("params") == params
+            ):
                 summary["resumed"].append(part)
                 summary["input_rows"] += manifest["input_rows"]
                 continue
@@ -94,36 +123,23 @@ def run_dedup_pipeline(
                     "output_digest": ckpt.digest(banded_dir, banded_rows),
                 }
             ],
-            metrics={"sec": time.time() - tp},
+            metrics={"sec": time.time() - tp, "params": params},
         )
         summary["partitions"].append(part)
         summary["input_rows"] += input_rows
 
     # ---- staleness: any stage-A recompute/regroup invalidates B and C ----
-    import shutil
-
-    recomputed = bool(summary["partitions"]) or bool(summary.get("invalidated"))
-    valid_parts = {f"part={p}" for p in range(len(groups))}
-
-    def _orphans(root: str) -> list[str]:
-        if not os.path.isdir(root):
-            return []
-        return [
-            os.path.join(root, d)
-            for d in os.listdir(root)
-            if d.startswith("part=") and d not in {"part=final"} | valid_parts
-        ]
-
-    orphan_dirs = [
-        p
-        for table in ("banded", "corpus_dedup")
-        for p in _orphans(os.path.join(out_dir, table))
-    ]
-    recomputed = recomputed or bool(orphan_dirs)
-    if recomputed and ckpt.is_partition_complete(out_dir, "final"):
-        os.remove(ckpt.manifest_path(out_dir, "final"))
-    for p in orphan_dirs + _orphans(os.path.join(out_dir, "checkpoints")):
-        shutil.rmtree(p)
+    ckpt.invalidate_downstream(
+        out_dir,
+        ["banded", "corpus_dedup"],
+        {f"part={p}" for p in range(len(groups))},
+        bool(summary["partitions"]) or bool(summary.get("invalidated")),
+    )
+    # a final manifest produced with different parameters is also stale
+    if ckpt.is_partition_complete(out_dir, "final"):
+        final = ckpt.read_manifest(out_dir, "final")
+        if final.get("metrics", {}).get("params") != params:
+            os.remove(ckpt.manifest_path(out_dir, "final"))
 
     # ---- stage B + C: pairs → CC → labels; per-group filtered corpus ----
     if not (resume and ckpt.is_partition_complete(out_dir, "final")):
@@ -147,25 +163,22 @@ def run_dedup_pipeline(
         )
 
         # drop-list = clustered docs that are not their cluster's minimum
+        # (an all-unique corpus yields a file-less labels dir → empty list)
+        import glob as _glob
+
         import pyarrow.dataset as pads
 
-        lab = pads.dataset(labels_dir).to_table(
-            columns=["doc_id", "keep"],
-        )
-        drop_ids = np.sort(
-            lab.column("doc_id").to_numpy(zero_copy_only=False)[
-                lab.column("keep").to_numpy(zero_copy_only=False) == 0
-            ]
-        )
+        label_files = _glob.glob(os.path.join(labels_dir, "*.parquet"))
+        if label_files:
+            lab = pads.dataset(label_files).to_table(columns=["doc_id", "keep"])
+            drop_ids = np.sort(
+                lab.column("doc_id").to_numpy(zero_copy_only=False)[
+                    lab.column("keep").to_numpy(zero_copy_only=False) == 0
+                ]
+            )
+        else:
+            drop_ids = np.empty(0, dtype=np.int64)
         drop_ref = ray.put(drop_ids)
-
-        class KeepFilter:
-            def __init__(self, ref):
-                self.drop = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-                return batch.filter(pa.array(~np.isin(ids, self.drop)))
 
         kept_rows = 0
         for part, files in enumerate(groups):
@@ -173,7 +186,7 @@ def run_dedup_pipeline(
             out_part = ckpt.partition_dir(out_dir, "corpus_dedup", part)
             ckpt.atomic_write_parquet(
                 docs.map_batches(
-                    KeepFilter(drop_ref), batch_format="pyarrow",
+                    _DropByIds(drop_ref), batch_format="pyarrow",
                     batch_size=65536,
                 ),
                 out_part,
@@ -196,7 +209,7 @@ def run_dedup_pipeline(
                     "output_digest": ckpt.digest(kept_rows, len(drop_ids)),
                 }
             ],
-            metrics={"sec": time.time() - tb},
+            metrics={"sec": time.time() - tb, "params": params},
         )
         summary["dropped"] = int(len(drop_ids))
         summary["kept_rows"] = kept_rows

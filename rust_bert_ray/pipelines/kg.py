@@ -95,10 +95,11 @@ def extract_and_link(
     """docs → linked triple candidates (no shuffle anywhere).
 
     ``ner_ray_remote_args`` flows to the NER actor pool's scheduling —
-    a GPU-backed scorer runs the identical plan with
-    ``ner_ray_remote_args={"num_gpus": 1}`` (one model replica per GPU;
-    north-star shape): decode algebra, batch flow and shuffle topology
-    are unchanged by the device swap.
+    a GPU-backed scorer uses ``ner_ray_remote_args={"num_gpus": 1}``
+    TOGETHER with ``concurrency=<number of GPUs>`` (one model replica
+    per GPU; the default CPU-derived pool size would leave most actors
+    pending on the GPU resource).  Decode algebra, batch flow and
+    shuffle topology are unchanged by the device swap.
     """
     gaz = gazetteer if gazetteer is not None else GAZETTEER
     if index_ref is None:
@@ -266,33 +267,12 @@ def run_kg_pipeline(
     # change) leaves orphaned part dirs from the old grouping that the
     # stage-B glob would silently include.  Drop both before deciding
     # whether stage B may be skipped.
-    import shutil
-
-    recomputed = bool(summary["partitions"]) or bool(summary.get("invalidated"))
-    valid_parts = {f"part={p}" for p in range(len(groups))}
-
-    def _orphans(root: str) -> list[str]:
-        if not os.path.isdir(root):
-            return []
-        return [
-            os.path.join(root, d)
-            for d in os.listdir(root)
-            if d.startswith("part=") and d != "part=final" and d not in valid_parts
-        ]
-
-    orphan_dirs = [
-        p
-        for table in ("triples", "docs_enriched")
-        for p in _orphans(os.path.join(out_dir, table))
-    ]
-    recomputed = recomputed or bool(orphan_dirs)
-    # Invalidate the final manifest FIRST, then remove the orphan dirs
-    # that indict it — a crash between the two must leave stage B marked
-    # stale, never the reverse (stale nodes/edges served forever).
-    if recomputed and ckpt.is_partition_complete(out_dir, "final"):
-        os.remove(ckpt.manifest_path(out_dir, "final"))
-    for p in orphan_dirs + _orphans(os.path.join(out_dir, "checkpoints")):
-        shutil.rmtree(p)
+    ckpt.invalidate_downstream(
+        out_dir,
+        ["triples", "docs_enriched"],
+        {f"part={p}" for p in range(len(groups))},
+        bool(summary["partitions"]) or bool(summary.get("invalidated")),
+    )
 
     # ---- stage B: global canonicalize + materialize (reads checkpoints) ----
     if not (resume and ckpt.is_partition_complete(out_dir, "final")):

@@ -65,8 +65,9 @@ def decode_media(kind: str, media_ref: str, strict: bool = False) -> dict:
 class MediaDecodeStage:
     """interleaved docs → one row per media span with metadata + features.
 
-    Actor-pool stage: ``map_batches(MediaDecodeStage, batch_size=64,
-    concurrency=N)`` — small batches because real payloads are large.
+    ``map_batches(MediaDecodeStage(), batch_size=64)`` — small batches
+    because real payloads are large; pass the CLASS with ``concurrency=N``
+    instead when a real decoder makes ``__init__`` heavy (codec load).
     """
 
     def __init__(self, strict: bool = False):

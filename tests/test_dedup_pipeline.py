@@ -82,3 +82,40 @@ def test_regroup_invalidates_downstream(dedup_run, ray_session, tmp_path_factory
     assert "final" not in s2["resumed"]
     assert sorted(os.listdir(os.path.join(out, "banded"))) == ["part=0", "part=1"]
     assert s2["kept_rows"] == s1["kept_rows"]
+
+
+def test_all_unique_corpus_drops_nothing(ray_session, tmp_path_factory):
+    """Zero near-dup pairs (the common case for a clean corpus): empty
+    labels checkpoint, empty drop-list, corpus passes through intact."""
+    import pyarrow as pa
+
+    root = str(tmp_path_factory.mktemp("unique_docs"))
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{j}" for j in range(400)]
+    t = pa.Table.from_pydict(
+        {
+            "doc_id": list(range(40)),
+            "text": [
+                " ".join(rng.choice(vocab, size=12, replace=False))
+                for _ in range(40)
+            ],
+        }
+    )
+    pq.write_table(t, os.path.join(root, "docs.parquet"))
+    out = str(tmp_path_factory.mktemp("unique_out"))
+    s = run_dedup_pipeline(root, out, n_groups=1)
+    assert s["dropped"] == 0
+    assert s["kept_rows"] == 40
+
+
+def test_param_change_invalidates_resume(dedup_run, ray_session, tmp_path_factory):
+    """A rerun with a different threshold must recompute, not serve the
+    old keep-list."""
+    out = str(tmp_path_factory.mktemp("dedup_params"))
+    s1 = run_dedup_pipeline(dedup_run["root"], out, n_groups=2, threshold=0.7)
+    s2 = run_dedup_pipeline(dedup_run["root"], out, n_groups=2, threshold=0.95)
+    assert s2["partitions"] == [0, 1]  # stage A recomputed (params changed)
+    assert "final" not in s2["resumed"]
+    assert s2["dropped"] <= s1["dropped"]  # stricter threshold drops fewer
