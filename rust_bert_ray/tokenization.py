@@ -168,9 +168,11 @@ class WordPieceTokenizer:
         self,
         vocab_path: str = DEFAULT_VOCAB_PATH,
         lower_case: bool = False,
+        strip_accents: bool = False,
         max_input_chars_per_word: int = 100,
         cache_cap: int = 500_000,
     ):
+        self.strip_accents = strip_accents
         self.vocab = load_vocab(vocab_path)
         self.inv_vocab = {i: p for p, i in self.vocab.items()}
         self.unk_id = self.vocab[UNK_TOKEN]
@@ -233,14 +235,18 @@ class WordPieceTokenizer:
             begin = m.start()
             raw = m.group(0)
             word = raw
+            # Normalizations apply only when they PRESERVE the word's char
+            # length — Unicode lowercase ('İ' → 'i̇') or accent stripping on
+            # decomposed input can change it, and piece lengths would then
+            # drift off the ORIGINAL char positions downstream slices
+            # against.  Length-changing words keep their raw form (pieces
+            # fall back to the char/[UNK] alphabet); offsets stay exact.
+            if self.strip_accents:
+                stripped = strip_accents(word)
+                word = stripped if len(stripped) == len(word) else word
             if self.lower_case:
-                lowered = raw.lower()
-                # Unicode lowercase can change length ('İ' → 'i̇'): piece
-                # lengths would then drift off the ORIGINAL char positions
-                # downstream slices against.  Keep the raw casing for
-                # those rare words (pieces fall back to the char/[UNK]
-                # alphabet); offsets stay exact.
-                word = lowered if len(lowered) == len(raw) else raw
+                lowered = word.lower()
+                word = lowered if len(lowered) == len(word) else word
             words.append(word)
             w_ids, w_lens, w_masks = self._encode_word(word)
             ids.extend(w_ids)
@@ -295,6 +301,71 @@ class WordPieceTokenizer:
         if clean_up_tokenization_spaces:
             text = clean_up_tokenization(text)
         return text
+
+
+TRUNCATE_LONGEST_FIRST = "longest_first"
+TRUNCATE_ONLY_FIRST = "only_first"
+TRUNCATE_ONLY_SECOND = "only_second"
+TRUNCATE_DO_NOT = "do_not_truncate"
+
+
+def truncate_pair(
+    seq_a: list,
+    seq_b: list,
+    num_to_remove: int,
+    strategy: str = TRUNCATE_LONGEST_FIRST,
+) -> tuple[list, list, list]:
+    """Pair truncation with the reference's strategies
+    (rust_tokenizers ``TruncationStrategy`` as consumed via
+    ``encode_pair_list``, common.rs:936-1085):
+
+    - ``longest_first``: remove one token at a time from the end of the
+      currently-longer sequence;
+    - ``only_first`` / ``only_second``: remove from the end of that
+      sequence only (error if it is too short);
+    - ``do_not_truncate``: error when removal is required.
+
+    → (seq_a, seq_b, overflow) — overflow lists the removed tokens in
+    removal order.
+    """
+    if num_to_remove <= 0:
+        return list(seq_a), list(seq_b), []
+    a, b = list(seq_a), list(seq_b)
+    overflow: list = []
+    if strategy == TRUNCATE_DO_NOT:
+        raise ValueError(
+            f"sequence pair needs {num_to_remove} tokens removed but "
+            "truncation is disabled"
+        )
+    if strategy == TRUNCATE_LONGEST_FIRST:
+        for _ in range(num_to_remove):
+            if not a and not b:
+                break
+            src = a if len(a) >= len(b) else b
+            overflow.append(src.pop())
+        return a, b, overflow
+    if strategy in (TRUNCATE_ONLY_FIRST, TRUNCATE_ONLY_SECOND):
+        src = a if strategy == TRUNCATE_ONLY_FIRST else b
+        if len(src) < num_to_remove:
+            raise ValueError(
+                f"cannot remove {num_to_remove} tokens from a "
+                f"{len(src)}-token sequence with strategy {strategy!r}"
+            )
+        for _ in range(num_to_remove):
+            overflow.append(src.pop())
+        return a, b, overflow
+    raise ValueError(f"unknown truncation strategy {strategy!r}")
+
+
+def strip_accents(word: str) -> str:
+    """NFD-decompose and drop combining marks (the tokenizer's
+    ``strip_accents`` flag, token_classification.rs:237-242)."""
+    import unicodedata
+
+    return "".join(
+        c for c in unicodedata.normalize("NFD", word)
+        if unicodedata.category(c) != "Mn"
+    )
 
 
 def clean_up_tokenization(text: str) -> str:

@@ -125,3 +125,48 @@ def test_qa_stage_with_wordpiece_backend_matches_default(tk):
     ]
     assert strip(default_out) == strip(wp_out)
     assert {r["answer"] for r in wp_out} == {"Paris", "New York"}
+
+
+def test_truncate_pair_strategies():
+    from rust_bert_ray.tokenization import (
+        TRUNCATE_DO_NOT,
+        TRUNCATE_LONGEST_FIRST,
+        TRUNCATE_ONLY_FIRST,
+        TRUNCATE_ONLY_SECOND,
+        truncate_pair,
+    )
+
+    a, b = [1, 2, 3, 4, 5], [10, 11]
+    # longest_first removes from the longer side one at a time
+    ta, tb, ov = truncate_pair(a, b, 3, TRUNCATE_LONGEST_FIRST)
+    assert (ta, tb) == ([1, 2], [10, 11]) and ov == [5, 4, 3]
+    # interleaves once lengths equalize
+    ta, tb, ov = truncate_pair([1, 2, 3], [10, 11, 12], 2, TRUNCATE_LONGEST_FIRST)
+    assert len(ta) + len(tb) == 4 and ov == [3, 12]
+    ta, tb, ov = truncate_pair(a, b, 2, TRUNCATE_ONLY_FIRST)
+    assert (ta, tb) == ([1, 2, 3], [10, 11]) and ov == [5, 4]
+    ta, tb, ov = truncate_pair(a, b, 1, TRUNCATE_ONLY_SECOND)
+    assert (ta, tb) == ([1, 2, 3, 4, 5], [10]) and ov == [11]
+    with pytest.raises(ValueError, match="truncation is disabled"):
+        truncate_pair(a, b, 1, TRUNCATE_DO_NOT)
+    with pytest.raises(ValueError, match="cannot remove"):
+        truncate_pair(a, b, 5, TRUNCATE_ONLY_SECOND)
+    # no-op path copies, never mutates
+    ta, tb, ov = truncate_pair(a, b, 0)
+    assert ta == a and ta is not a and ov == []
+
+
+def test_strip_accents_flag():
+    from rust_bert_ray.tokenization import WordPieceTokenizer, strip_accents
+
+    assert strip_accents("café") == "cafe"
+    assert strip_accents("naïve") == "naive"
+    tk = WordPieceTokenizer(strip_accents=True)
+    enc = tk.encode("café time")
+    toks = tk.convert_ids_to_tokens(enc.ids)
+    # 'café' (composed, 4 chars) strips to 'cafe' (4 chars) → char pieces,
+    # never [UNK]; offsets still slice the ORIGINAL text
+    assert "[UNK]" not in toks
+    assert enc.offsets[0] == (0, 1)
+    b, e = enc.offsets[len(toks) - 2 - 1]  # last piece of first word
+    assert "café time"[:4] == "café"
