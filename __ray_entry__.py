@@ -484,6 +484,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_token_counts": text.q_token_counts,
         "q_doc_quality": text.q_doc_quality,
         "q_lang_stats": text.q_lang_stats,
+        "q_vocab_stats": text.q_vocab_stats,
+        "q_split_assign": text.q_split_assign,
         "q_lang_id": text.q_lang_id,
         "q_decode": text.q_decode,
         "q_fingerprints": text.q_fingerprints,
@@ -562,6 +564,8 @@ GROUP BY s.kind
         "q_token_counts": text.Q_TOKEN_COUNTS_SQL,
         "q_doc_quality": text.Q_DOC_QUALITY_SQL,
         "q_lang_stats": text.Q_LANG_STATS_SQL,
+        "q_vocab_stats": text.Q_VOCAB_STATS_SQL,
+        "q_split_assign": text.Q_SPLIT_ASSIGN_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_jaccard_pairs": dedup.DEDUP_JACCARD_SQL,
         "dedup_embedding_pairs": dedup.DEDUP_EMBEDDING_SQL,

@@ -216,6 +216,83 @@ def q_lang_id(sf_dir: str):
     )
 
 
+# ------------------------------------------------------------ vocab stats
+
+def q_vocab_stats(sf_dir: str, k: int = 100):
+    """Corpus token-frequency table (vocabulary building): explode tokens,
+    pre-aggregate counts per batch (combiner), grouped sum, top-k.
+
+    The token-level shuffle moves one (token, partial_count) row per
+    distinct token per batch — at 100 TB that is vocab-sized per batch,
+    never corpus-sized.
+    """
+    docs = _read_documents(sf_dir, ["text"])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column("text"), " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        vc = toks.values.value_counts()  # Arrow kernel, no Python loop
+        return pa.Table.from_pydict(
+            {
+                "token": vc.field("values"),
+                "p_n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    from rust_bert_ray.functions.util import topk
+
+    agg = (
+        docs.map_batches(partial_counts, batch_format="pyarrow", batch_size=65536)
+        .groupby("token", num_partitions=8)
+        .aggregate(Sum("p_n", alias_name="n"))
+    )
+    return topk(agg, ["n", "token"], [True, False], k)
+
+
+Q_VOCAB_STATS_SQL = """
+SELECT t AS token, COUNT(*) AS n
+FROM (SELECT UNNEST(string_split(text, ' ')) AS t FROM documents)
+GROUP BY t
+ORDER BY n DESC, t
+LIMIT 100
+"""
+
+
+# ------------------------------------------------------------ split assign
+
+def q_split_assign(sf_dir: str, train_pct: int = 90, val_pct: int = 5):
+    """Deterministic train/val/test split assignment (doc_id mod 100) —
+    the standard reproducible-split primitive of a training pipeline; no
+    shuffle, no RNG state, stable under any partitioning."""
+    docs = _read_documents(sf_dir, ["doc_id"])
+    lo, hi = train_pct, train_pct + val_pct
+
+    def fn(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        bucket = t.column("doc_id").to_numpy(zero_copy_only=False) % 100
+        split = np.where(bucket < lo, "train", np.where(bucket < hi, "val", "test"))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t.column("doc_id"),
+                "split": pa.array(split.tolist(), type=pa.string()),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow", batch_size=65536)
+
+
+Q_SPLIT_ASSIGN_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 100 < 90 THEN 'train'
+            WHEN doc_id % 100 < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
 # ------------------------------------------------------- tokenize + decode
 
 class WordPieceRoundTrip:
