@@ -231,7 +231,9 @@ def q_vocab_stats(sf_dir: str, k: int = 100):
     def partial_counts(t: pa.Table) -> pa.Table:
         toks = pc.split_pattern(t.column("text"), " ")
         toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
-        vc = toks.values.value_counts()  # Arrow kernel, no Python loop
+        # flatten() (not .values) — respects any list-view offset, so a
+        # sliced block can never leak out-of-view tokens into the counts
+        vc = toks.flatten().value_counts()  # Arrow kernel, no Python loop
         return pa.Table.from_pydict(
             {
                 "token": vc.field("values"),
