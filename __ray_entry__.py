@@ -486,6 +486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lang_stats": text.q_lang_stats,
         "q_vocab_stats": text.q_vocab_stats,
         "q_split_assign": text.q_split_assign,
+        "q_quality_quantiles": text.q_quality_quantiles,
         "q_lang_id": text.q_lang_id,
         "q_decode": text.q_decode,
         "q_fingerprints": text.q_fingerprints,
@@ -566,6 +567,7 @@ GROUP BY s.kind
         "q_lang_stats": text.Q_LANG_STATS_SQL,
         "q_vocab_stats": text.Q_VOCAB_STATS_SQL,
         "q_split_assign": text.Q_SPLIT_ASSIGN_SQL,
+        "q_quality_quantiles": text.Q_QUALITY_QUANTILES_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_jaccard_pairs": dedup.DEDUP_JACCARD_SQL,
         "dedup_embedding_pairs": dedup.DEDUP_EMBEDDING_SQL,

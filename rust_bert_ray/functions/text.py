@@ -262,6 +262,89 @@ LIMIT 100
 """
 
 
+# ---------------------------------------------------- histogram quantiles
+
+def q_quality_quantiles(sf_dir: str):
+    """Per-language n_tokens quantiles (p50/p90/p99) via EXACT
+    distributed histograms: each batch emits (lang, n_tokens, p_n)
+    partials, a grouped sum merges them, and a tiny per-lang finalize
+    reads the quantiles off the cumulative histogram.
+
+    The sketch-style aggregate for bounded-domain statistics: the
+    shuffle moves histogram-sized partials (distinct (lang, value)
+    pairs), never rows, and the result is exact — rank rule mirrors
+    DuckDB ``quantile_disc`` (smallest value with cumulative count ≥
+    ceil(q·n), verified empirically).
+    """
+    import math
+
+    import numpy as np
+
+    docs = _read_documents(sf_dir, ["lang", "text"])
+
+    def partial_hist(t: pa.Table) -> pa.Table:
+        n_tokens = pc.cast(
+            pc.add(pc.count_substring(t.column("text"), " "), 1), pa.int64()
+        )
+        df = pd.DataFrame(
+            {
+                "lang": t.column("lang").to_pandas(),
+                "n_tokens": n_tokens.to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["lang", "n_tokens"], as_index=False).size()
+        return pa.Table.from_pydict(
+            {
+                "lang": g["lang"],
+                "n_tokens": pa.array(g["n_tokens"], type=pa.int64()),
+                "p_n": pa.array(g["size"], type=pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        docs.map_batches(partial_hist, batch_format="pyarrow", batch_size=65536)
+        .groupby(["lang", "n_tokens"], num_partitions=8)
+        .aggregate(Sum("p_n", alias_name="n"))
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("n_tokens")
+        vals = df["n_tokens"].to_numpy()
+        cum = df["n"].to_numpy().cumsum()
+        total = int(cum[-1])
+
+        def q(p: float) -> int:
+            rank = math.ceil(p * total)
+            return int(vals[np.searchsorted(cum, rank)])
+
+        return pd.DataFrame(
+            {
+                "lang": [df["lang"].iloc[0]],
+                "p50": [q(0.5)],
+                "p90": [q(0.9)],
+                "p99": [q(0.99)],
+            }
+        )
+
+    return hist.groupby("lang", num_partitions=8).map_groups(
+        finalize, batch_format="pandas"
+    )
+
+
+Q_QUALITY_QUANTILES_SQL = """
+SELECT lang,
+       quantile_disc(n_tokens, 0.5)  AS p50,
+       quantile_disc(n_tokens, 0.9)  AS p90,
+       quantile_disc(n_tokens, 0.99) AS p99
+FROM (SELECT lang,
+             length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+      FROM documents)
+GROUP BY lang
+"""
+
+
 # ------------------------------------------------------------ split assign
 
 def q_split_assign(sf_dir: str, train_pct: int = 90, val_pct: int = 5):
