@@ -477,6 +477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_join_shuffle": relational.q_join_shuffle,
         "q_events_sessions": relational.q_events_sessions,
         "q_events_asof": relational.q_events_asof,
+        "q_events_range_join": relational.q_events_range_join,
         "q_events_sliding": relational.q_events_sliding,
         "q_sort_top_events": relational.q_sort_top_events,
         "q_customers_without_orders": relational.q_customers_without_orders,
@@ -559,6 +560,7 @@ GROUP BY s.kind
         "q_join_shuffle": relational.Q_JOIN_SHUFFLE_SQL,
         "q_events_sessions": relational.Q_EVENTS_SESSIONS_SQL,
         "q_events_asof": relational.Q_EVENTS_ASOF_SQL,
+        "q_events_range_join": relational.Q_EVENTS_RANGE_JOIN_SQL,
         "q_events_sliding": relational.Q_EVENTS_SLIDING_SQL,
         "q_sort_top_events": relational.Q_SORT_TOP_EVENTS_SQL,
         "q_customers_without_orders": relational.Q_CUSTOMERS_WITHOUT_ORDERS_SQL,

@@ -495,6 +495,72 @@ WHERE click_event_id IS NOT NULL
 """
 
 
+# -------------------------------------------------------- range join
+
+def q_events_range_join(sf_dir: str, window_minutes: int = 15):
+    """For each purchase, the count of clicks by the same user within
+    ±``window_minutes`` of the purchase timestamp (inclusive) — a RANGE
+    join, one of the operators Ray Data lacks natively.
+
+    Portable pattern: bucket both sides by hash(user) % B (ONE shuffle,
+    co-locating each user's rows), then per bucket sort clicks by
+    (user, ts) and answer every purchase of a user with two vectorized
+    ``searchsorted`` probes over that user's click-ts run — per-user
+    loop count is users/bucket, the per-row work is all numpy.
+    """
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    delta = pd.Timedelta(minutes=window_minutes)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        left = g[g["event_type"] == "purchase"]
+        if left.empty:
+            return pd.DataFrame(
+                columns=["event_id", "user_id", "n_nearby_clicks"]
+            ).astype(
+                {"event_id": "int64", "user_id": "int64",
+                 "n_nearby_clicks": "int64"}
+            )
+        clicks = g[g["event_type"] == "click"].sort_values(["user_id", "ts"])
+        c_users = clicks["user_id"].to_numpy()
+        c_ts = clicks["ts"].to_numpy()
+        out_counts = np.zeros(len(left), dtype=np.int64)
+        left = left.reset_index(drop=True)
+        for user, rows in left.groupby("user_id").groups.items():
+            s = np.searchsorted(c_users, user, side="left")
+            e = np.searchsorted(c_users, user, side="right")
+            cts = c_ts[s:e]
+            pts = left.loc[rows, "ts"].to_numpy()
+            lo = np.searchsorted(cts, pts - delta, side="left")
+            hi = np.searchsorted(cts, pts + delta, side="right")
+            out_counts[np.asarray(rows)] = hi - lo
+        return pd.DataFrame(
+            {
+                "event_id": left["event_id"].astype("int64"),
+                "user_id": left["user_id"].astype("int64"),
+                "n_nearby_clicks": out_counts,
+            }
+        )
+
+    return (
+        ev.map_batches(_add_user_bucket, batch_format="pyarrow", batch_size=65536)
+        .groupby("_ubucket", num_partitions=8)
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+Q_EVENTS_RANGE_JOIN_SQL = """
+SELECT a.event_id AS event_id, a.user_id AS user_id,
+       COUNT(b.event_id) AS n_nearby_clicks
+FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+  ON a.user_id = b.user_id
+ AND b.ts BETWEEN a.ts - INTERVAL 15 MINUTE AND a.ts + INTERVAL 15 MINUTE
+GROUP BY a.event_id, a.user_id
+"""
+
+
 # -------------------------------------------------------- global sort
 
 def q_sort_top_events(sf_dir: str, k: int = 100):
