@@ -166,3 +166,32 @@ def test_simhash_trailing_empty_doc_regression():
     assert out[1] == 0 and out[0] != 0
     out2 = SimHashStage.simhashes(["", "", "a b", ""])
     assert list(out2[[0, 1, 3]]) == [0, 0, 0] and out2[2] != 0
+
+
+def test_range_join_matches_bruteforce(ray_session):
+    """Distributed range join == O(n^2) brute force on a small slice."""
+    import pandas as pd
+
+    import __ray_entry__ as e
+
+    got = (
+        e.queries()["q_events_range_join"]("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    ev = pd.read_parquet(
+        "/root/testdata/sf0.001/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    purchases = ev[ev.event_type == "purchase"]
+    clicks = ev[ev.event_type == "click"]
+    delta = pd.Timedelta(minutes=15)
+    want = []
+    for _, p in purchases.iterrows():
+        c = clicks[(clicks.user_id == p.user_id)
+                   & (clicks.ts >= p.ts - delta) & (clicks.ts <= p.ts + delta)]
+        want.append((p.event_id, p.user_id, len(c)))
+    want_df = pd.DataFrame(
+        want, columns=["event_id", "user_id", "n_nearby_clicks"]
+    ).sort_values("event_id", ignore_index=True)
+    pd.testing.assert_frame_equal(got, want_df, check_dtype=False)
