@@ -426,6 +426,19 @@ def _q_conversation(sf_dir: str):
     )
 
 
+def _kg_media_resize(sf_dir: str):
+    """Aspect-preserving resize plan over visual media spans."""
+    import ray.data
+
+    from rust_bert_ray.stages.multimodal import MediaResizeStage
+
+    _, docs_dir = corpus_for(sf_dir)
+    docs = ray.data.read_parquet(docs_dir, columns=["doc_id", "spans"])
+    return docs.map_batches(
+        MediaResizeStage(), batch_format="pyarrow", batch_size=64
+    )
+
+
 def _kg_media_frames(sf_dir: str):
     """Frame sampling over timed media spans (multimodal explode)."""
     import ray.data
@@ -466,6 +479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_media_inventory": _kg_media_inventory,
         "kg_media_features": _kg_media_features,
         "kg_media_frames": _kg_media_frames,
+        "kg_media_resize": _kg_media_resize,
         # --- relational plumbing (TPC-H-ish tables) ---
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q_order_revenue_topk": relational.q_order_revenue_topk,
@@ -535,6 +549,7 @@ GROUP BY s.kind
             "q_pos_tags",
             "q_embed_docs", "q_embed_dense", "q_keywords", "q_masked_lm",
             "qa_answers", "q_conversation", "kg_media_frames",
+            "kg_media_resize",
             "q_lang_id", "q_decode", "q_fingerprints", "kg_nodes", "kg_edges",
             "kg_media_features", "dedup_minhash_pairs", "dedup_simhash_pairs",
             "dedup_embedding_lsh_pairs", "dedup_clusters_minhash",

@@ -33,7 +33,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 EXPECTED_ROOT = "/tmp/rbr_expected"
-VERSION = 8  # bump whenever any builder's semantics change
+VERSION = 9  # bump whenever any builder's semantics change
 
 
 # ------------------------------------------------------------ input helpers
@@ -214,6 +214,12 @@ def kg_media_frames(sf_dir: str, corpus_root: str) -> pa.Table:
     from rust_bert_ray.stages.multimodal import MediaFrameSampleStage
 
     return MediaFrameSampleStage()(_corpus_docs(corpus_root))
+
+
+def kg_media_resize(sf_dir: str, corpus_root: str) -> pa.Table:
+    from rust_bert_ray.stages.multimodal import MediaResizeStage
+
+    return MediaResizeStage()(_corpus_docs(corpus_root))
 
 
 def kg_media_features(sf_dir: str, corpus_root: str) -> pa.Table:
@@ -551,6 +557,7 @@ BUILDERS = {
     "qa_answers": qa_answers,
     "q_conversation": q_conversation,
     "kg_media_frames": kg_media_frames,
+    "kg_media_resize": kg_media_resize,
     "q_lang_id": q_lang_id,
     "q_decode": q_decode,
     "q_fingerprints": q_fingerprints,

@@ -151,6 +151,61 @@ class MediaFrameSampleStage:
         return pa.Table.from_pydict(rows, schema=FRAME_SCHEMA)
 
 
+RESIZE_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("span_offset", pa.int32()),
+        ("kind", pa.string()),
+        ("media_ref", pa.string()),
+        ("src_w", pa.int32()),
+        ("src_h", pa.int32()),
+        ("dst_w", pa.int32()),
+        ("dst_h", pa.int32()),
+        ("scale_pct", pa.int64()),  # round(dst/src * 10^4), hash-stable
+    ]
+)
+
+
+class MediaResizeStage:
+    """visual media spans → aspect-preserving resize plan (fit-in-box).
+
+    The resize operator of a multimodal pipeline: each visual span's
+    source dims (from the declared-stub decode) are fitted into
+    ``max_side`` × ``max_side`` preserving aspect ratio (never
+    upscaled).  The pixel work is the same declared STUB as
+    ``decode_media`` (``strict=True`` raises like a missing codec); the
+    dimension math, schema and explode plumbing are real.
+    """
+
+    def __init__(self, max_side: int = 512, strict: bool = False):
+        self.max_side = max_side
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows: dict[str, list] = {name: [] for name in RESIZE_SCHEMA.names}
+        for doc_id, spans in zip(
+            batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
+        ):
+            for span in spans or []:
+                if span["kind"] not in ("image", "video", "table"):
+                    continue
+                meta = decode_media(span["kind"], span["media_ref"], self.strict)
+                w, h = meta["width"], meta["height"]
+                scale = min(1.0, self.max_side / max(w, h, 1))
+                dst_w = max(1, int(w * scale))
+                dst_h = max(1, int(h * scale))
+                rows["doc_id"].append(doc_id)
+                rows["span_offset"].append(span["offset"])
+                rows["kind"].append(span["kind"])
+                rows["media_ref"].append(span["media_ref"])
+                rows["src_w"].append(w)
+                rows["src_h"].append(h)
+                rows["dst_w"].append(dst_w)
+                rows["dst_h"].append(dst_h)
+                rows["scale_pct"].append(int(round(scale * 10_000)))
+        return pa.Table.from_pydict(rows, schema=RESIZE_SCHEMA)
+
+
 def media_inventory(docs_ds, concurrency: int = 2):
     """Per-kind span counts over an interleaved corpus (media + text)."""
 

@@ -137,3 +137,23 @@ def test_media_frame_sample_strict_raises():
     docs, _ = generate(80)
     with pytest.raises(NotImplementedError):
         MediaFrameSampleStage(strict=True)(docs)
+
+
+def test_media_resize_fit_in_box():
+    from rust_bert_ray.stages.multimodal import RESIZE_SCHEMA, MediaResizeStage
+
+    docs, _ = generate(80)
+    out = MediaResizeStage(max_side=512)(docs)
+    assert out.schema.equals(RESIZE_SCHEMA)
+    rows = out.to_pylist()
+    assert rows
+    for r in rows:
+        assert max(r["dst_w"], r["dst_h"]) <= 512
+        assert r["dst_w"] <= r["src_w"] and r["dst_h"] <= r["src_h"]  # no upscale
+        # aspect preserved within integer rounding
+        if r["src_w"] and r["src_h"]:
+            src_ar = r["src_w"] / r["src_h"]
+            dst_ar = r["dst_w"] / r["dst_h"]
+            assert abs(src_ar - dst_ar) / src_ar < 0.05
+    with pytest.raises(NotImplementedError):
+        MediaResizeStage(strict=True)(docs)
