@@ -33,7 +33,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 EXPECTED_ROOT = "/tmp/rbr_expected"
-VERSION = 9  # bump whenever any builder's semantics change
+VERSION = 10  # bump whenever any builder's semantics change
 
 
 # ------------------------------------------------------------ input helpers
@@ -95,9 +95,41 @@ def q_translate_m2m(sf_dir: str, corpus_root: str) -> pa.Table:
 
 
 def q_pos_tags(sf_dir: str, corpus_root: str) -> pa.Table:
-    from rust_bert_ray.stages.pos import PosStage
+    """Independent of the stage's subword machinery: words come straight
+    from the regex (no piece encoding / word reconstruction), so the
+    oracle checks the Ray stage's tokenize→reconstruct path, not just
+    its distribution.  The rule table itself is shared (single source
+    of truth); the decode around it is re-derived."""
+    import re
 
-    return PosStage()(_documents(sf_dir))
+    from rust_bert_ray.scorers import softmax
+    from rust_bert_ray.stages.pos import (
+        POS_SCHEMA,
+        POS_TAGS,
+        _word_logits,
+        is_punctuation,
+    )
+
+    word_re = re.compile(r"(?u)\w+|[^\w\s]")
+    t = _documents(sf_dir)
+    rows: dict[str, list] = {n: [] for n in POS_SCHEMA.names}
+    for doc_id, text in zip(
+        t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+    ):
+        for m in word_re.finditer(text):
+            word = m.group(0)
+            probs = softmax(_word_logits(word))
+            li = int(probs.argmax())
+            label, score = POS_TAGS[li], float(probs[li])
+            if score < 0.5 and is_punctuation(word):
+                label, score = ".", 1.0
+            rows["doc_id"].append(doc_id)
+            rows["word"].append(word)
+            rows["label"].append(label)
+            rows["score"].append(round(score, 5))
+            rows["begin"].append(m.start())
+            rows["end"].append(m.end())
+    return pa.Table.from_pydict(rows, schema=POS_SCHEMA)
 
 
 def embed_projection(t: pa.Table, embedder) -> pa.Table:
