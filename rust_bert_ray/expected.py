@@ -33,7 +33,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 EXPECTED_ROOT = "/tmp/rbr_expected"
-VERSION = 10  # bump whenever any builder's semantics change
+VERSION = 11  # bump whenever any builder's semantics change
 
 
 # ------------------------------------------------------------ input helpers
@@ -192,10 +192,45 @@ def q_keywords(sf_dir: str, corpus_root: str) -> pa.Table:
     )
 
 
-def q_masked_lm(sf_dir: str, corpus_root: str) -> pa.Table:
-    from rust_bert_ray.stages.masked_lm import MaskedLmStage, mask_nth_token
+def q_masked_lm(sf_dir: str, corpus_root: str, top_k: int = 3) -> pa.Table:
+    """Independent reimplementation (no stage code): mask the 3rd token,
+    rank visible-token counts (count desc, token asc), emit top-k raw
+    logits per mask."""
+    from collections import Counter
 
-    return MaskedLmStage(top_k=3)(mask_nth_token(_documents(sf_dir)))
+    t = _documents(sf_dir)
+    rows: dict[str, list] = {
+        "doc_id": [], "mask_index": [], "rank": [], "token": [], "score": []
+    }
+    for doc_id, text in zip(
+        t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+    ):
+        toks = text.split(" ")
+        if len(toks) > 2:
+            toks[2] = "<mask>"
+        positions = [i for i, x in enumerate(toks) if x == "<mask>"]
+        if not positions:
+            continue
+        ranked = sorted(
+            Counter(x for x in toks if x != "<mask>" and x).items(),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        for m_idx, _pos in enumerate(positions):
+            for rank, (tok, count) in enumerate(ranked[:top_k]):
+                rows["doc_id"].append(doc_id)
+                rows["mask_index"].append(m_idx)
+                rows["rank"].append(rank)
+                rows["token"].append(tok)
+                rows["score"].append(float(count))
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
+            "mask_index": pa.array(rows["mask_index"], type=pa.int32()),
+            "rank": pa.array(rows["rank"], type=pa.int32()),
+            "token": pa.array(rows["token"], type=pa.string()),
+            "score": pa.array(rows["score"], type=pa.float64()),
+        }
+    )
 
 
 def qa_answers(sf_dir: str, corpus_root: str) -> pa.Table:
@@ -206,9 +241,22 @@ def qa_answers(sf_dir: str, corpus_root: str) -> pa.Table:
 
 
 def q_lang_id(sf_dir: str, corpus_root: str) -> pa.Table:
+    """Independent of the stage's Arrow kernels: pure-Python str.count
+    scoring over the same trigram profiles (shared constants, re-derived
+    argmax/tie-break)."""
     from rust_bert_ray.functions.text import LangIdStage
 
-    return LangIdStage()(_documents(sf_dir))
+    profiles = LangIdStage.PROFILES
+    langs = sorted(profiles)
+    t = _documents(sf_dir)
+    preds = []
+    for text in t.column("text").to_pylist():
+        scores = [sum(text.count(g) for g in profiles[lang]) for lang in langs]
+        best = max(range(len(langs)), key=lambda i: (scores[i], -i))
+        preds.append(langs[best] if scores[best] > 0 else "und")
+    return pa.Table.from_pydict(
+        {"doc_id": t.column("doc_id"), "lang_pred": pa.array(preds)}
+    )
 
 
 def q_decode(sf_dir: str, corpus_root: str) -> pa.Table:
