@@ -33,7 +33,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 EXPECTED_ROOT = "/tmp/rbr_expected"
-VERSION = 11  # bump whenever any builder's semantics change
+VERSION = 12  # bump whenever any builder's semantics change
 
 
 # ------------------------------------------------------------ input helpers
@@ -182,13 +182,52 @@ def q_embed_dense(sf_dir: str, corpus_root: str) -> pa.Table:
     return embed_projection(_documents(sf_dir), _dense_embedder())
 
 
-def q_keywords(sf_dir: str, corpus_root: str) -> pa.Table:
-    from rust_bert_ray.stages.keywords import KeywordStage
+def q_keywords(sf_dir: str, corpus_root: str, k: int = 5) -> pa.Table:
+    """Independent candidate scan + ranking: the word regex, stopword
+    filter, first-occurrence candidate order, cosine scoring and stable
+    top-k are all re-derived here (only the embedder — the 'model' — and
+    the shared stopword table come from the library)."""
+    import re
 
-    t = KeywordStage()(_documents(sf_dir))
-    offs = [offsets_str(o) for o in t.column("offsets").to_pylist()]
-    return t.drop_columns(["offsets"]).append_column(
-        "offsets", pa.array(offs, type=pa.string())
+    from rust_bert_ray.decode.pooling import l2_normalize
+    from rust_bert_ray.functions.util import round_ha
+    from rust_bert_ray.scorers import HashEmbedder
+    from rust_bert_ray.stages.keywords import STOPWORDS
+
+    word_re = re.compile(r"(?u)\b\w+\b")
+    embedder = HashEmbedder(dim=64)
+    t = _documents(sf_dir)
+    rows: dict[str, list] = {"doc_id": [], "keyword": [], "score": [], "offsets": []}
+    for doc_id, text in zip(
+        t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+    ):
+        cands: dict[str, list[tuple[int, int]]] = {}
+        for m in word_re.finditer(text):
+            w = m.group(0)
+            if w.lower() in STOPWORDS:
+                continue
+            cands.setdefault(w.lower(), []).append((m.start(), m.end()))
+        if not cands:
+            continue
+        names = list(cands)
+        doc_emb = embedder.embed(text)
+        cand_embs = embedder.embed_batch(names)
+        sims = (
+            l2_normalize(np.atleast_2d(doc_emb))
+            @ l2_normalize(np.atleast_2d(cand_embs)).T
+        ).ravel()
+        for i in np.argsort(-sims, kind="stable")[: min(k, len(names))]:
+            rows["doc_id"].append(doc_id)
+            rows["keyword"].append(names[int(i)])
+            rows["score"].append(round(float(sims[int(i)]), 5))
+            rows["offsets"].append(offsets_str(cands[names[int(i)]]))
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
+            "keyword": pa.array(rows["keyword"], type=pa.string()),
+            "score": pa.array(rows["score"], type=pa.float64()),
+            "offsets": pa.array(rows["offsets"], type=pa.string()),
+        }
     )
 
 
