@@ -33,7 +33,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 EXPECTED_ROOT = "/tmp/rbr_expected"
-VERSION = 12  # bump whenever any builder's semantics change
+VERSION = 14  # bump whenever any builder's semantics change
 
 
 # ------------------------------------------------------------ input helpers
@@ -65,33 +65,217 @@ def offsets_str(offsets) -> str:
     return ";".join(f"{b}-{e}" for b, e in offsets)
 
 
-# ----------------------------------------------------- stage-based builders
-# Each invokes the stage exactly as the queries() entry does, on ONE batch.
+# ------------------------------------------- generation oracle (independent)
+# Straight-line re-derivation of the decode semantics from the reference
+# (generation_utils.rs:555-614 top-k/p, :948-963 greedy, :1059-1591 beam,
+# :2294-2365 BeamHypotheses) — does NOT import rust_bert_ray.stages.generation,
+# so an algorithmic bug in the stage cannot reproduce on the oracle side.
+
+_GEN_EOS = "</s>"
+_GEN_VOCAB = [
+    "data", "table", "row", "batch", "stream", "query", "join", "merge",
+    "fast", "slow", "window", "sort", "hash", "scan", "group", "value",
+    _GEN_EOS,
+]
+
+
+def _gen_logits(tokens: list[str], vocab: list[str], eos_id: int) -> np.ndarray:
+    """The deterministic bigram LM contract: crc32-derived next-token
+    logits over the fixed vocab, with EOS pressure growing with length."""
+    ctx = "\x00".join(tokens[-2:])
+    out = np.empty(len(vocab), dtype=np.float64)
+    for i, tok in enumerate(vocab):
+        out[i] = (
+            (zlib.crc32(f"{ctx}|{tok}".encode("utf-8")) & 0xFFFFFFFF) % 1000
+        ) / 100.0
+    out[eos_id] += 0.02 * len(tokens)
+    return out
+
+
+def _gen_banned_ngrams(tokens: list[str], n: int) -> set[str]:
+    """Tokens completing an already-seen n-gram (no_repeat_ngram_size)."""
+    if n <= 0 or len(tokens) < n - 1:
+        return set()
+    prefix = tuple(tokens[-(n - 1):]) if n > 1 else ()
+    banned: set[str] = set()
+    for i in range(len(tokens) - n + 1):
+        if tuple(tokens[i : i + n - 1]) == prefix:
+            banned.add(tokens[i + n - 1])
+    return banned
+
+
+def _gen_step_logits(
+    tokens: list[str],
+    vocab: list[str],
+    eos_id: int,
+    *,
+    min_length: int = 0,
+    no_repeat: int = 0,
+) -> np.ndarray:
+    logits = _gen_logits(tokens, vocab, eos_id)
+    if min_length and len(tokens) < min_length:
+        logits[eos_id] = -np.inf
+    if no_repeat:
+        banned = _gen_banned_ngrams(tokens, no_repeat)
+        for i, tok in enumerate(vocab):
+            if tok in banned:
+                logits[i] = -np.inf
+    return logits
+
+
+def _gen_greedy(
+    prompt: str,
+    vocab: list[str],
+    *,
+    max_length: int,
+    min_length: int = 0,
+    no_repeat: int = 0,
+    forced_bos: str | None = None,
+) -> str:
+    eos_id = len(vocab) - 1
+    tokens = prompt.split() if prompt else []
+    n_prompt = len(tokens)
+    for step in range(max_length):
+        if forced_bos is not None and step == 0:
+            tok = forced_bos
+        else:
+            logits = _gen_step_logits(
+                tokens, vocab, eos_id, min_length=min_length, no_repeat=no_repeat
+            )
+            tok = vocab[int(np.argmax(logits))]
+        if tok == _GEN_EOS:
+            break
+        tokens.append(tok)
+    return " ".join(tokens[n_prompt:])
+
+
+def _gen_beam(
+    prompt: str,
+    vocab: list[str],
+    *,
+    num_beams: int,
+    max_length: int,
+    min_length: int = 0,
+    no_repeat: int = 0,
+    length_penalty: float = 1.0,
+    early_stopping: bool = True,
+) -> str:
+    """Beam search per generation_utils.rs:1059-1591 + 2294-2365: per
+    beam keep the top 2×num_beams successors by log-prob, globally rank,
+    retire EOS hypotheses into a best-k pool scored by
+    ``logp / len**length_penalty``, stop when the pool can no longer
+    improve."""
+    eos_id = len(vocab) - 1
+    prompt_tokens = prompt.split() if prompt else []
+    beams: list[tuple[list[str], float]] = [(list(prompt_tokens), 0.0)]
+    pool: list[tuple[float, list[str], float]] = []  # (score, tokens, logp)
+
+    def pool_add(tokens: list[str], logp: float) -> None:
+        score = logp / max(1, len(tokens)) ** length_penalty
+        pool.append((score, tokens, logp))
+        pool.sort(key=lambda t: -t[0])
+        if len(pool) > num_beams:
+            pool.pop()
+
+    for _step in range(max_length):
+        candidates: list[tuple[list[str], float]] = []
+        for toks, logp in beams:
+            logits = _gen_step_logits(
+                toks, vocab, eos_id, min_length=min_length, no_repeat=no_repeat
+            )
+            lp = logits - np.log(np.exp(logits - logits.max()).sum()) - logits.max()
+            for idx in np.argsort(-lp)[: 2 * num_beams]:
+                candidates.append((toks + [vocab[int(idx)]], logp + float(lp[idx])))
+        candidates.sort(key=lambda c: -c[1])
+        beams = []
+        for ctoks, clogp in candidates:
+            if ctoks[-1] == _GEN_EOS:
+                pool_add(ctoks[:-1], clogp)
+            else:
+                beams.append((ctoks, clogp))
+            if len(beams) >= num_beams:
+                break
+        if not beams:
+            break
+        best_possible = max(lp for _, lp in beams) / max(
+            1, len(beams[0][0])
+        ) ** length_penalty
+        if len(pool) >= num_beams and (
+            early_stopping or pool[-1][0] >= best_possible
+        ):
+            break
+    for toks, logp in beams:
+        pool_add(toks, logp)
+    best = pool[0][1]
+    return " ".join(best[len(prompt_tokens):])
+
+
+def _gen_table(doc_ids: list[int], outs: list[str]) -> pa.Table:
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "generated": pa.array(outs, type=pa.string()),
+            "n_tokens": pa.array(
+                [len(o.split()) if o else 0 for o in outs], type=pa.int32()
+            ),
+        }
+    )
+
 
 def q_generate(sf_dir: str, corpus_root: str) -> pa.Table:
-    from rust_bert_ray.stages.generation import TextGenerationStage
-
-    return TextGenerationStage()(_documents(sf_dir).slice(0, 200))
+    t = _documents(sf_dir).slice(0, 200)
+    outs = [
+        _gen_greedy(
+            " ".join(text.split()[:4]), _GEN_VOCAB, max_length=16, no_repeat=3
+        )
+        for text in t.column("text").to_pylist()
+    ]
+    return _gen_table(t.column("doc_id").to_pylist(), outs)
 
 
 def q_summarize(sf_dir: str, corpus_root: str) -> pa.Table:
-    from rust_bert_ray.stages.generation import SummarizationStage
-
-    return SummarizationStage()(_documents(sf_dir).slice(0, 200))
+    t = _documents(sf_dir).slice(0, 200)
+    outs = [
+        _gen_beam(
+            "summarize: " + " ".join(text.split()[:4]),
+            _GEN_VOCAB,
+            num_beams=3,
+            min_length=6,
+            max_length=14,
+            no_repeat=3,
+        )
+        for text in t.column("text").to_pylist()
+    ]
+    return _gen_table(t.column("doc_id").to_pylist(), outs)
 
 
 def q_translate(sf_dir: str, corpus_root: str) -> pa.Table:
-    from rust_bert_ray.stages.generation import TranslationStage
-
-    return TranslationStage(target_lang="fr")(_documents(sf_dir).slice(0, 200))
+    # marian family: ">>fr<< " text prefix, no forced BOS
+    t = _documents(sf_dir).slice(0, 200)
+    outs = [
+        _gen_greedy(
+            ">>fr<< " + " ".join(text.split()[:4]), _GEN_VOCAB, max_length=12
+        )
+        for text in t.column("text").to_pylist()
+    ]
+    return _gen_table(t.column("doc_id").to_pylist(), outs)
 
 
 def q_translate_m2m(sf_dir: str, corpus_root: str) -> pa.Table:
-    from rust_bert_ray.stages.generation import TranslationStage
-
-    return TranslationStage(
-        target_lang="de", source_lang="en", model_type="m2m100"
-    )(_documents(sf_dir).slice(0, 200))
+    # m2m100 family: ">>en.<< " prefix + forced decoder BOS ">>de.<<",
+    # which must be id-resolvable → vocab extended with the lang token
+    vocab = _GEN_VOCAB[:-1] + [">>de.<<", _GEN_EOS]
+    t = _documents(sf_dir).slice(0, 200)
+    outs = [
+        _gen_greedy(
+            ">>en.<< " + " ".join(text.split()[:4]),
+            vocab,
+            max_length=12,
+            forced_bos=">>de.<<",
+        )
+        for text in t.column("text").to_pylist()
+    ]
+    return _gen_table(t.column("doc_id").to_pylist(), outs)
 
 
 def q_pos_tags(sf_dir: str, corpus_root: str) -> pa.Table:
@@ -324,33 +508,187 @@ def q_fingerprints(sf_dir: str, corpus_root: str, shingle: int = 8) -> pa.Table:
 
 
 def q_conversation(sf_dir: str, corpus_root: str) -> pa.Table:
-    from rust_bert_ray.state.conversation import ConversationStage
+    """Independent re-derivation of the keyed conversation semantics
+    (conversation.rs:469-699 add/mark-processed, :925-934 batched
+    generate, :997-1064 EOS-boundary history truncation) — does NOT
+    import rust_bert_ray.state.conversation."""
+    turns, wpt, max_ctx, max_len, no_repeat = 2, 3, 64, 8, 3
+    t = _documents(sf_dir).slice(0, 100)
+    doc_ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    histories: list[list[str]] = [[] for _ in doc_ids]
+    out: dict[str, list] = {"doc_id": [], "turn": [], "user_input": [], "response": []}
 
-    return ConversationStage()(_documents(sf_dir).slice(0, 100))
+    def truncate(history: list[str]) -> list[str]:
+        if len(history) <= max_ctx:
+            return history
+        overflow = len(history) - max_ctx
+        for i, tok in enumerate(history):
+            if tok == _GEN_EOS and i + 1 >= overflow:
+                return history[i + 1:]
+        return history[-max_ctx:]
+
+    for turn in range(turns):
+        for k, (doc_id, text) in enumerate(zip(doc_ids, texts)):
+            words = text.split()
+            seg = " ".join(words[turn * wpt : (turn + 1) * wpt]) or "pad"
+            prompt_tokens = histories[k] + seg.split() + [_GEN_EOS]
+            prompt = " ".join(tok for tok in prompt_tokens if tok != _GEN_EOS)
+            response = _gen_greedy(
+                prompt, _GEN_VOCAB, max_length=max_len, no_repeat=no_repeat
+            )
+            histories[k] = truncate(prompt_tokens + response.split() + [_GEN_EOS])
+            out["doc_id"].append(doc_id)
+            out["turn"].append(turn)
+            out["user_input"].append(seg)
+            out["response"].append(response)
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+            "turn": pa.array(out["turn"], type=pa.int64()),
+            "user_input": pa.array(out["user_input"], type=pa.string()),
+            "response": pa.array(out["response"], type=pa.string()),
+        }
+    )
 
 
-def kg_media_frames(sf_dir: str, corpus_root: str) -> pa.Table:
-    from rust_bert_ray.stages.multimodal import MediaFrameSampleStage
+# --------------------------------------------- media oracle (independent)
+# Re-derives the declared-stub decode formulas (crc-keyed metadata,
+# seeded-rng features) without importing rust_bert_ray.stages.multimodal.
 
-    return MediaFrameSampleStage()(_corpus_docs(corpus_root))
+_MEDIA_DIM = 8
 
 
-def kg_media_resize(sf_dir: str, corpus_root: str) -> pa.Table:
-    from rust_bert_ray.stages.multimodal import MediaResizeStage
+def _media_meta(kind: str, media_ref: str) -> dict:
+    h = zlib.crc32(media_ref.encode())
+    rng = np.random.default_rng(h)
+    is_visual = kind in ("image", "video", "table")
+    return {
+        "width": int(64 + h % 1920) if is_visual else 0,
+        "height": int(64 + (h >> 8) % 1080) if is_visual else 0,
+        "n_bytes": int(1024 + h % (1 << 20)),
+        "duration_ms": int(h % 600_000) if kind in ("audio", "video") else 0,
+        "feature": rng.standard_normal(_MEDIA_DIM).astype(np.float32),
+    }
 
-    return MediaResizeStage()(_corpus_docs(corpus_root))
+
+def _media_spans(corpus_root: str):
+    t = _corpus_docs(corpus_root)
+    for doc_id, spans in zip(
+        t.column("doc_id").to_pylist(), t.column("spans").to_pylist()
+    ):
+        for span in spans or []:
+            yield doc_id, span
+
+
+def kg_media_frames(sf_dir: str, corpus_root: str, n_frames: int = 3) -> pa.Table:
+    rows: dict[str, list] = {
+        k: [] for k in (
+            "doc_id", "span_offset", "kind", "media_ref", "frame_idx",
+            "ts_ms", "feature_digest",
+        )
+    }
+    for doc_id, span in _media_spans(corpus_root):
+        if span["kind"] not in ("audio", "video"):
+            continue
+        duration = _media_meta(span["kind"], span["media_ref"])["duration_ms"]
+        h = zlib.crc32(span["media_ref"].encode())
+        for k in range(n_frames):
+            ts = (duration * (k + 1)) // (n_frames + 1)
+            feat = (
+                np.random.default_rng((h + 1) * 1_000_003 + k)
+                .standard_normal(_MEDIA_DIM)
+                .astype(np.float32)
+            )
+            rows["doc_id"].append(doc_id)
+            rows["span_offset"].append(span["offset"])
+            rows["kind"].append(span["kind"])
+            rows["media_ref"].append(span["media_ref"])
+            rows["frame_idx"].append(k)
+            rows["ts_ms"].append(int(ts))
+            rows["feature_digest"].append(zlib.crc32(feat.tobytes()))
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(rows["doc_id"], type=pa.string()),
+            "span_offset": pa.array(rows["span_offset"], type=pa.int32()),
+            "kind": pa.array(rows["kind"], type=pa.string()),
+            "media_ref": pa.array(rows["media_ref"], type=pa.string()),
+            "frame_idx": pa.array(rows["frame_idx"], type=pa.int32()),
+            "ts_ms": pa.array(rows["ts_ms"], type=pa.int32()),
+            "feature_digest": pa.array(rows["feature_digest"], type=pa.int64()),
+        }
+    )
+
+
+def kg_media_resize(sf_dir: str, corpus_root: str, max_side: int = 512) -> pa.Table:
+    rows: dict[str, list] = {
+        k: [] for k in (
+            "doc_id", "span_offset", "kind", "media_ref", "src_w", "src_h",
+            "dst_w", "dst_h", "scale_pct",
+        )
+    }
+    for doc_id, span in _media_spans(corpus_root):
+        if span["kind"] not in ("image", "video", "table"):
+            continue
+        meta = _media_meta(span["kind"], span["media_ref"])
+        w, h = meta["width"], meta["height"]
+        scale = min(1.0, max_side / max(w, h, 1))
+        rows["doc_id"].append(doc_id)
+        rows["span_offset"].append(span["offset"])
+        rows["kind"].append(span["kind"])
+        rows["media_ref"].append(span["media_ref"])
+        rows["src_w"].append(w)
+        rows["src_h"].append(h)
+        rows["dst_w"].append(max(1, int(w * scale)))
+        rows["dst_h"].append(max(1, int(h * scale)))
+        rows["scale_pct"].append(int(round(scale * 10_000)))
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(rows["doc_id"], type=pa.string()),
+            "span_offset": pa.array(rows["span_offset"], type=pa.int32()),
+            "kind": pa.array(rows["kind"], type=pa.string()),
+            "media_ref": pa.array(rows["media_ref"], type=pa.string()),
+            "src_w": pa.array(rows["src_w"], type=pa.int32()),
+            "src_h": pa.array(rows["src_h"], type=pa.int32()),
+            "dst_w": pa.array(rows["dst_w"], type=pa.int32()),
+            "dst_h": pa.array(rows["dst_h"], type=pa.int32()),
+            "scale_pct": pa.array(rows["scale_pct"], type=pa.int64()),
+        }
+    )
 
 
 def kg_media_features(sf_dir: str, corpus_root: str) -> pa.Table:
-    from rust_bert_ray.stages.multimodal import MediaDecodeStage
-
-    t = MediaDecodeStage()(_corpus_docs(corpus_root))
-    digests = [
-        emb_digest(np.asarray(f, dtype=np.float32))
-        for f in t.column("feature").to_pylist()
-    ]
-    return t.drop_columns(["feature"]).append_column(
-        "feature_digest", pa.array(digests, type=pa.int64())
+    rows: dict[str, list] = {
+        k: [] for k in (
+            "doc_id", "span_offset", "kind", "media_ref", "width", "height",
+            "n_bytes", "duration_ms", "feature_digest",
+        )
+    }
+    for doc_id, span in _media_spans(corpus_root):
+        if span["kind"] == "text":
+            continue
+        meta = _media_meta(span["kind"], span["media_ref"])
+        rows["doc_id"].append(doc_id)
+        rows["span_offset"].append(span["offset"])
+        rows["kind"].append(span["kind"])
+        rows["media_ref"].append(span["media_ref"])
+        rows["width"].append(meta["width"])
+        rows["height"].append(meta["height"])
+        rows["n_bytes"].append(meta["n_bytes"])
+        rows["duration_ms"].append(meta["duration_ms"])
+        rows["feature_digest"].append(emb_digest(meta["feature"]))
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(rows["doc_id"], type=pa.string()),
+            "span_offset": pa.array(rows["span_offset"], type=pa.int32()),
+            "kind": pa.array(rows["kind"], type=pa.string()),
+            "media_ref": pa.array(rows["media_ref"], type=pa.string()),
+            "width": pa.array(rows["width"], type=pa.int32()),
+            "height": pa.array(rows["height"], type=pa.int32()),
+            "n_bytes": pa.array(rows["n_bytes"], type=pa.int64()),
+            "duration_ms": pa.array(rows["duration_ms"], type=pa.int32()),
+            "feature_digest": pa.array(rows["feature_digest"], type=pa.int64()),
+        }
     )
 
 

@@ -43,16 +43,24 @@ def _read_documents(sf_dir: str, columns: list[str] | None = None):
 
 # ------------------------------------------------------------- exact dedup
 
-def dedup_exact(sf_dir: str):
+def dedup_exact(sf_dir: str, broadcast_limit: int = 5_000_000):
     """One row per distinct text, keeping the smallest doc_id.
 
     Scale shape: the all-to-all exchange carries **(digest, doc_id)
     only** — 24 bytes/doc, never the text column.  Per digest-bucket, a
-    vectorized groupby finds every non-minimal doc_id → the *drop-list*
-    (duplicates are the minority of a real corpus, so the drop-list is
-    the small side); the corpus is then streamed once more and
-    anti-joined against the broadcast drop-list.  Digest is 128-bit
-    blake2b (collision-free at 10^12 docs; crc32 would collide).
+    vectorized groupby finds every non-minimal doc_id → the *drop-list*.
+    The drop-list is applied adaptively:
+
+    - ``≤ broadcast_limit`` drops (duplicates the minority — the normal
+      web-corpus case): driver collects the ids once, ``ray.put`` once,
+      every filter task binary-searches the shared sorted array;
+    - ``> broadcast_limit`` (duplicate-heavy corpus): the drop-list
+      NEVER touches the driver — it stays a Dataset in the object store
+      and is removed with a hash-partitioned ``left_anti`` join, so the
+      memory high-water mark is per-partition, not per-corpus.
+
+    Digest is 128-bit blake2b (collision-free at 10^12 docs; crc32
+    would collide).
     """
     import hashlib
 
@@ -80,7 +88,17 @@ def dedup_exact(sf_dir: str):
         .groupby("_bucket", num_partitions=16)
         .map_groups(drops_per_bucket, batch_format="pandas")
     )
-    drop_df = drop_ds.to_pandas()  # small side (duplicates minority)
+    drops = drop_ds.materialize()  # (doc_id)-only rows, stays in object store
+    if drops.count() > broadcast_limit:
+        out = docs.join(
+            drops, "left_anti", num_partitions=16, on=("doc_id",)
+        )
+        return out.map_batches(
+            lambda t: t.select(["doc_id", "text"]),
+            batch_format="pyarrow",
+            batch_size=65536,
+        )
+    drop_df = drops.to_pandas()  # small side (duplicates minority)
     drop_ids = (
         drop_df["doc_id"].to_numpy() if "doc_id" in drop_df.columns
         else np.empty(0, dtype=np.int64)
@@ -720,14 +738,38 @@ class AssignCluster:
         )
 
 
-def _cluster_keep_list(sf_dir: str, pairs_ds):
-    """pairs → CC labels (small side, broadcast) → per-doc keep-list.
+def _cluster_keep_list(sf_dir: str, pairs_ds, broadcast_limit: int = 5_000_000):
+    """pairs → CC labels → per-doc keep-list.
 
     This is what a training-data pipeline actually consumes: the corpus
     anti-joins ``keep = 0`` rows away.  The cluster labels cover only
     docs appearing in ≥1 pair, so document text never enters a shuffle.
+
+    Label application is adaptive: ``≤ broadcast_limit`` labels (the
+    normal case — clustered docs are the minority) are collected once
+    and broadcast; above it the labels stay a Dataset and are applied
+    with a hash-partitioned ``left_outer`` join, so a duplicate-heavy
+    corpus never funnels through driver memory.
     """
-    labels_df = connected_components(pairs_ds).to_pandas()
+    labels_ds = connected_components(pairs_ds).materialize()
+    if labels_ds.count() > broadcast_limit:
+        docs = _read_documents(sf_dir, ["doc_id"])
+        joined = docs.join(
+            labels_ds, "left_outer", num_partitions=16, on=("doc_id",)
+        )
+
+        def finish(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").cast(pa.int64())
+            cluster = pc.coalesce(t.column("cluster_id"), ids).cast(pa.int64())
+            keep = pc.equal(ids, cluster).cast(pa.int64())
+            return pa.Table.from_pydict(
+                {"doc_id": ids, "cluster_id": cluster, "keep": keep}
+            )
+
+        return joined.map_batches(
+            finish, batch_format="pyarrow", batch_size=65536
+        )
+    labels_df = labels_ds.to_pandas()
     if len(labels_df):
         order = np.argsort(labels_df["doc_id"].to_numpy())
         keys = labels_df["doc_id"].to_numpy()[order].astype(np.int64)

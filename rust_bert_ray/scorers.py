@@ -77,24 +77,98 @@ class DeterministicTagScorer:
 
     _jitter_cache: dict[int, float] = {}
 
+    def jitter_for(self, pid: int) -> float:
+        """Deterministic per-piece-id logit jitter (crc-derived)."""
+        jc = self._jitter_cache
+        jitter = jc.get(pid)
+        if jitter is None:
+            jitter = (_crc(str(pid)) % 97) / 1000.0
+            if len(jc) < 1_000_000:
+                jc[pid] = jitter
+        return jitter
+
     def logits_for_pieces(
         self, word_tags: list[str], word_indices: list[int], piece_ids: list[int]
     ) -> np.ndarray:
         """[n_pieces, n_labels] logits; specials (word_index<0) stay "O"-ish."""
         n = len(word_indices)
         logits = np.zeros((n, len(NER_LABELS)), dtype=np.float64)
-        jc = self._jitter_cache
         for pos in range(n):
             w = word_indices[pos]
             tag = word_tags[w] if w >= 0 else "O"
-            pid = piece_ids[pos]
-            jitter = jc.get(pid)
-            if jitter is None:
-                jitter = (_crc(str(pid)) % 97) / 1000.0
-                if len(jc) < 1_000_000:
-                    jc[pid] = jitter
-            logits[pos, NER_LABEL_INDEX[tag]] = self.BASE_LOGIT + jitter
+            logits[pos, NER_LABEL_INDEX[tag]] = self.BASE_LOGIT + self.jitter_for(
+                piece_ids[pos]
+            )
         return logits
+
+    # ------------------------------------------------ vectorized fast path
+
+    @property
+    def supports_bio_fast(self) -> bool:
+        """True when every gazetteer label has B-/I- ids in NER_LABELS —
+        the precondition for the batch-flat decode in stages/ner.py."""
+        labels = {label for entries in self.index.values() for _, label in entries}
+        return all(
+            f"B-{label}" in NER_LABEL_INDEX and f"I-{label}" in NER_LABEL_INDEX
+            for label in labels
+        )
+
+    def tag_word_ids_flat(
+        self,
+        words: list[str],
+        cand_idx: np.ndarray,
+        text_last_word: np.ndarray,
+    ) -> np.ndarray:
+        """``tag_words`` over a flat batch word stream → NER label ids.
+
+        ``cand_idx``: sorted indices whose surface is a gazetteer first
+        word (others can never start a match); ``text_last_word[i]``:
+        index of the last word in i's text (matches never cross texts).
+        Greedy longest-match left-to-right, identical to ``tag_words``.
+        """
+        tags = np.zeros(len(words), dtype=np.int8)
+        next_free = 0
+        index = self.index
+        for i in cand_idx.tolist():
+            if i < next_free:
+                continue
+            entries = index.get(words[i])
+            if not entries:
+                continue
+            limit = int(text_last_word[i])
+            for parts, label in entries:
+                ln = len(parts)
+                if i + ln - 1 > limit:
+                    continue
+                ok = True
+                for k in range(1, ln):
+                    if words[i + k] != parts[k]:
+                        ok = False
+                        break
+                if ok:
+                    tags[i] = NER_LABEL_INDEX[f"B-{label}"]
+                    if ln > 1:
+                        tags[i + 1 : i + ln] = NER_LABEL_INDEX[f"I-{label}"]
+                    next_free = i + ln
+                    break
+        return tags
+
+    def probs_np(self, tag_ids: np.ndarray, jitters: np.ndarray) -> np.ndarray:
+        """Chosen-label softmax probabilities for piece rows.
+
+        Builds the same per-row logits as ``logits_for_pieces`` (one
+        positive entry ``BASE_LOGIT + jitter`` at the tag column, zeros
+        elsewhere) and runs the identical row-wise softmax, so results
+        are bit-equal to the per-text path.  The argmax of such a row
+        is the tag column itself (the single positive logit), so the
+        caller may use ``tag_ids`` directly as label ids.
+        """
+        k = len(tag_ids)
+        logits = np.zeros((k, len(NER_LABELS)), dtype=np.float64)
+        rows = np.arange(k)
+        logits[rows, tag_ids] = self.BASE_LOGIT + jitters
+        probs = softmax(logits, axis=-1)
+        return probs[rows, tag_ids]
 
 
 # predicate rules: (substring in the inter-entity gap, subj label, obj label)
@@ -223,4 +297,5 @@ class HeuristicTagScorer:
 
     # logits identical in shape to DeterministicTagScorer's
     logits_for_pieces = DeterministicTagScorer.logits_for_pieces
+    jitter_for = DeterministicTagScorer.jitter_for
     _jitter_cache = {}

@@ -165,6 +165,13 @@ class Generator:
     def __init__(self, lm: DeterministicLM | None = None):
         self.lm = lm if lm is not None else DeterministicLM()
 
+    def _vocab_index(self) -> dict[str, int]:
+        idx = getattr(self, "_vocab_index_cache", None)
+        if idx is None or len(idx) != len(self.lm.vocab):
+            idx = {tok: i for i, tok in enumerate(self.lm.vocab)}
+            self._vocab_index_cache = idx
+        return idx
+
     def _step_logits(
         self, tokens: list[str], opts: GenerateOptions, n_generated: int = -1
     ) -> np.ndarray:
@@ -176,14 +183,21 @@ class Generator:
             logits[want] = 0.0
             return logits
         if opts.repetition_penalty != 1.0:
-            seen = set(tokens)
-            for i, tok in enumerate(self.lm.vocab):
-                if tok in seen:
-                    logits[i] = (
-                        logits[i] * opts.repetition_penalty
-                        if logits[i] < 0
-                        else logits[i] / opts.repetition_penalty
-                    )
+            # Per-occurrence compounding: the reference's
+            # enforce_repetition_penalty (generation_utils.rs:484-505)
+            # re-reads and re-penalizes the logit once per *occurrence*
+            # of a token in the context, so a token repeated k times is
+            # penalized k times over.
+            vocab_index = self._vocab_index()
+            for tok in tokens:
+                i = vocab_index.get(tok)
+                if i is None:
+                    continue
+                logits[i] = (
+                    logits[i] * opts.repetition_penalty
+                    if logits[i] < 0
+                    else logits[i] / opts.repetition_penalty
+                )
         if opts.min_length and len(tokens) < opts.min_length:
             logits[self.lm.eos_id] = -np.inf
         if opts.no_repeat_ngram_size:
@@ -385,13 +399,20 @@ class SummarizationStage(TextGenerationStage):
         return self.PREFIX + " ".join(text.split()[: self.prompt_words])
 
 
-# (iso639-1, English name, NLLB code) for the supported language set
+# key → (Display name, iso639-1 code, NLLB code) for the supported set.
+# ``None`` codes mirror the reference's ``get_iso_639_1_code`` /
+# ``get_nllb_code`` returning None (translation_pipeline.rs:486,497):
+# ChineseMandarin has NO iso639-1 or NLLB code there, so selecting it for
+# marian/mbart50/m2m100/nllb is the "Missing ... language" error path;
+# only T5 (which renders the Display name — "Chinese Mandarin", with the
+# space the reference Display impl inserts at uppercase boundaries,
+# translation_pipeline.rs:250-270) accepts it.
 LANGUAGES = {
-    "en": ("English", "eng_Latn"),
-    "fr": ("French", "fra_Latn"),
-    "de": ("German", "deu_Latn"),
-    "es": ("Spanish", "spa_Latn"),
-    "zh": ("ChineseMandarin", "zho_Hans"),
+    "en": ("English", "en", "eng_Latn"),
+    "fr": ("French", "fr", "fra_Latn"),
+    "de": ("German", "de", "deu_Latn"),
+    "es": ("Spanish", "es", "spa_Latn"),
+    "zh": ("Chinese Mandarin", None, None),
 }
 
 
@@ -427,9 +448,17 @@ def get_prefix_and_forced_bos(
             raise ValueError(f"Missing {side} language for {model_type}")
         return lang
 
+    def code(lang: str | None, side: str, pos: int) -> str:
+        """Family code for the language, or the reference's error path
+        when the code is None (get_iso_639_1_code → ok_or_else)."""
+        c = LANGUAGES[need(lang, side)][pos]
+        if c is None:
+            raise ValueError(f"Missing {side} language for {model_type}")
+        return c
+
     if model_type == "marian":
         if len(supported_target) > 1:
-            return f">>{need(target_lang, 'target')}<< ", None
+            return f">>{code(target_lang, 'target', 1)}<< ", None
         return None, None
     if model_type == "t5":
         return (
@@ -439,19 +468,23 @@ def get_prefix_and_forced_bos(
         )
     if model_type == "mbart50":
         return (
-            f">>{need(source_lang, 'source')}<< ",
-            f">>{need(target_lang, 'target')}<<",
+            f">>{code(source_lang, 'source', 1)}<< ",
+            f">>{code(target_lang, 'target', 1)}<<",
         )
     if model_type == "m2m100":
         # 2-letter iso codes carry a trailing dot in the token
-        src = need(source_lang, "source")
-        tgt = need(target_lang, "target")
+        src = code(source_lang, "source", 1)
+        tgt = code(target_lang, "target", 1)
         dot = lambda c: f">>{c}.<<" if len(c) == 2 else f">>{c}<<"  # noqa: E731
         return dot(src) + " ", dot(tgt)
     if model_type == "nllb":
+        # bare code, NO trailing space — the reference prepends the NLLB
+        # code directly (translation_pipeline.rs:1487-1494); the
+        # whitespace separator our token model needs is added by the
+        # stage, not here
         return (
-            LANGUAGES[need(source_lang, "source")][1] + " ",
-            LANGUAGES[need(target_lang, "target")][1],
+            code(source_lang, "source", 2),
+            code(target_lang, "target", 2),
         )
     raise ValueError(f"unknown translation model type {model_type!r}")
 
@@ -490,6 +523,12 @@ class TranslationStage(TextGenerationStage):
             lm.eos_id = len(lm.vocab) - 1
             self.generator = Generator(lm)
         self.prefix = prefix or ""
+        # The reference concatenates prefix+text directly and lets the
+        # subword tokenizer split them; our whitespace token model needs
+        # an explicit separator when the family's prefix (NLLB) carries
+        # none.  Documented deviation — prefix STRING parity is in
+        # get_prefix_and_forced_bos, the separator is token plumbing.
+        self._sep = "" if (not self.prefix or self.prefix.endswith(" ")) else " "
 
     def _prompt(self, text: str) -> str:
-        return self.prefix + " ".join(text.split()[: self.prompt_words])
+        return self.prefix + self._sep + " ".join(text.split()[: self.prompt_words])

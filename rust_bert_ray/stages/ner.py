@@ -28,10 +28,18 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from rust_bert_ray.decode.chunking import Entity, consolidate_entities
-from rust_bert_ray.decode.consolidate import AGG_FIRST, Token, consolidate_tokens
+from rust_bert_ray.decode.consolidate import (
+    AGG_FIRST,
+    AGG_LAST,
+    AGG_MODE,
+    Token,
+    consolidate_tokens,
+)
 from rust_bert_ray.decode.featurize import generate_features
+from rust_bert_ray.decode.vector import BatchWordSplitter, bio_runs
 from rust_bert_ray.scorers import (
     NER_LABELS,
     DeterministicRelationScorer,
@@ -40,6 +48,80 @@ from rust_bert_ray.scorers import (
     softmax,
 )
 from rust_bert_ray.tokenization import MASK_SPECIAL, SubwordTokenizer
+
+ENTITY_TYPE_NAMES = [""] + [label[2:] for label in NER_LABELS[1::2]]
+
+
+class _PieceCache:
+    """Per-actor word → piece summary cache for the batch-flat decode.
+
+    For each distinct word surface stores: piece count, total char
+    length, whether the word can start a gazetteer match, and a slice
+    (start, count) into a flat per-piece jitter array.  Piece ids and
+    per-piece arithmetic match ``SubwordTokenizer._encode_word`` +
+    ``DeterministicTagScorer.jitter_for`` exactly — the fast path reads
+    this cache instead of re-deriving pieces per occurrence.
+    """
+
+    def __init__(self, tokenizer, scorer, cap: int = 1_000_000):
+        self.tokenizer = tokenizer
+        self.scorer = scorer
+        self.cap = cap
+        self.uid: dict[str, int] = {}
+        self._starts: list[int] = []
+        self._counts: list[int] = []
+        self._wlens: list[int] = []
+        self._first_gaz: list[bool] = []
+        self._jit_chunks: list[np.ndarray] = [np.zeros(0, np.float64)]
+        self._pending_jit: list[float] = []
+        self._n_pieces = 0
+        # rebuilt lazily after new words arrive
+        self.start = np.zeros(0, np.int64)
+        self.count = np.zeros(0, np.int64)
+        self.wlen = np.zeros(0, np.int64)
+        self.first_gaz = np.zeros(0, bool)
+        self.jitter = np.zeros(0, np.float64)
+
+    def _add(self, word: str) -> int:
+        if len(self.uid) >= self.cap:
+            return -1
+        ids, lens, _masks = self.tokenizer._encode_word(word)
+        j = len(self._starts)
+        self.uid[word] = j
+        self._starts.append(self._n_pieces)
+        self._counts.append(len(ids))
+        self._wlens.append(sum(lens))
+        self._first_gaz.append(word in self.scorer.index)
+        jit = self.scorer.jitter_for
+        self._pending_jit.extend(jit(pid) for pid in ids)
+        self._n_pieces += len(ids)
+        return j
+
+    def ensure(self, words: list[str]) -> np.ndarray:
+        """Register all words; → uid per word (-1 = over cap)."""
+        uid = self.uid
+        inv = np.empty(len(words), np.int64)
+        add = self._add
+        n_before = len(self._starts)
+        for i, w in enumerate(words):
+            j = uid.get(w)
+            if j is None:
+                j = add(w)
+            inv[i] = j
+        if len(self._starts) != n_before:
+            if self._pending_jit:
+                self._jit_chunks.append(
+                    np.asarray(self._pending_jit, dtype=np.float64)
+                )
+                self._pending_jit = []
+            if len(self._jit_chunks) > 1:
+                self._jit_chunks = [np.concatenate(self._jit_chunks)]
+            self.jitter = self._jit_chunks[0]
+            self.start = np.asarray(self._starts, dtype=np.int64)
+            self.count = np.asarray(self._counts, dtype=np.int64)
+            self.wlen = np.asarray(self._wlens, dtype=np.int64)
+            self.first_gaz = np.asarray(self._first_gaz, dtype=bool)
+        return inv
 
 ENTITY_STRUCT = pa.struct(
     [
@@ -94,6 +176,22 @@ class NerStage:
         self.label_aggregation = label_aggregation
         self.memo: dict[str, list[Entity]] = {}
         self.memo_cap = memo_cap
+        # Batch-flat fast decode applies only to the default stack: the
+        # built-in tokenizer (contiguous piece offsets, no lowercasing),
+        # a BIO-only DeterministicTagScorer, and a label aggregation
+        # that is invariant when every sub-token of a word carries the
+        # same label (First/Last/Mode — this scorer tags per word, so
+        # all three collapse to the word tag).  Injected backends and
+        # custom aggregations take the per-text reference path.
+        self._fast = (
+            tokenizer is None
+            and scorer is None
+            and label_aggregation in (AGG_FIRST, AGG_LAST, AGG_MODE)
+            and getattr(self.scorer, "supports_bio_fast", False)
+        )
+        if self._fast:
+            self._splitter = BatchWordSplitter()
+            self._pieces = _PieceCache(self.tokenizer, self.scorer)
 
     def _entities_for_text(self, text: str) -> list[Entity]:
         cached = self.memo.get(text)
@@ -142,29 +240,191 @@ class NerStage:
             self.memo[text] = entities
         return entities
 
+    # --------------------------------------------------- batch-flat decode
+
+    def _decode_texts_fast(
+        self, texts: list[str], results: list[list[Entity] | None]
+    ) -> None:
+        """Vectorized single-window decode; fills ``results`` in place.
+
+        Texts it cannot take (splitter disagreement, word-cache
+        overflow, multi-window length) are left as ``None`` for the
+        caller's per-text path.  Everything here is flat numpy over the
+        whole text set; Entity objects are built only for surviving
+        spans.  Bit-equality with ``_entities_for_text`` is enforced by
+        tests/test_vector_decode.py.
+        """
+        split = self._splitter.split(texts)
+        if split is None:
+            return
+        words, begins, tid = split
+        nt = len(texts)
+        uids = self._pieces.ensure(words)
+        cache = self._pieces
+        known = uids >= 0
+        # word-index range of each text: tid is ascending
+        t_last = np.searchsorted(tid, np.arange(nt), side="right") - 1
+        text_last_word = t_last[tid]
+        cand = np.flatnonzero(known & cache.first_gaz[np.maximum(uids, 0)])
+        tags = self.scorer.tag_word_ids_flat(words, cand, text_last_word)
+
+        has_ent = np.zeros(nt, dtype=bool)
+        has_ent[tid[tags > 0]] = True
+        text_known = np.ones(nt, dtype=bool)
+        text_known[tid[~known]] = False
+        counts_all = np.where(known, cache.count[np.maximum(uids, 0)], 0)
+        ppt = np.bincount(tid, weights=counts_all, minlength=nt).astype(np.int64)
+        single = ppt <= (self.max_length - 2)
+        fast_text = has_ent & single & text_known
+        for i in np.flatnonzero(~has_ent & text_known).tolist():
+            results[i] = []
+        if not fast_text.any():
+            return
+
+        # ---- subset arrays over words of fast texts
+        ws = fast_text[tid]
+        gsel = np.flatnonzero(ws)
+        uids_s = uids[gsel]
+        tags_s = tags[gsel].astype(np.int64)
+        begins_s = begins[gsel]
+        tid_s = tid[gsel]
+        counts_s = cache.count[uids_s]
+        wend_s = begins_s + cache.wlen[uids_s]
+
+        # ---- probabilities for pieces of non-O words only
+        nz_w = np.flatnonzero(tags_s > 0)
+        cnt_nz = counts_s[nz_w]
+        tot = int(cnt_nz.sum())
+        src0 = np.repeat(cache.start[uids_s[nz_w]], cnt_nz)
+        cum = np.cumsum(cnt_nz)
+        within = np.arange(tot) - np.repeat(cum - cnt_nz, cnt_nz)
+        pj = cache.jitter[src0 + within]
+        ptag = np.repeat(tags_s[nz_w], cnt_nz)
+        probs = self.scorer.probs_np(ptag, pj)
+        # word score = ∏ p over the word's pieces (all agree on the tag,
+        # so the dissent factor (1-p) never applies — consolidate.py:103)
+        word_score_nz = np.multiply.reduceat(probs, cum - cnt_nz)
+
+        # ---- vectorized BIO chunking over word-level labels
+        first_of_text = np.zeros(len(gsel), dtype=bool)
+        if len(gsel):
+            first_of_text[0] = True
+            first_of_text[1:] = tid_s[1:] != tid_s[:-1]
+        nz, run_start, run_end = bio_runs(tags_s, np.flatnonzero(first_of_text))
+        # nz indexes non-O words in order == nz_w
+        ent_score = np.multiply.reduceat(word_score_nz, run_start)
+        first_w = nz[run_start]
+        last_w = nz[run_end]
+        typ = (tags_s[first_w] + 1) // 2
+        ent_begin = begins_s[first_w]
+        ent_end = wend_s[last_w]
+        ent_text = tid_s[first_w]
+
+        words_obj = words
+        ent_words = []
+        for k in range(len(run_start)):
+            lo, hi = run_start[k], run_end[k] + 1
+            ent_words.append(
+                " ".join(words_obj[gsel[nz[m]]] for m in range(lo, hi))
+            )
+        # group entities by text (ent_text ascending by construction)
+        fast_idx = np.flatnonzero(fast_text)
+        bounds = np.searchsorted(ent_text, fast_idx, side="left")
+        bounds_hi = np.searchsorted(ent_text, fast_idx, side="right")
+        for pos, i in enumerate(fast_idx.tolist()):
+            lo, hi = int(bounds[pos]), int(bounds_hi[pos])
+            results[i] = [
+                Entity(
+                    word=ent_words[k],
+                    score=float(ent_score[k]),
+                    label=ENTITY_TYPE_NAMES[typ[k]],
+                    offset=(int(ent_begin[k]), int(ent_end[k])),
+                )
+                for k in range(lo, hi)
+            ]
+
+    def _entities_for_texts(self, texts: list[str]) -> list[list[Entity]]:
+        """Memo → batch-flat fast decode → per-text fallback."""
+        out: list[list[Entity] | None] = [None] * len(texts)
+        todo_idx: list[int] = []
+        todo_texts: list[str] = []
+        memo = self.memo
+        for i, t in enumerate(texts):
+            cached = memo.get(t)
+            if cached is not None:
+                out[i] = cached
+            else:
+                todo_idx.append(i)
+                todo_texts.append(t)
+        if todo_texts:
+            sub: list[list[Entity] | None] = [None] * len(todo_texts)
+            if self._fast:
+                self._decode_texts_fast(todo_texts, sub)
+            for j, ents in enumerate(sub):
+                if ents is None:
+                    ents = self._entities_for_text(todo_texts[j])
+                else:
+                    if len(memo) < self.memo_cap:
+                        memo[todo_texts[j]] = ents
+                out[todo_idx[j]] = ents
+        return out  # type: ignore[return-value]
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        spans_col = batch.column("spans").to_pylist()
-        all_entities = []
-        for spans in spans_col:
-            doc_entities = []
-            for span in spans or []:
-                if span["kind"] != "text" or not span["text"]:
-                    continue
-                for ent in self._entities_for_text(span["text"]):
-                    doc_entities.append(
-                        {
-                            "sent_idx": span["offset"],
-                            "word": ent.word,
-                            "label": ent.label,
-                            "score": ent.score,
-                            "begin": ent.offset[0],
-                            "end": ent.offset[1],
-                        }
-                    )
-            all_entities.append(doc_entities)
-        return batch.append_column(
-            "entities", pa.array(all_entities, type=ENTITY_LIST_TYPE)
+        spans_col = batch.column("spans")
+        if isinstance(spans_col, pa.ChunkedArray):
+            spans_col = spans_col.combine_chunks()
+        flat = pc.list_flatten(spans_col)
+        parent = pc.list_parent_indices(spans_col).to_numpy(zero_copy_only=False)
+        kind = flat.field("kind")
+        txt = flat.field("text")
+        keep = pc.and_(pc.equal(kind, "text"), pc.not_equal(txt, ""))
+        sel = np.flatnonzero(keep.to_numpy(zero_copy_only=False))
+        texts = pc.take(txt, pa.array(sel)).to_pylist()
+        sent_off = flat.field("offset").to_numpy(zero_copy_only=False)[sel]
+        doc_of_text = parent[sel]
+
+        per_text = self._entities_for_texts(texts)
+
+        n_ent = sum(len(e) for e in per_text)
+        col_sent = np.empty(n_ent, dtype=np.int32)
+        col_word: list[str] = []
+        col_label: list[str] = []
+        col_score = np.empty(n_ent, dtype=np.float64)
+        col_begin = np.empty(n_ent, dtype=np.int32)
+        col_end = np.empty(n_ent, dtype=np.int32)
+        k = 0
+        for i, ents in enumerate(per_text):
+            s = sent_off[i]
+            for e in ents:
+                col_sent[k] = s
+                col_word.append(e.word)
+                col_label.append(e.label)
+                col_score[k] = e.score
+                col_begin[k] = e.offset[0]
+                col_end[k] = e.offset[1]
+                k += 1
+        counts = np.bincount(
+            doc_of_text,
+            weights=np.fromiter(
+                map(len, per_text), dtype=np.float64, count=len(per_text)
+            ),
+            minlength=batch.num_rows,
+        ).astype(np.int64)
+        offsets = np.zeros(batch.num_rows + 1, dtype=np.int32)
+        np.cumsum(counts, out=offsets[1:])
+        struct_arr = pa.StructArray.from_arrays(
+            [
+                pa.array(col_sent, type=pa.int32()),
+                pa.array(col_word, type=pa.string()),
+                pa.array(col_label, type=pa.string()),
+                pa.array(col_score, type=pa.float64()),
+                pa.array(col_begin, type=pa.int32()),
+                pa.array(col_end, type=pa.int32()),
+            ],
+            fields=list(ENTITY_STRUCT),
         )
+        list_arr = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), struct_arr)
+        return batch.append_column("entities", list_arr)
 
 
 class RelationStage:
@@ -197,42 +457,82 @@ class RelationStage:
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Arrow-flattened pair generation: entities and spans are read
+        via ``list_flatten`` + numpy (no per-row Python dicts); the only
+        Python loop is over (doc, sent) groups — the same pair algebra,
+        with the gap-keyed classification memo unchanged."""
         doc_ids = batch.column("doc_id").to_pylist()
-        spans_col = batch.column("spans").to_pylist()
-        entities_col = batch.column("entities").to_pylist()
+        ents_col = batch.column("entities")
+        if isinstance(ents_col, pa.ChunkedArray):
+            ents_col = ents_col.combine_chunks()
+        ent = pc.list_flatten(ents_col)
+        e_parent = pc.list_parent_indices(ents_col).to_numpy(zero_copy_only=False)
+        e_sent = ent.field("sent_idx").to_numpy(zero_copy_only=False)
+        e_begin = ent.field("begin").to_numpy(zero_copy_only=False)
+
+        spans_col = batch.column("spans")
+        if isinstance(spans_col, pa.ChunkedArray):
+            spans_col = spans_col.combine_chunks()
+        sflat = pc.list_flatten(spans_col)
+        s_parent = pc.list_parent_indices(spans_col).to_numpy(zero_copy_only=False)
+        s_kind = sflat.field("kind")
+        tsel = np.flatnonzero(pc.equal(s_kind, "text").to_numpy(zero_copy_only=False))
+        s_texts = pc.take(sflat.field("text"), pa.array(tsel)).to_pylist()
+        s_off = sflat.field("offset").to_numpy(zero_copy_only=False)[tsel]
+        text_of = {
+            (int(d), int(o)): t
+            for d, o, t in zip(s_parent[tsel].tolist(), s_off.tolist(), s_texts)
+        }
+
+        # sort entities by (doc, sent, begin) — stable, matching the
+        # legacy per-group begin sort; pair semantics are order-local
+        order = np.lexsort((e_begin, e_sent, e_parent))
+        p_s = e_parent[order]
+        sent_s = e_sent[order]
+        key = (p_s.astype(np.int64) << 32) | sent_s.astype(np.int64)
+        if len(key):
+            gb = np.flatnonzero(np.diff(key)) + 1
+            g_start = np.concatenate(([0], gb)).tolist()
+            g_end = np.concatenate((gb, [len(key)])).tolist()
+        else:
+            g_start, g_end = [], []
+        take_idx = pa.array(order)
+        word_l = pc.take(ent.field("word"), take_idx).to_pylist()
+        label_l = pc.take(ent.field("label"), take_idx).to_pylist()
+        score_l = ent.field("score").to_numpy(zero_copy_only=False)[order].tolist()
+        begin_l = e_begin[order].tolist()
+        end_l = ent.field("end").to_numpy(zero_copy_only=False)[order].tolist()
+        parent_l = p_s.tolist()
+        sent_l = sent_s.tolist()
+
         rows: dict[str, list] = {name: [] for name, _ in TRIPLE_FIELDS}
-        for doc_id, spans, entities in zip(doc_ids, spans_col, entities_col):
-            if not entities:
+        classify = self._classify
+        min_score = self.min_score
+        for s, e in zip(g_start, g_end):
+            if e - s < 2:
                 continue
-            text_by_offset = {
-                s["offset"]: s["text"] for s in spans or [] if s["kind"] == "text"
-            }
-            by_sent: dict[int, list[dict]] = {}
-            for ent in entities:
-                by_sent.setdefault(ent["sent_idx"], []).append(ent)
-            for sent_idx, ents in by_sent.items():
-                text = text_by_offset.get(sent_idx, "")
-                ents.sort(key=lambda e: e["begin"])
-                for i, subj in enumerate(ents):
-                    for obj in ents[i + 1 :]:
-                        gap = text[subj["end"] : obj["begin"]]
-                        pred, score = self._classify(
-                            gap, subj["label"], obj["label"]
-                        )
-                        if pred == "no_relation" or score < self.min_score:
-                            continue
-                        rows["doc_id"].append(doc_id)
-                        rows["sent_idx"].append(sent_idx)
-                        rows["subj"].append(subj["word"])
-                        rows["subj_label"].append(subj["label"])
-                        rows["subj_begin"].append(subj["begin"])
-                        rows["subj_end"].append(subj["end"])
-                        rows["subj_score"].append(subj["score"])
-                        rows["pred"].append(pred)
-                        rows["obj"].append(obj["word"])
-                        rows["obj_label"].append(obj["label"])
-                        rows["obj_begin"].append(obj["begin"])
-                        rows["obj_end"].append(obj["end"])
-                        rows["obj_score"].append(obj["score"])
-                        rows["rel_score"].append(score)
+            doc_row = parent_l[s]
+            sent_idx = sent_l[s]
+            text = text_of.get((doc_row, sent_idx), "")
+            doc_id = doc_ids[doc_row]
+            for i in range(s, e):
+                for j in range(i + 1, e):
+                    gap = text[end_l[i] : begin_l[j]]
+                    pred, score = classify(gap, label_l[i], label_l[j])
+                    if pred == "no_relation" or score < min_score:
+                        continue
+                    rows["doc_id"].append(doc_id)
+                    rows["sent_idx"].append(sent_idx)
+                    rows["subj"].append(word_l[i])
+                    rows["subj_label"].append(label_l[i])
+                    rows["subj_begin"].append(begin_l[i])
+                    rows["subj_end"].append(end_l[i])
+                    rows["subj_score"].append(score_l[i])
+                    rows["pred"].append(pred)
+                    rows["obj"].append(word_l[j])
+                    rows["obj_label"].append(label_l[j])
+                    rows["obj_begin"].append(begin_l[j])
+                    rows["obj_end"].append(end_l[j])
+                    rows["obj_score"].append(score_l[j])
+                    rows["rel_score"].append(score)
         return pa.Table.from_pydict(rows, schema=TRIPLE_SCHEMA)

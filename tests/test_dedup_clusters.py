@@ -53,3 +53,39 @@ def test_star_and_clique(ray_session):
 def test_labels_only_cover_paired_docs(ray_session):
     lab = _labels([(3, 7)])
     assert set(lab) == {3, 7}
+
+
+# ------------------------------------------------ sharded (join) paths
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dedup_exact_join_path_matches_broadcast(ray_session):
+    from rust_bert_ray.functions.dedup import dedup_exact
+
+    a = dedup_exact(SF).to_pandas().sort_values("doc_id", ignore_index=True)
+    b = (
+        dedup_exact(SF, broadcast_limit=0)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert list(b.columns) == ["doc_id", "text"]
+    assert a.equals(b[a.columns])
+
+
+def test_cluster_keep_list_join_path_matches_broadcast(ray_session):
+    from rust_bert_ray.functions.dedup import dedup_jaccard_pairs, _cluster_keep_list
+
+    a = (
+        _cluster_keep_list(SF, dedup_jaccard_pairs(SF, 0.9))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    b = (
+        _cluster_keep_list(SF, dedup_jaccard_pairs(SF, 0.9), broadcast_limit=0)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert a[["doc_id", "cluster_id", "keep"]].equals(
+        b[["doc_id", "cluster_id", "keep"]]
+    )

@@ -67,6 +67,23 @@ def test_repetition_penalty_ctrl_rule():
     assert logits_pen[i] == pytest.approx(expect)
 
 
+def test_repetition_penalty_compounds_per_occurrence():
+    """The reference re-penalizes once per occurrence in the context
+    (enforce_repetition_penalty iterates token ids, not distinct
+    tokens, generation_utils.rs:484-505) — k repeats → k applications."""
+    gen = Generator()
+    opts = GenerateOptions(repetition_penalty=2.0)
+    i = gen.lm.vocab.index("data")
+    raw = gen.lm.logits(["data", "data"])[i]
+    pen = gen._step_logits(["data", "data"], opts, n_generated=1)[i]
+    v = raw
+    for _ in range(2):
+        v = v * 2.0 if v < 0 else v / 2.0
+    assert pen == pytest.approx(v)
+    single = gen._step_logits(["data"], opts, n_generated=1)[i]
+    assert pen != pytest.approx(single)
+
+
 # ---------------------------------------------------- diverse beam groups
 
 def test_diverse_groups_requires_divisibility():
@@ -131,8 +148,20 @@ def test_m2m100_dot_codes():
 
 
 def test_nllb_codes():
-    p, b = get_prefix_and_forced_bos("nllb", "en", "zh", {"en"}, ALL_LANGS)
-    assert p == "eng_Latn " and b == "zho_Hans"
+    # bare NLLB code, no trailing space (translation_pipeline.rs:1487-1494)
+    p, b = get_prefix_and_forced_bos("nllb", "en", "fr", {"en"}, ALL_LANGS)
+    assert p == "eng_Latn" and b == "fra_Latn"
+
+
+def test_chinese_mandarin_error_paths():
+    # ChineseMandarin has no iso639-1 or NLLB code in the reference
+    # (get_iso_639_1_code / get_nllb_code → None → "Missing ... language")
+    for family in ("marian", "m2m100", "mbart50", "nllb"):
+        with pytest.raises(ValueError, match="Missing target"):
+            get_prefix_and_forced_bos(family, "en", "zh", {"en"}, ALL_LANGS)
+    # only T5 renders it, via the Display name with the inserted space
+    p, b = get_prefix_and_forced_bos("t5", "en", "zh", {"en"}, ALL_LANGS)
+    assert p == "translate English to Chinese Mandarin:" and b is None
 
 
 def test_unsupported_language_raises():
