@@ -1,0 +1,238 @@
+"""Byte-level BPE tokenizer (GPT-2 family) beside WordPiece.
+
+Fills the reference's second big tokenizer family
+(/root/reference/src/pipelines/common.rs:1332-1396 dispatches Gpt2 /
+Roberta / Bart / DeBERTa tokenizers — all byte-level BPE from
+rust_tokenizers): greedy lowest-rank pair merging over byte units, the
+GPT-2 byte→unicode table, UNK-free byte fallback, and the id→text
+decode.  The merges/vocab are TRAINED deterministically from the
+project corpus by ``tools/build_bpe.py`` (classic Sennrich BPE —
+public algorithm; no external vocab files exist in this sandbox), so
+piece boundaries are corpus-realistic while every byte remains
+encodable.
+
+Interface contract matches ``SubwordTokenizer`` / ``WordPieceTokenizer``
+(ids, **character** offsets, masks, word_indices) so the tokenizer
+drops into the injectable slot of every stage.
+
+Pretokenization reimplements the GPT-2 pattern
+``'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+``
+as an explicit scanner (stdlib ``re`` has no ``\\p{..}`` classes):
+contractions split, a single leading space attaches to the following
+word, interior whitespace runs keep their last space attached to the
+next token.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import lru_cache
+
+from rust_bert_ray.tokenization import (
+    MASK_CONTINUATION,
+    MASK_NONE,
+    EncodedText,
+)
+
+DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
+DEFAULT_MERGES_PATH = os.path.join(DATA_DIR, "bpe_merges.txt")
+DEFAULT_VOCAB_PATH = os.path.join(DATA_DIR, "bpe_vocab.json")
+
+EOT_TOKEN = "<|endoftext|>"
+
+_CONTRACTIONS = ("'s", "'t", "'re", "'ve", "'m", "'ll", "'d")
+
+
+@lru_cache(maxsize=1)
+def bytes_to_unicode() -> dict[int, str]:
+    """GPT-2's reversible byte → printable-unicode map (public algorithm):
+    printable ASCII + latin-1 ranges map to themselves, the remaining 68
+    byte values map to 256+offset code points."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, (chr(c) for c in cs)))
+
+
+@lru_cache(maxsize=1)
+def unicode_to_bytes() -> dict[str, int]:
+    return {v: k for k, v in bytes_to_unicode().items()}
+
+
+def _cat(ch: str) -> str:
+    """Character class for the pretokenizer: L(etter), N(umber),
+    S(pace), O(ther)."""
+    if ch.isspace():
+        return "S"
+    if ch.isalpha():
+        return "L"
+    if ch.isnumeric():
+        return "N"
+    return "O"
+
+
+def pretokenize(text: str) -> list[tuple[int, str]]:
+    """GPT-2-pattern pretokens as (char_start, token_text) pairs.
+
+    The concatenation of token texts equals ``text`` exactly (whitespace
+    is part of tokens), which is what makes byte-level round-trips
+    lossless."""
+    out: list[tuple[int, str]] = []
+    n = len(text)
+    pos = 0
+    while pos < n:
+        ch = text[pos]
+        # contractions: 's 't 're 've 'm 'll 'd  (literal, case-sensitive)
+        if ch == "'":
+            rest = text[pos : pos + 3]
+            hit = next((c for c in _CONTRACTIONS if rest.startswith(c)), None)
+            if hit is not None:
+                out.append((pos, hit))
+                pos += len(hit)
+                continue
+        cat = _cat(ch)
+        if ch == " " and pos + 1 < n and _cat(text[pos + 1]) in ("L", "N", "O"):
+            # " ?X+": single leading space attaches to the run
+            run_cat = _cat(text[pos + 1])
+            end = pos + 2
+            while end < n and _cat(text[end]) == run_cat:
+                end += 1
+            out.append((pos, text[pos:end]))
+            pos = end
+            continue
+        if cat in ("L", "N", "O"):
+            end = pos + 1
+            while end < n and _cat(text[end]) == cat:
+                end += 1
+            out.append((pos, text[pos:end]))
+            pos = end
+            continue
+        # whitespace run: "\s+(?!\S)" keeps the run only when it ends the
+        # text; otherwise the final whitespace char is left for the next
+        # token (it becomes the " ?" prefix when it is a plain space)
+        end = pos + 1
+        while end < n and text[end].isspace():
+            end += 1
+        if end == n or end - pos == 1:
+            out.append((pos, text[pos:end]))
+            pos = end
+        else:
+            out.append((pos, text[pos : end - 1]))
+            pos = end - 1
+    return out
+
+
+class ByteLevelBpeTokenizer:
+    """Trained byte-level BPE with char offsets; build once per actor."""
+
+    def __init__(
+        self,
+        vocab_path: str = DEFAULT_VOCAB_PATH,
+        merges_path: str = DEFAULT_MERGES_PATH,
+        cache_cap: int = 500_000,
+    ):
+        with open(vocab_path, encoding="utf-8") as f:
+            self.vocab: dict[str, int] = json.load(f)
+        self.id_to_unit = {i: u for u, i in self.vocab.items()}
+        self.ranks: dict[tuple[str, str], int] = {}
+        with open(merges_path, encoding="utf-8") as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if not line or line.startswith("#"):
+                    continue
+                a, b = line.split(" ")
+                self.ranks[(a, b)] = len(self.ranks)
+        self.b2u = bytes_to_unicode()
+        self.u2b = unicode_to_bytes()
+        self.eot_id = self.vocab[EOT_TOKEN]
+        self._cache: dict[str, list[str]] = {}
+        self._cache_cap = cache_cap
+
+    # ---------------------------------------------------------- merges
+
+    def _bpe_units(self, token: str) -> list[str]:
+        """token text → merged byte-unit strings (greedy lowest rank)."""
+        cached = self._cache.get(token)
+        if cached is not None:
+            return cached
+        units = [self.b2u[b] for b in token.encode("utf-8")]
+        ranks = self.ranks
+        while len(units) > 1:
+            best_rank = None
+            best_i = -1
+            for i in range(len(units) - 1):
+                r = ranks.get((units[i], units[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank = r
+                    best_i = i
+            if best_rank is None:
+                break
+            units = (
+                units[:best_i]
+                + [units[best_i] + units[best_i + 1]]
+                + units[best_i + 2 :]
+            )
+        if len(self._cache) < self._cache_cap:
+            self._cache[token] = units
+        return units
+
+    # ---------------------------------------------------------- encode
+
+    def encode(self, text: str) -> EncodedText:
+        ids: list[int] = []
+        offsets: list[tuple[int, int] | None] = []
+        masks: list[int] = []
+        word_indices: list[int] = []
+        words: list[str] = []
+        vocab = self.vocab
+        for w_idx, (start, token) in enumerate(pretokenize(text)):
+            words.append(token)
+            units = self._bpe_units(token)
+            # byte → char map for offset fidelity on multi-byte chars
+            byte_char: list[int] = []
+            for c_idx, ch in enumerate(token):
+                byte_char.extend([c_idx] * len(ch.encode("utf-8")))
+            b = 0
+            for p_no, unit in enumerate(units):
+                n_bytes = len(unit)  # one unicode unit char per source byte
+                c0 = byte_char[b]
+                c1 = byte_char[b + n_bytes - 1] + 1
+                ids.append(vocab[unit])  # byte fallback ⇒ never UNK
+                offsets.append((start + c0, start + c1))
+                masks.append(MASK_NONE if p_no == 0 else MASK_CONTINUATION)
+                word_indices.append(w_idx)
+                b += n_bytes
+        return EncodedText(
+            ids=ids,
+            offsets=offsets,
+            masks=masks,
+            word_indices=word_indices,
+            words=words,
+        )
+
+    # ---------------------------------------------------------- decode
+
+    def decode(self, ids: list[int], skip_special_tokens: bool = True) -> str:
+        parts: list[str] = []
+        for i in ids:
+            unit = self.id_to_unit.get(int(i))
+            if unit is None:
+                continue
+            if unit == EOT_TOKEN:
+                if skip_special_tokens:
+                    continue
+                parts.append(unit)
+                continue
+            parts.append(unit)
+        data = bytes(self.u2b[u] for part in parts for u in part)
+        return data.decode("utf-8", errors="replace")

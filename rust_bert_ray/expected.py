@@ -33,7 +33,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 EXPECTED_ROOT = "/tmp/rbr_expected"
-VERSION = 14  # bump whenever any builder's semantics change
+VERSION = 15  # bump whenever any builder's semantics change
 
 
 # ------------------------------------------------------------ input helpers
@@ -504,6 +504,73 @@ def q_fingerprints(sf_dir: str, corpus_root: str, shingle: int = 8) -> pa.Table:
         fps.append(min(zlib.crc32(g.encode()) for g in grams))
     return pa.Table.from_pydict(
         {"doc_id": t.column("doc_id"), "fingerprint": pa.array(fps, type=pa.int64())}
+    )
+
+
+def q_decode_bpe(sf_dir: str, corpus_root: str) -> pa.Table:
+    """Independent BPE oracle: applies the learned merges IN TRAINING
+    ORDER to completion (the original Sennrich formulation) instead of
+    the runtime's greedy lowest-rank-pair loop — the two are provably
+    equivalent, so a bug in either merge engine flips the hash.  Shares
+    only the pretokenizer and byte↔unicode table (input contract);
+    decode is re-derived via the reverse byte map."""
+    from rust_bert_ray.bpe import (
+        DEFAULT_MERGES_PATH,
+        DEFAULT_VOCAB_PATH,
+        bytes_to_unicode,
+        pretokenize,
+    )
+    import json as _json
+
+    with open(DEFAULT_VOCAB_PATH, encoding="utf-8") as f:
+        vocab = _json.load(f)
+    merges: list[tuple[str, str]] = []
+    with open(DEFAULT_MERGES_PATH, encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if line and not line.startswith("#"):
+                a, b = line.split(" ")
+                merges.append((a, b))
+    b2u = bytes_to_unicode()
+    u2b = {v: k for k, v in b2u.items()}
+
+    def apply_in_order(units: list[str]) -> list[str]:
+        for a, b in merges:
+            i = 0
+            while i < len(units) - 1:
+                if units[i] == a and units[i + 1] == b:
+                    units[i : i + 2] = [a + b]
+                else:
+                    i += 1
+        return units
+
+    word_cache: dict[str, list[str]] = {}
+    t = _documents(sf_dir)
+    n_pieces, n_words, decoded, roundtrip = [], [], [], []
+    for text in t.column("text").to_pylist():
+        toks = pretokenize(text)
+        ids: list[int] = []
+        for _, token in toks:
+            units = word_cache.get(token)
+            if units is None:
+                units = apply_in_order([b2u[b] for b in token.encode("utf-8")])
+                word_cache[token] = units
+            ids.extend(vocab[u] for u in units)
+        inv = {i: u for u, i in vocab.items()}
+        data = bytes(u2b[ch] for i in ids for ch in inv[i])
+        out = data.decode("utf-8", errors="replace")
+        n_pieces.append(len(ids))
+        n_words.append(len(toks))
+        decoded.append(out)
+        roundtrip.append(int(out == text))
+    return pa.Table.from_pydict(
+        {
+            "doc_id": t.column("doc_id"),
+            "n_pieces": pa.array(n_pieces, type=pa.int64()),
+            "n_words": pa.array(n_words, type=pa.int64()),
+            "decoded": pa.array(decoded, type=pa.string()),
+            "roundtrip": pa.array(roundtrip, type=pa.int64()),
+        }
     )
 
 
@@ -1017,6 +1084,7 @@ BUILDERS = {
     "kg_media_resize": kg_media_resize,
     "q_lang_id": q_lang_id,
     "q_decode": q_decode,
+    "q_decode_bpe": q_decode_bpe,
     "q_fingerprints": q_fingerprints,
     "kg_nodes": kg_nodes,
     "kg_edges": kg_edges,

@@ -801,7 +801,7 @@ def dedup_clusters_minhash(sf_dir: str, threshold: float = 0.7):
 
 
 DEDUP_CLUSTERS_SQL = """
-WITH RECURSIVE pairs AS (
+WITH RECURSIVE pairs AS MATERIALIZED (
   SELECT doc_a, doc_b FROM (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            len(list_intersect(a.toks, b.toks)) * 1.0 /
@@ -810,7 +810,7 @@ WITH RECURSIVE pairs AS (
     JOIN (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents) b
       ON a.doc_id < b.doc_id
   ) WHERE ROUND(jacc, 5) >= 0.9
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT doc_a AS u, doc_b AS v FROM pairs
   UNION
   SELECT doc_b, doc_a FROM pairs

@@ -464,3 +464,43 @@ def q_fingerprints(sf_dir: str, shingle: int = 8):
         )
 
     return docs.map_batches(fn, batch_format="pyarrow", batch_size=65536)
+
+
+class BpeRoundTrip:
+    """documents → byte-level-BPE encode → id-space → decode round-trip
+    (the GPT-2-family tokenize/decode pair the reference dispatches at
+    common.rs:1332-1396; byte fallback ⇒ UNK-free and lossless).
+    Stateful actor stage: merges/vocab load once per actor."""
+
+    def __init__(self):
+        from rust_bert_ray.bpe import ByteLevelBpeTokenizer
+
+        self.tokenizer = ByteLevelBpeTokenizer()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tk = self.tokenizer
+        n_pieces, n_words, decoded, roundtrip = [], [], [], []
+        for text in batch.column("text").to_pylist():
+            enc = tk.encode(text)
+            out = tk.decode(enc.ids)
+            n_pieces.append(len(enc.ids))
+            n_words.append(len(enc.words or []))
+            decoded.append(out)
+            roundtrip.append(int(out == text))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_pieces": pa.array(n_pieces, type=pa.int64()),
+                "n_words": pa.array(n_words, type=pa.int64()),
+                "decoded": pa.array(decoded, type=pa.string()),
+                "roundtrip": pa.array(roundtrip, type=pa.int64()),
+            }
+        )
+
+
+def q_decode_bpe(sf_dir: str):
+    """Byte-level BPE encode→decode round-trip over every document."""
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+    return docs.map_batches(
+        BpeRoundTrip, batch_format="pyarrow", batch_size=65536, concurrency=2
+    )

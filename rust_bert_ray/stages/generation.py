@@ -360,14 +360,34 @@ GEN_SCHEMA = pa.schema(
 
 
 class TextGenerationStage:
-    """documents → free generation continuing each doc's first words."""
+    """documents → free generation continuing each doc's first words.
 
-    def __init__(self, opts: GenerateOptions | None = None, prompt_words: int = 4):
+    ``tokenizer`` (optional) routes prompt construction through a real
+    subword tokenizer (WordPiece / byte-level BPE — anything with
+    ``encode``/``decode``): the prompt becomes the decode of the pieces
+    covering the first ``prompt_words`` pretokens, mirroring how the
+    reference's generation pipelines tokenize their inputs
+    (common.rs:1332-1396) rather than whitespace-splitting."""
+
+    def __init__(
+        self,
+        opts: GenerateOptions | None = None,
+        prompt_words: int = 4,
+        tokenizer=None,
+    ):
         self.generator = Generator()
         self.opts = opts or GenerateOptions(max_length=16, no_repeat_ngram_size=3)
         self.prompt_words = prompt_words
+        self.tokenizer = tokenizer
 
     def _prompt(self, text: str) -> str:
+        if self.tokenizer is not None:
+            enc = self.tokenizer.encode(text)
+            ids = [
+                i for i, w in zip(enc.ids, enc.word_indices)
+                if w < self.prompt_words
+            ]
+            return " ".join(self.tokenizer.decode(ids).split())
         return " ".join(text.split()[: self.prompt_words])
 
     def __call__(self, batch: pa.Table) -> pa.Table:

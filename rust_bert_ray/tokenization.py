@@ -379,3 +379,102 @@ def clean_up_tokenization(text: str) -> str:
     ):
         text = text.replace(src, dst)
     return text
+
+
+# ------------------------------------------- special-token assembly matrix
+
+@dataclass
+class AssembledInput:
+    """Single/pair sequence with special tokens (the reference's
+    ``TokenizedInput`` shape, common.rs:1467-1570)."""
+
+    tokens: list[str]
+    segment_ids: list[int]
+    special_tokens_mask: list[int]
+    offsets: list[Optional[tuple[int, int]]]
+
+
+# family → (layout template) where A/B are the sequences and quoted
+# strings are special tokens.  Layouts follow the per-tokenizer
+# ``build_input_with_special_tokens`` impls the reference dispatches to
+# (common.rs:1472-1560; conventions fixed by the rust_tokenizers crate /
+# HF tokenizer classes for each family):
+#   bert/albert/deberta/fnet : [CLS] A [SEP]  (+ B [SEP], segment 1)
+#   roberta/bart             : <s> A </s>     (+ </s> B </s>, segment 0)
+#   gpt2/openai-gpt/reformer : A              (+ B — no specials at all)
+#   t5/marian/pegasus/m2m100 : A </s>         (+ B </s>)
+#   xlnet                    : A <sep> (B <sep>) <cls> — classes at END,
+#                              segments 0/1, final <cls> segment 2
+#   prophetnet               : A [SEP]        (+ B [SEP])
+SPECIAL_TOKEN_FAMILIES = (
+    "bert", "roberta", "gpt2", "t5", "xlnet", "prophetnet",
+)
+
+
+def assemble_special_tokens(
+    family: str,
+    enc_a: EncodedText,
+    enc_b: EncodedText | None = None,
+) -> AssembledInput:
+    """Per-family single/pair special-token assembly.
+
+    Mirrors ``TokenizerOption::build_input_with_special_tokens``
+    (common.rs:1467-1570): the pair layout differs per family —
+    ``[CLS]A[SEP]B[SEP]`` vs ``<s>A</s></s>B</s>`` vs bare
+    concatenation — and segment ids / special-token masks follow."""
+
+    def body(enc: EncodedText, seg: int):
+        toks = [str(i) for i in enc.ids]
+        return (
+            toks,
+            [seg] * len(toks),
+            [0] * len(toks),
+            list(enc.offsets),
+        )
+
+    a_t, a_s, a_m, a_o = body(enc_a, 0)
+    has_b = enc_b is not None
+    if has_b:
+        b_seg = 1 if family in ("bert", "xlnet", "prophetnet") else 0
+        b_t, b_s, b_m, b_o = body(enc_b, b_seg)
+
+    def special(tok: str, seg: int):
+        return ([tok], [seg], [1], [None])
+
+    if family in ("bert", "albert", "deberta", "fnet"):
+        parts = [special("[CLS]", 0), (a_t, a_s, a_m, a_o), special("[SEP]", 0)]
+        if has_b:
+            parts += [(b_t, b_s, b_m, b_o), special("[SEP]", 1)]
+    elif family in ("roberta", "bart"):
+        parts = [special("<s>", 0), (a_t, a_s, a_m, a_o), special("</s>", 0)]
+        if has_b:
+            parts += [special("</s>", 0), (b_t, b_s, b_m, b_o), special("</s>", 0)]
+    elif family in ("gpt2", "openai-gpt", "reformer"):
+        parts = [(a_t, a_s, a_m, a_o)]
+        if has_b:
+            parts += [(b_t, b_s, b_m, b_o)]
+    elif family in ("t5", "marian", "pegasus", "m2m100"):
+        parts = [(a_t, a_s, a_m, a_o), special("</s>", 0)]
+        if has_b:
+            parts += [(b_t, b_s, b_m, b_o), special("</s>", 0)]
+    elif family == "xlnet":
+        parts = [(a_t, a_s, a_m, a_o), special("<sep>", 0)]
+        if has_b:
+            parts += [(b_t, b_s, b_m, b_o), special("<sep>", 1)]
+        parts += [special("<cls>", 2)]
+    elif family == "prophetnet":
+        parts = [(a_t, a_s, a_m, a_o), special("[SEP]", 0)]
+        if has_b:
+            parts += [(b_t, b_s, b_m, b_o), special("[SEP]", 1)]
+    else:
+        raise ValueError(f"unknown special-token family {family!r}")
+
+    tokens, segs, mask, offsets = [], [], [], []
+    for t, s, m, o in parts:
+        tokens += t
+        segs += s
+        mask += m
+        offsets += o
+    return AssembledInput(
+        tokens=tokens, segment_ids=segs, special_tokens_mask=mask, offsets=offsets
+    )

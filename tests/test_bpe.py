@@ -1,0 +1,206 @@
+"""Byte-level BPE tokenizer + special-token assembly matrix tests."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rust_bert_ray.bpe import (
+    EOT_TOKEN,
+    ByteLevelBpeTokenizer,
+    bytes_to_unicode,
+    pretokenize,
+)
+from rust_bert_ray.tokenization import (
+    MASK_CONTINUATION,
+    MASK_NONE,
+    EncodedText,
+    assemble_special_tokens,
+)
+
+TRICKY = [
+    "My name is Amy. I live in Paris.",
+    "can't won't it's we're I'll they'd you've I'm",
+    "unicode: héllo wörld 北京 🙂 done",
+    "  leading and   interior   spaces  ",
+    "tabs\tand\nnewlines\r\nmixed",
+    "",
+    " ",
+    "price: $1,234.56 (50%) #tag!!!'s",
+]
+
+
+@pytest.fixture(scope="module")
+def tk():
+    return ByteLevelBpeTokenizer()
+
+
+def test_byte_table_is_reversible():
+    b2u = bytes_to_unicode()
+    assert len(b2u) == 256
+    assert len(set(b2u.values())) == 256
+
+
+def test_roundtrip_lossless(tk):
+    for text in TRICKY:
+        enc = tk.encode(text)
+        assert tk.decode(enc.ids) == text, repr(text)
+
+
+def test_unk_free_byte_fallback(tk):
+    # bytes never seen in training still encode (256 base units in vocab)
+    enc = tk.encode("\x00\x07ÿ😀￿")
+    assert tk.decode(enc.ids) == "\x00\x07ÿ😀￿"
+    assert all(i in tk.id_to_unit for i in enc.ids)
+
+
+def test_merges_compress_common_words(tk):
+    enc = tk.encode("the name is in the")
+    # trained merges must beat the byte baseline
+    assert len(enc.ids) < len("the name is in the".encode())
+
+
+def test_offsets_and_masks(tk):
+    text = "Amy lives in Paris"
+    enc = tk.encode(text)
+    # offsets within bounds, begins monotone non-decreasing
+    begins = [b for b, _ in enc.offsets]
+    assert begins == sorted(begins)
+    assert all(0 <= b < e <= len(text) for b, e in enc.offsets)
+    # first piece of each pretoken is MASK_NONE, continuations attach
+    seen = set()
+    for m, w in zip(enc.masks, enc.word_indices):
+        if w not in seen:
+            assert m == MASK_NONE
+            seen.add(w)
+        else:
+            assert m == MASK_CONTINUATION
+    # pretoken count matches words list
+    assert len(enc.words) == len(set(enc.word_indices))
+
+
+def test_offset_fidelity_on_unicode(tk):
+    text = "a 北京 b"
+    enc = tk.encode(text)
+    # every piece containing the CJK chars must point inside their span
+    cjk = text.index("北")
+    spans = [o for o, w in zip(enc.offsets, enc.word_indices)
+             if enc.words[w] == " 北京"]
+    assert spans and all(cjk - 1 <= b <= e <= cjk + 2 for b, e in spans)
+
+
+def test_eot_skipped_in_decode(tk):
+    enc = tk.encode("hello")
+    ids = enc.ids + [tk.eot_id]
+    assert tk.decode(ids) == "hello"
+    assert tk.decode(ids, skip_special_tokens=False).endswith(EOT_TOKEN)
+
+
+_ASCII_GPT2 = re.compile(
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+"
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet=st.sampled_from(list("ab Z9 .,'!-\t\n")), max_size=40))
+def test_pretokenize_matches_gpt2_regex_ascii(s):
+    assert [t for _, t in pretokenize(s)] == _ASCII_GPT2.findall(s)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=40))
+def test_pretokens_partition_any_text(s):
+    toks = pretokenize(s)
+    assert "".join(t for _, t in toks) == s
+    pos = 0
+    for start, t in toks:
+        assert start == pos
+        pos += len(t)
+
+
+def test_greedy_rank_equals_in_order_application(tk):
+    """The runtime's lowest-rank-greedy merge loop must agree with the
+    original apply-merges-in-training-order formulation (the expected-
+    table oracle's engine)."""
+    merges = sorted(tk.ranks.items(), key=lambda kv: kv[1])
+    b2u = bytes_to_unicode()
+
+    def in_order(token: str) -> list[str]:
+        units = [b2u[b] for b in token.encode("utf-8")]
+        for (a, b), _ in merges:
+            i = 0
+            while i < len(units) - 1:
+                if units[i] == a and units[i + 1] == b:
+                    units[i : i + 2] = [a + b]
+                else:
+                    i += 1
+        return units
+
+    for text in TRICKY:
+        for _, token in pretokenize(text):
+            assert tk._bpe_units(token) == in_order(token), repr(token)
+
+
+# ------------------------------------------------ special-token assembly
+
+def _enc(ids):
+    return EncodedText(
+        ids=list(ids),
+        offsets=[(i, i + 1) for i in range(len(ids))],
+        masks=[MASK_NONE] * len(ids),
+        word_indices=list(range(len(ids))),
+    )
+
+
+def test_assembly_truth_table():
+    a, b = _enc([1, 2]), _enc([3])
+    expect = {
+        "bert": (["[CLS]", "1", "2", "[SEP]", "3", "[SEP]"],
+                 [0, 0, 0, 0, 1, 1]),
+        "roberta": (["<s>", "1", "2", "</s>", "</s>", "3", "</s>"],
+                    [0] * 7),
+        "gpt2": (["1", "2", "3"], [0, 0, 0]),
+        "t5": (["1", "2", "</s>", "3", "</s>"], [0, 0, 0, 0, 0]),
+        "xlnet": (["1", "2", "<sep>", "3", "<sep>", "<cls>"],
+                  [0, 0, 0, 1, 1, 2]),
+        "prophetnet": (["1", "2", "[SEP]", "3", "[SEP]"], [0, 0, 0, 1, 1]),
+    }
+    for fam, (toks, segs) in expect.items():
+        out = assemble_special_tokens(fam, a, b)
+        assert out.tokens == toks, fam
+        assert out.segment_ids == segs, fam
+        # special-tokens mask marks exactly the non-payload positions
+        payload = {str(i) for i in (1, 2, 3)}
+        assert [int(t not in payload) for t in out.tokens] == \
+            out.special_tokens_mask, fam
+        # specials carry no offsets
+        assert all(
+            (o is None) == (m == 1)
+            for o, m in zip(out.offsets, out.special_tokens_mask)
+        ), fam
+
+
+def test_assembly_single_sequence():
+    a = _enc([7])
+    assert assemble_special_tokens("bert", a).tokens == ["[CLS]", "7", "[SEP]"]
+    assert assemble_special_tokens("roberta", a).tokens == ["<s>", "7", "</s>"]
+    assert assemble_special_tokens("gpt2", a).tokens == ["7"]
+    assert assemble_special_tokens("xlnet", a).tokens == ["7", "<sep>", "<cls>"]
+    with pytest.raises(ValueError, match="unknown special-token family"):
+        assemble_special_tokens("nope", a)
+
+
+def test_generation_stage_accepts_bpe_tokenizer(tk):
+    import pyarrow as pa
+
+    from rust_bert_ray.stages.generation import TextGenerationStage
+
+    docs = pa.Table.from_pydict(
+        {"doc_id": pa.array([1], type=pa.int64()),
+         "text": pa.array(["data table row scan merge sort"])}
+    )
+    out = TextGenerationStage(tokenizer=tk)(docs)
+    assert out.num_rows == 1 and out.column("generated")[0].as_py()
