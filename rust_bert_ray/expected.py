@@ -33,7 +33,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 EXPECTED_ROOT = "/tmp/rbr_expected"
-VERSION = 15  # bump whenever any builder's semantics change
+VERSION = 17  # bump whenever any builder's semantics change
 
 
 # ------------------------------------------------------------ input helpers
@@ -1045,15 +1045,22 @@ def ann_lsh_topk(
 
 def ann_ivf_topk(
     sf_dir: str, corpus_root: str, query_vec_id: int = 0, k: int = 10,
-    n_centroids: int = 16, n_probe: int = 4, sample_rows: int = 256,
+    n_centroids: int = 32, n_probe: int = 4, sample_rows: int = 256,
 ) -> pa.Table:
-    from rust_bert_ray.functions.similarity import kmeans_centroids
+    from rust_bert_ray.functions.similarity import (
+        kmeans_centroids,
+        strided_sample_indices,
+    )
     from rust_bert_ray.functions.util import round_ha
 
     ids, M, q = _ann_common(sf_dir, query_vec_id)
-    # seeded spherical k-means over the first sample_rows dataset rows
-    # (mirrors the bounded head read exactly)
-    C = kmeans_centroids(M[:sample_rows], n_centroids)
+    # seeded spherical k-means over the strided row-group sample (the
+    # sample SPEC is shared — metadata-derived row indices — while the
+    # assignment/probe/score algebra is recomputed here independently)
+    idxs = strided_sample_indices(
+        os.path.join(sf_dir, "embeddings.parquet"), sample_rows
+    )
+    C = kmeans_centroids(M[idxs], n_centroids)
     qn = q / max(np.linalg.norm(q), 1e-300)
     probe = set(np.argsort(-(C @ qn))[:n_probe].tolist())
     norms = np.maximum(np.linalg.norm(M, axis=1), 1e-300)
@@ -1062,7 +1069,8 @@ def ann_ivf_topk(
     keep = np.array(
         [a in probe and i != query_vec_id for a, i in zip(assign, ids)]
     )
-    cos = round_ha(An[keep] @ qn, 5)
+    # divide-after-matmul, matching the scoring kernel's float-op order
+    cos = round_ha((M[keep] @ qn) / norms[keep], 5)
     return _topk_table(ids[keep], cos, k)
 
 

@@ -4,14 +4,27 @@
   query matrix is broadcast once; each batch does one matmul.  Scales
   linearly in corpus size (every vector is scanned once, streaming).
 - ``ann_lsh_topk``: sign-random-projection LSH variant — the scale path.
-  Vectors are bucketed by an 8-bit hash per batch; only buckets within
-  Hamming distance ≤ 1 of the query's bucket are scanned (~1/28 of the
-  corpus in expectation), trading recall for a ~25× scan reduction.
+  Vectors are bucketed by an 8-bit SRP hash into a PERSISTED
+  bucket-partitioned parquet index (built once, idempotent, fingerprint
+  invalidated); a query reads ONLY the partitions within Hamming
+  distance ≤ 1 of its bucket (9/256 of the data in expectation), so the
+  pruning is I/O-side, not compute-side.
+- ``ann_ivf_topk``: IVF variant — vectors coarse-quantized to spherical
+  k-means centroids (trained on a STRIDED row-group sample spanning the
+  whole table, not a head sample) and persisted partitioned by centroid;
+  a query reads only the ``n_probe`` nearest centroid partitions.
+
+At 100 TB the index build is the one full pass (embarrassingly parallel
+map + partitioned write; repartition by bucket first to avoid
+file-per-task-per-bucket fragmentation); every query after that touches
+``n_probe/n_centroids`` (or ~9/256) of the bytes.
 """
 
 from __future__ import annotations
 
+import json
 import os
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -20,6 +33,8 @@ import ray
 import ray.data
 
 from rust_bert_ray.functions.util import round_ha
+
+INDEX_ROOT = "/tmp/rbr_ann_index"
 
 
 def _read_embeddings(sf_dir: str):
@@ -93,6 +108,92 @@ LIMIT 10
 """
 
 
+# ------------------------------------------------- persisted bucket index
+
+def _source_fingerprint(sf_dir: str) -> str:
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    return f"{st.st_size}-{int(st.st_mtime)}"
+
+
+def _ensure_index(sf_dir: str, key: str, add_bucket) -> tuple[str, dict]:
+    """Build (once) a bucket-partitioned copy of the embeddings table.
+
+    Layout: ``<INDEX_ROOT>/<sf-hash>/<key>/data/bucket=<b>/*.parquet`` +
+    ``meta.json`` carrying the source fingerprint and total row count.
+    Idempotent and concurrency-safe: built into a tmp dir, renamed into
+    place; a lost rename race just uses the winner's index.
+    """
+    sf_tag = f"{os.path.basename(os.path.normpath(sf_dir))}-" \
+             f"{zlib.crc32(os.path.abspath(sf_dir).encode()) & 0xFFFFFFFF:08x}"
+    base = os.path.join(INDEX_ROOT, sf_tag, key)
+    meta_path = os.path.join(base, "meta.json")
+    fp = _source_fingerprint(sf_dir)
+    if os.path.exists(meta_path):
+        with open(meta_path, encoding="utf-8") as f:
+            meta = json.load(f)
+        if meta.get("fingerprint") == fp:
+            return base, meta
+    import pyarrow.dataset as pads
+
+    total = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).count_rows()
+    tmp = base + f".tmp-{os.getpid()}"
+    if os.path.exists(tmp):
+        import shutil
+
+        shutil.rmtree(tmp)
+    emb = _read_embeddings(sf_dir)
+    emb.map_batches(add_bucket, batch_format="pyarrow", batch_size=8192).write_parquet(
+        os.path.join(tmp, "data"), partition_cols=["bucket"]
+    )
+    meta = {"fingerprint": fp, "total_rows": int(total)}
+    with open(os.path.join(tmp, "meta.json"), "w", encoding="utf-8") as f:
+        json.dump(meta, f)
+    try:
+        if os.path.exists(base):
+            import shutil
+
+            shutil.rmtree(base)
+        os.replace(tmp, base)
+    except OSError:
+        # concurrent builder won the rename; its index is equivalent
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return base, meta
+
+
+def _probed_partitions(base: str, buckets) -> list[str]:
+    """Parquet FILES under the probed bucket partitions (this Ray
+    version's read_parquet rejects directory paths inside a list)."""
+    import glob
+
+    files = []
+    for b in sorted(buckets):
+        d = os.path.join(base, "data", f"bucket={int(b)}")
+        if os.path.isdir(d):
+            files.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+    return files
+
+
+def _partition_rows(dirs: list[str]) -> int:
+    import pyarrow.dataset as pads
+
+    return sum(pads.dataset(d).count_rows() for d in dirs) if dirs else 0
+
+
+def _scored_topk(emb, q, exclude_id: int, k: int):
+    scored = emb.map_batches(
+        CosineScore(  # trivial __init__ → task pool, not actor pool
+            q_ref=q, exclude_id=exclude_id
+        ),
+        batch_format="pyarrow",
+        batch_size=8192,
+    )
+    from rust_bert_ray.functions.util import topk
+
+    return topk(scored, ["cos", "vec_id"], [True, False], k)
+
+
 def _srp_planes(dim: int, n_bits: int = 8, seed: int = 11) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_bits, dim))
@@ -106,59 +207,41 @@ def _srp_hash(planes: np.ndarray, vecs: np.ndarray) -> np.ndarray:
     return out
 
 
-def ann_lsh_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10, n_bits: int = 8):
-    """Approximate top-k: scan only LSH buckets near the query's bucket."""
-    q = _query_vector(sf_dir, query_vec_id)
-    dim = q.shape[0]
+def ensure_lsh_index(sf_dir: str, n_bits: int = 8) -> tuple[str, dict]:
+    """Persist embeddings partitioned by their SRP bucket (build once)."""
+    dim = len(_query_vector(sf_dir, 0))
     planes = _srp_planes(dim, n_bits)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        A = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+        return t.append_column(
+            "bucket", pa.array(_srp_hash(planes, A), type=pa.int64())
+        )
+
+    return _ensure_index(sf_dir, f"lsh-{n_bits}", add_bucket)
+
+
+def ann_lsh_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10, n_bits: int = 8):
+    """Approximate top-k reading ONLY the LSH partitions near the query.
+
+    Pruning is I/O-side: the persisted index is partitioned by bucket,
+    and the probed set (Hamming ≤ 1 of the query bucket → 9 of 2^n_bits
+    partitions) is the only data read.  Candidate set is identical to
+    hashing every vector and filtering — verified by the expected-table
+    oracle."""
+    base, _meta = ensure_lsh_index(sf_dir, n_bits)
+    q = _query_vector(sf_dir, query_vec_id)
+    planes = _srp_planes(q.shape[0], n_bits)
     q_bucket = int(_srp_hash(planes, q[None, :])[0])
-    # buckets within Hamming distance 1 of the query bucket
     near = {q_bucket} | {q_bucket ^ (1 << b) for b in range(n_bits)}
-    state_ref = ray.put((q, planes, near))
-
-    class BucketScore:
-        def __init__(self, ref, exclude_id):
-            q, planes, near = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-            self.q = q / max(np.linalg.norm(q), 1e-300)
-            self.planes = planes
-            self.near = near
-            self.exclude_id = exclude_id
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-            A = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
-            buckets = _srp_hash(self.planes, A)
-            keep = np.array(
-                [b in self.near and i != self.exclude_id for b, i in zip(buckets, ids)]
-            )
-            if not keep.any():
-                return pa.Table.from_pydict(
-                    {
-                        "vec_id": pa.array([], type=pa.int64()),
-                        "cos": pa.array([], type=pa.float64()),
-                    }
-                )
-            A, ids = A[keep], ids[keep]
-            norms = np.maximum(np.linalg.norm(A, axis=1), 1e-300)
-            cos = round_ha((A @ self.q) / norms, 5)
-            return pa.Table.from_pydict(
-                {
-                    "vec_id": pa.array(ids, type=pa.int64()),
-                    "cos": pa.array(cos, type=pa.float64()),
-                }
-            )
-
-    emb = _read_embeddings(sf_dir)
-    scored = emb.map_batches(
-        BucketScore,
-        fn_constructor_kwargs={"ref": state_ref, "exclude_id": query_vec_id},
-        batch_format="pyarrow",
-        batch_size=8192,
-        concurrency=2,
-    )
-    from rust_bert_ray.functions.util import topk
-
-    return topk(scored, ["cos", "vec_id"], [True, False], k)
+    dirs = _probed_partitions(base, near)
+    if not dirs:
+        return pa.Table.from_pydict(
+            {"vec_id": pa.array([], type=pa.int64()),
+             "cos": pa.array([], type=pa.float64())}
+        )
+    emb = ray.data.read_parquet(dirs, columns=["vec_id", "embedding"])
+    return _scored_topk(emb, q, query_vec_id, k)
 
 
 def kmeans_centroids(X: np.ndarray, k: int, n_iter: int = 5) -> np.ndarray:
@@ -177,74 +260,123 @@ def kmeans_centroids(X: np.ndarray, k: int, n_iter: int = 5) -> np.ndarray:
     return C
 
 
+def strided_sample_indices(
+    path: str, sample_rows: int = 256, n_slices: int = 8
+) -> list[int]:
+    """Row indices of a distribution-spanning sample: the leading rows of
+    ``n_slices`` row groups spread evenly across the file.  Reads only
+    parquet METADATA — no data scan — yet, unlike ``head(n)``, the
+    sample covers the whole table (a head sample misfits any corpus
+    whose distribution drifts over write order)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    n_rg = md.num_row_groups
+    picks = sorted(set(np.linspace(0, n_rg - 1, min(n_slices, n_rg)).astype(int).tolist()))
+    starts = np.cumsum([0] + [md.row_group(i).num_rows for i in range(n_rg)])
+    per = max(1, sample_rows // len(picks))
+    out: list[int] = []
+    for i in picks:
+        out.extend(range(int(starts[i]), int(min(starts[i] + per, starts[i + 1]))))
+    return out[:sample_rows]
+
+
+def _ivf_centroids(sf_dir: str, n_centroids: int, sample_rows: int) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    idxs = strided_sample_indices(path, sample_rows)
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
+    starts = np.cumsum(
+        [0] + [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+    )
+    rows: list = []
+    idx_arr = np.asarray(idxs)
+    for rg in range(md.num_row_groups):
+        sel = idx_arr[(idx_arr >= starts[rg]) & (idx_arr < starts[rg + 1])]
+        if len(sel):
+            t = pf.read_row_group(rg, columns=["embedding"])
+            local = (sel - starts[rg]).tolist()
+            col = t.column("embedding")
+            rows.extend(col[j].as_py() for j in local)
+    sample = np.asarray(rows, dtype=np.float64)
+    return kmeans_centroids(sample, n_centroids)
+
+
+def ensure_ivf_index(
+    sf_dir: str, n_centroids: int = 32, sample_rows: int = 256
+) -> tuple[str, dict, np.ndarray]:
+    """Persist embeddings partitioned by nearest-centroid (build once).
+
+    Centroids come from a seeded spherical k-means over a STRIDED
+    row-group sample spanning the table (not ``head`` — a head sample
+    is not a distribution sample)."""
+    C = _ivf_centroids(sf_dir, n_centroids, sample_rows)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        A = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+        norms = np.maximum(np.linalg.norm(A, axis=1), 1e-300)
+        assign = ((A / norms[:, None]) @ C.T).argmax(axis=1)
+        return t.append_column("bucket", pa.array(assign, type=pa.int64()))
+
+    base, meta = _ensure_index(
+        sf_dir, f"ivf-{n_centroids}-{sample_rows}", add_bucket
+    )
+    return base, meta, C
+
+
 def ann_ivf_topk(
     sf_dir: str,
     query_vec_id: int = 0,
     k: int = 10,
-    n_centroids: int = 16,
+    n_centroids: int = 32,
     n_probe: int = 4,
     sample_rows: int = 256,
 ):
-    """IVF-style approximate top-k: coarse-quantize vectors to centroids,
-    scan only the ``n_probe`` centroids nearest to the query.
+    """IVF approximate top-k reading ONLY the probed centroid partitions.
 
-    Centroids come from a seeded spherical k-means over a BOUNDED head
-    sample (``dataset.head(sample_rows)`` touches only the leading row
-    group(s), never the full table).  The centroid table is broadcast;
-    assignment happens per batch with one matmul.  Expected scan
-    fraction ≈ n_probe/n_centroids.
-    """
-    import pyarrow.dataset as pads
-
+    The persisted index is partitioned by nearest centroid; a query
+    reads the ``n_probe`` partitions whose centroids are closest —
+    scan fraction ≈ n_probe/n_centroids of the BYTES, not just of the
+    compute."""
+    base, _meta, C = ensure_ivf_index(sf_dir, n_centroids, sample_rows)
     q = _query_vector(sf_dir, query_vec_id)
-    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).head(
-        sample_rows, columns=["vec_id", "embedding"]
-    )
-    sample = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
-    C = kmeans_centroids(sample, n_centroids)
     qn = q / max(np.linalg.norm(q), 1e-300)
-    probe = set(np.argsort(-(C @ qn))[:n_probe].tolist())
-    state_ref = ray.put((qn, C, probe))
+    probe = np.argsort(-(C @ qn))[:n_probe].tolist()
+    dirs = _probed_partitions(base, probe)
+    if not dirs:
+        return pa.Table.from_pydict(
+            {"vec_id": pa.array([], type=pa.int64()),
+             "cos": pa.array([], type=pa.float64())}
+        )
+    emb = ray.data.read_parquet(dirs, columns=["vec_id", "embedding"])
+    return _scored_topk(emb, q, query_vec_id, k)
 
-    class IvfScore:
-        def __init__(self, ref, exclude_id):
-            self.q, self.C, self.probe = (
-                ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-            )
-            self.exclude_id = exclude_id
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-            A = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
-            norms = np.maximum(np.linalg.norm(A, axis=1), 1e-300)
-            An = A / norms[:, None]
-            assign = (An @ self.C.T).argmax(axis=1)
-            keep = np.array(
-                [a in self.probe and i != self.exclude_id for a, i in zip(assign, ids)]
-            )
-            if not keep.any():
-                return pa.Table.from_pydict(
-                    {
-                        "vec_id": pa.array([], type=pa.int64()),
-                        "cos": pa.array([], type=pa.float64()),
-                    }
-                )
-            cos = round_ha(An[keep] @ self.q, 5)
-            return pa.Table.from_pydict(
-                {
-                    "vec_id": pa.array(ids[keep], type=pa.int64()),
-                    "cos": pa.array(cos, type=pa.float64()),
-                }
-            )
-
-    emb = _read_embeddings(sf_dir)
-    scored = emb.map_batches(
-        IvfScore,
-        fn_constructor_kwargs={"ref": state_ref, "exclude_id": query_vec_id},
-        batch_format="pyarrow",
-        batch_size=8192,
-        concurrency=2,
-    )
-    from rust_bert_ray.functions.util import topk
-
-    return topk(scored, ["cos", "vec_id"], [True, False], k)
+def ann_scan_report(sf_dir: str, query_vec_id: int = 0) -> dict:
+    """Scanned-fraction evidence for the partition-pruned ANN variants."""
+    out: dict = {}
+    base, meta = ensure_lsh_index(sf_dir)
+    q = _query_vector(sf_dir, query_vec_id)
+    planes = _srp_planes(q.shape[0])
+    qb = int(_srp_hash(planes, q[None, :])[0])
+    near = {qb} | {qb ^ (1 << b) for b in range(8)}
+    rows = _partition_rows(_probed_partitions(base, near))
+    out["lsh"] = {
+        "probed_partitions": len(near),
+        "scanned_rows": rows,
+        "total_rows": meta["total_rows"],
+        "scanned_fraction": round(rows / max(meta["total_rows"], 1), 4),
+    }
+    base, meta, C = ensure_ivf_index(sf_dir)
+    qn = q / max(np.linalg.norm(q), 1e-300)
+    probe = np.argsort(-(C @ qn))[:4].tolist()
+    rows = _partition_rows(_probed_partitions(base, probe))
+    out["ivf"] = {
+        "probed_partitions": 4,
+        "scanned_rows": rows,
+        "total_rows": meta["total_rows"],
+        "scanned_fraction": round(rows / max(meta["total_rows"], 1), 4),
+    }
+    return out

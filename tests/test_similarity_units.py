@@ -48,3 +48,50 @@ def test_lsh_candidates_are_exact_cosines():
     t = ann_lsh_topk(SF, "")
     for vid, c in zip(t.column("vec_id").to_pylist(), t.column("cos").to_pylist()):
         assert cos_by_id[vid] == c
+
+
+def test_ann_index_partition_pruning(ray_session):
+    """LSH/IVF queries read only probed partitions of the persisted
+    index; scanned fraction is a strict subset of the corpus."""
+    from rust_bert_ray.functions.similarity import ann_scan_report
+
+    rep = ann_scan_report("/root/testdata/sf0.001")
+    for kind in ("lsh", "ivf"):
+        assert 0 < rep[kind]["scanned_rows"] <= rep[kind]["total_rows"]
+        assert rep[kind]["scanned_fraction"] < 0.6  # tiny sf: loose bound
+    # at sf0.01 the real target applies
+    rep = ann_scan_report("/root/testdata/sf0.01")
+    assert rep["lsh"]["scanned_fraction"] < 0.2
+    assert rep["ivf"]["scanned_fraction"] < 0.2
+
+
+def test_ann_index_fingerprint_invalidation(ray_session, tmp_path):
+    """A changed source table invalidates the persisted index."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rust_bert_ray.functions import similarity as S
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    rng = np.random.default_rng(3)
+    emb = rng.standard_normal((64, 8))
+    t = pa.Table.from_pydict(
+        {"vec_id": pa.array(range(64), type=pa.int64()),
+         "embedding": pa.array(emb.tolist(),
+                               type=pa.list_(pa.float64()))}
+    )
+    pq.write_table(t, sf / "embeddings.parquet")
+    base1, meta1 = S.ensure_lsh_index(str(sf))
+    assert meta1["total_rows"] == 64
+    # rewrite the table (new fingerprint) → index rebuilds
+    t2 = t.slice(0, 32)
+    pq.write_table(t2, sf / "embeddings.parquet")
+    import os, time
+    os.utime(sf / "embeddings.parquet", (time.time() + 5, time.time() + 5))
+    base2, meta2 = S.ensure_lsh_index(str(sf))
+    assert meta2["total_rows"] == 32 and meta2 != meta1
+    shutil.rmtree(base2, ignore_errors=True)
