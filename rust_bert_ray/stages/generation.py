@@ -44,8 +44,34 @@ def _crc(s: str) -> int:
     return zlib.crc32(s.encode("utf-8")) & 0xFFFFFFFF
 
 
+@dataclass(frozen=True)
+class LMState:
+    """Opaque incremental decoder state — the ``Cache`` analog
+    (/root/reference/src/pipelines/generation_utils.rs:226-239).
+
+    A real transformer backend stores per-layer past key/values here; the
+    deterministic bigram LM stores exactly what its forward needs (the
+    last two tokens + context length), so each decode step consumes O(1)
+    state instead of re-reading the full history.  States are immutable:
+    ``step`` returns a NEW state, which is what makes beam-search cache
+    reordering (generation_utils.rs:1059-1591 ``reorder_cache``) a plain
+    gather of parent states.
+    """
+
+    last2: tuple[str, ...]
+    length: int
+
+
 class DeterministicLM:
-    """Hash-driven bigram-ish LM over a fixed vocab (the "model" backend)."""
+    """Hash-driven bigram-ish LM over a fixed vocab (the "model" backend).
+
+    Exposes BOTH the stateless ``logits(tokens)`` interface and the
+    KV-cache-shaped incremental one (``prefill``/``step``/
+    ``logits_from_state``).  The Generator prefers the incremental path;
+    a backend lacking it falls back to full-context calls.
+    ``context_tokens_read`` counts tokens consumed by forwards — the
+    O(1)-per-step evidence used by tests.
+    """
 
     def __init__(self, vocab: list[str] | None = None):
         base = vocab if vocab is not None else [
@@ -54,16 +80,38 @@ class DeterministicLM:
         ]
         self.vocab = base + [EOS]
         self.eos_id = len(self.vocab) - 1
+        self.context_tokens_read = 0
 
-    def logits(self, tokens: list[str]) -> np.ndarray:
-        """Next-token logits given the context (deterministic)."""
-        ctx = "\x00".join(tokens[-2:])
+    def _logits_for(self, last2: tuple[str, ...], length: int) -> np.ndarray:
+        self.context_tokens_read += len(last2)
+        ctx = "\x00".join(last2)
         out = np.empty(len(self.vocab), dtype=np.float64)
         for i, tok in enumerate(self.vocab):
             out[i] = (_crc(f"{ctx}|{tok}") % 1000) / 100.0
         # EOS pressure grows with length so sequences terminate
-        out[self.eos_id] += 0.02 * len(tokens)
+        out[self.eos_id] += 0.02 * length
         return out
+
+    def logits(self, tokens: list[str]) -> np.ndarray:
+        """Next-token logits given the full context (stateless path)."""
+        self.context_tokens_read += max(0, len(tokens) - 2)  # re-read cost
+        return self._logits_for(tuple(tokens[-2:]), len(tokens))
+
+    # ------------------------------------------- incremental (KV-cache)
+
+    def prefill(self, tokens: list[str]) -> LMState:
+        """Consume the prompt once → initial decoder state."""
+        self.context_tokens_read += len(tokens)
+        return LMState(last2=tuple(tokens[-2:]), length=len(tokens))
+
+    def step(self, state: LMState, token: str) -> LMState:
+        """Advance the cache by ONE token (O(1))."""
+        last2 = (state.last2 + (token,))[-2:]
+        return LMState(last2=last2, length=state.length + 1)
+
+    def logits_from_state(self, state: LMState) -> np.ndarray:
+        """Forward from cached state — never re-reads the history."""
+        return self._logits_for(state.last2, state.length)
 
 
 def top_k_top_p_filter(logits: np.ndarray, top_k: int = 0, top_p: float = 1.0) -> np.ndarray:
@@ -130,6 +178,9 @@ class GenerateOptions:
 class _Hyp:
     tokens: list[str]
     logp: float
+    # per-hypothesis decoder cache; beam selection gathers parent states
+    # (the reference's reorder_cache, generation_utils.rs:1059-1591)
+    state: object = None
 
 
 class BeamHypotheses:
@@ -173,9 +224,20 @@ class Generator:
         return idx
 
     def _step_logits(
-        self, tokens: list[str], opts: GenerateOptions, n_generated: int = -1
+        self,
+        tokens: list[str],
+        opts: GenerateOptions,
+        n_generated: int = -1,
+        state=None,
     ) -> np.ndarray:
-        logits = self.lm.logits(tokens)
+        if state is not None and hasattr(self.lm, "logits_from_state"):
+            # KV-cache path: the model forward reads the cache, never the
+            # full history; the logit PROCESSORS below still see the full
+            # hypothesis tokens (they are sequence-level, like the
+            # reference's LogitsProcessorList)
+            logits = self.lm.logits_from_state(state)
+        else:
+            logits = self.lm.logits(tokens)
         if opts.forced_bos_token is not None and n_generated == 0:
             # pin the first generated token (forced decoder BOS)
             want = self.lm.vocab.index(opts.forced_bos_token)
@@ -223,11 +285,22 @@ class Generator:
             out = self._greedy_or_sample(prompt_tokens, opts)
         return " ".join(out)
 
+    def _prefill(self, tokens: list[str]):
+        if hasattr(self.lm, "prefill"):
+            return self.lm.prefill(tokens)
+        return None
+
+    def _advance(self, state, token: str):
+        if state is not None and hasattr(self.lm, "step"):
+            return self.lm.step(state, token)
+        return None
+
     def _greedy_or_sample(self, prompt: list[str], opts: GenerateOptions) -> list[str]:
         rng = np.random.default_rng(opts.seed)
         tokens = list(prompt)
+        state = self._prefill(tokens)
         for step in range(opts.max_length):
-            logits = self._step_logits(tokens, opts, n_generated=step)
+            logits = self._step_logits(tokens, opts, n_generated=step, state=state)
             if opts.do_sample:
                 logits = top_k_top_p_filter(
                     logits / max(opts.temperature, 1e-9), opts.top_k, opts.top_p
@@ -242,20 +315,29 @@ class Generator:
             if tok == EOS:
                 break
             tokens.append(tok)
+            state = self._advance(state, tok)
         return tokens[len(prompt) :]
 
     def _beam(self, prompt: list[str], opts: GenerateOptions) -> list[str]:
-        beams: list[_Hyp] = [_Hyp(list(prompt), 0.0)]
+        beams: list[_Hyp] = [_Hyp(list(prompt), 0.0, state=self._prefill(prompt))]
         done = BeamHypotheses(opts.num_beams, opts.length_penalty, opts.early_stopping)
         for _step in range(opts.max_length):
             candidates: list[_Hyp] = []
             for h in beams:
-                logits = self._step_logits(h.tokens, opts, n_generated=_step)
+                logits = self._step_logits(
+                    h.tokens, opts, n_generated=_step, state=h.state
+                )
                 logp = logits - np.log(np.exp(logits - logits.max()).sum()) - logits.max()
-                # top 2×beams successors per beam (reference keeps 2×beams)
+                # top 2×beams successors per beam (reference keeps 2×beams);
+                # each successor carries its parent's advanced cache — the
+                # reorder_cache gather happens here, not as a post-pass
                 for idx in np.argsort(-logp)[: 2 * opts.num_beams]:
                     tok = self.lm.vocab[int(idx)]
-                    nh = _Hyp(h.tokens + [tok], h.logp + float(logp[idx]))
+                    nh = _Hyp(
+                        h.tokens + [tok],
+                        h.logp + float(logp[idx]),
+                        state=self._advance(h.state, tok),
+                    )
                     candidates.append(nh)
             candidates.sort(key=lambda h: -h.logp)
             beams = []
@@ -293,7 +375,10 @@ class Generator:
         n_groups = opts.num_beam_groups
         group_size = opts.num_beams // n_groups
         vocab_index = {tok: i for i, tok in enumerate(self.lm.vocab)}
-        groups: list[list[_Hyp]] = [[_Hyp(list(prompt), 0.0)] for _ in range(n_groups)]
+        groups: list[list[_Hyp]] = [
+            [_Hyp(list(prompt), 0.0, state=self._prefill(prompt))]
+            for _ in range(n_groups)
+        ]
         done = [
             BeamHypotheses(group_size, opts.length_penalty, opts.early_stopping)
             for _ in range(n_groups)
@@ -307,7 +392,9 @@ class Generator:
                     continue
                 candidates: list[_Hyp] = []
                 for h in beams:
-                    logits = self._step_logits(h.tokens, opts, n_generated=_step)
+                    logits = self._step_logits(
+                        h.tokens, opts, n_generated=_step, state=h.state
+                    )
                     if gi > 0 and opts.diversity_penalty > 0.0:
                         for tok, cnt in step_counts.items():
                             logits[vocab_index[tok]] -= opts.diversity_penalty * cnt
@@ -319,7 +406,11 @@ class Generator:
                     for idx in np.argsort(-logp)[: 2 * group_size]:
                         tok = self.lm.vocab[int(idx)]
                         candidates.append(
-                            _Hyp(h.tokens + [tok], h.logp + float(logp[idx]))
+                            _Hyp(
+                                h.tokens + [tok],
+                                h.logp + float(logp[idx]),
+                                state=self._advance(h.state, tok),
+                            )
                         )
                 candidates.sort(key=lambda h: -h.logp)
                 new_beams: list[_Hyp] = []

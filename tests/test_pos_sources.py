@@ -194,3 +194,89 @@ def test_sst2_reader_tolerates_quotes(tmp_path, ray_session):
     p.write_text('sentence\tlabel\nhe said " go fast\t1\nplain row\t0\n')
     rows = read_sst2(str(p)).to_pandas()
     assert sorted(rows["sentence"].tolist()) == ['he said " go fast', "plain row"]
+
+
+# ---------------------------------------------------- RemoteResource
+
+def _file_url(p):
+    return "file://" + str(p)
+
+
+def test_remote_resource_cache_hit_and_miss(tmp_path, monkeypatch):
+    import hashlib
+
+    from rust_bert_ray.sources.resources import RemoteResource
+
+    monkeypatch.setenv("RUSTBERT_RAY_CACHE", str(tmp_path / "cache"))
+    src = tmp_path / "weights.bin"
+    src.write_bytes(b"model-bytes-v1")
+    sha = hashlib.sha256(b"model-bytes-v1").hexdigest()
+    res = RemoteResource(_file_url(src), cache_subdir="m1", sha256=sha)
+    p1 = res.get_local_path()
+    assert open(p1, "rb").read() == b"model-bytes-v1"
+    # cache hit: deleting the source must not matter
+    src.unlink()
+    assert res.get_local_path() == p1
+    assert res.get_bytes() == b"model-bytes-v1"
+
+
+def test_remote_resource_corrupted_cache_refetches(tmp_path, monkeypatch):
+    import hashlib
+
+    from rust_bert_ray.sources.resources import RemoteResource
+
+    monkeypatch.setenv("RUSTBERT_RAY_CACHE", str(tmp_path / "cache"))
+    src = tmp_path / "w.bin"
+    src.write_bytes(b"good-content")
+    sha = hashlib.sha256(b"good-content").hexdigest()
+    res = RemoteResource(_file_url(src), cache_subdir="m2", sha256=sha)
+    p = res.get_local_path()
+    # corrupt the cached artifact (simulates a partial download that
+    # landed before checksums, or disk corruption) → next call re-fetches
+    open(p, "wb").write(b"corrupted")
+    assert open(res.get_local_path(), "rb").read() == b"good-content"
+
+
+def test_remote_resource_retries_then_fails(tmp_path, monkeypatch):
+    from rust_bert_ray.sources.resources import RemoteResource
+
+    monkeypatch.setenv("RUSTBERT_RAY_CACHE", str(tmp_path / "cache"))
+    calls = {"n": 0}
+
+    def flaky_opener(url, timeout):
+        calls["n"] += 1
+        raise ConnectionError("boom")
+
+    res = RemoteResource(
+        "http://example.invalid/model.bin", cache_subdir="m3",
+        max_retries=2, opener=flaky_opener,
+    )
+    with pytest.raises(IOError, match="failed to fetch"):
+        res.get_local_path()
+    assert calls["n"] == 3  # initial + 2 retries
+    # no partial file left behind
+    import glob
+    assert not glob.glob(str(tmp_path / "cache" / "m3" / "*"))
+
+
+def test_remote_resource_checksum_mismatch_rejected(tmp_path, monkeypatch):
+    from rust_bert_ray.sources.resources import RemoteResource
+
+    monkeypatch.setenv("RUSTBERT_RAY_CACHE", str(tmp_path / "cache"))
+    src = tmp_path / "x.bin"
+    src.write_bytes(b"whatever")
+    res = RemoteResource(_file_url(src), cache_subdir="m4", sha256="0" * 64,
+                         max_retries=0)
+    with pytest.raises(IOError, match="checksum mismatch"):
+        res.get_local_path()
+
+
+def test_remote_resource_from_pretrained_layout(tmp_path, monkeypatch):
+    from rust_bert_ray.sources.resources import RemoteResource
+
+    monkeypatch.setenv("RUSTBERT_RAY_CACHE", str(tmp_path / "cache"))
+    src = tmp_path / "rust_model.ot"
+    src.write_bytes(b"w")
+    res = RemoteResource.from_pretrained(("distilbert-sst2", _file_url(src)))
+    p = res.get_local_path()
+    assert p.endswith("distilbert-sst2/rust_model.ot")
