@@ -33,7 +33,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 EXPECTED_ROOT = "/tmp/rbr_expected"
-VERSION = 17  # bump whenever any builder's semantics change
+VERSION = 18  # bump whenever any builder's semantics change
 
 
 # ------------------------------------------------------------ input helpers
@@ -457,10 +457,136 @@ def q_masked_lm(sf_dir: str, corpus_root: str, top_k: int = 3) -> pa.Table:
 
 
 def qa_answers(sf_dir: str, corpus_root: str) -> pa.Table:
-    from rust_bert_ray.corpus import GAZETTEER
-    from rust_bert_ray.stages.qa import QaStage, qa_inputs_from_docs
+    """Independent QA oracle: re-derives the windowed span decode of
+    question_answering.rs:828-917 from the spec — fresh gazetteer
+    matcher, fixed-width piece expansion (ceil(len/4)), single-window
+    layout, masked softmax, band-limited outer-product argmax — without
+    importing rust_bert_ray.stages.qa or decode.qa.  Shares only the
+    GAZETTEER table, the word regex, and the question-template input
+    prep (input contracts)."""
+    import re as _re
 
-    return QaStage(gazetteer=GAZETTEER)(qa_inputs_from_docs(_corpus_docs(corpus_root)))
+    from rust_bert_ray.corpus import GAZETTEER
+
+    word_re = _re.compile(r"(?u)\w+|[^\w\s]")
+    # gazetteer as (word-tuple → label), longest surfaces first
+    entries: dict[str, list[tuple[tuple[str, ...], str]]] = {}
+    for surface, label in GAZETTEER.items():
+        parts = tuple(surface.split())
+        entries.setdefault(parts[0], []).append((parts, label))
+    for v in entries.values():
+        v.sort(key=lambda e: -len(e[0]))
+
+    def tag(words: list[str]) -> list[str]:
+        tags = ["O"] * len(words)
+        i = 0
+        while i < len(words):
+            for parts, label in entries.get(words[i], ()):
+                if tuple(words[i : i + len(parts)]) == parts:
+                    tags[i] = f"B-{label}"
+                    for k in range(i + 1, i + len(parts)):
+                        tags[k] = f"I-{label}"
+                    i += len(parts) - 1
+                    break
+            i += 1
+        return tags
+
+    def n_pieces(word: str) -> int:
+        return max(1, -(-len(word) // 4))  # ceil(len/4), 4-char pieces
+
+    rows: dict[str, list] = {
+        k: [] for k in ("qa_id", "question", "answer", "start", "end", "score")
+    }
+    t = _corpus_docs(corpus_root)
+    for doc_id, spans in zip(
+        t.column("doc_id").to_pylist(), t.column("spans").to_pylist()
+    ):
+        for span in spans or []:
+            if span["kind"] != "text" or "I live in" not in span["text"]:
+                continue
+            name = span["text"].split("My name is ")[-1].split(".")[0]
+            qa_id = f"{doc_id}:{span['offset']}"
+            question = f"Where does {name} live ?"
+            context = span["text"]
+            kind = "LOC"  # "where" question
+            toks = [(m.start(), m.group(0)) for m in word_re.finditer(context)]
+            words = [w for _, w in toks]
+            tags = tag(words)
+            # piece layout: [CLS] + pieces + [SEP]; offsets per piece
+            piece_word: list[int] = []
+            piece_first: list[bool] = []
+            offsets: list[tuple[int, int]] = []
+            for wi, (begin, w) in enumerate(toks):
+                np_w = n_pieces(w)
+                pos = begin
+                for p in range(np_w):
+                    ln = min(4, len(w) - 4 * p)
+                    piece_word.append(wi)
+                    piece_first.append(p == 0)
+                    offsets.append((pos, pos + ln))
+                    pos += ln
+            total = len(piece_word)
+            q_pieces = sum(n_pieces(w) for w in word_re.findall(question))
+            q_len = min(q_pieces, 64)
+            content = max(8, 384 - q_len - 3)
+            assert total <= content, "corpus context exceeds one QA window"
+            n = total + 2
+            start_logits = np.zeros(n)
+            end_logits = np.zeros(n)
+            p_mask = np.zeros(n)
+            p_mask[0] = p_mask[n - 1] = 1
+
+            def ent(pos: int) -> bool:
+                if pos <= 0 or pos >= n - 1:
+                    return False
+                tg = tags[piece_word[pos - 1]]
+                return tg != "O" and tg.endswith(kind)
+
+            for pos in range(1, n - 1):
+                if not ent(pos):
+                    continue
+                wi = piece_word[pos - 1]
+                if tags[wi].startswith("B") and piece_first[pos - 1]:
+                    start_logits[pos] = 8.0
+                nxt = pos + 1
+                continues = ent(nxt) and (
+                    piece_word[nxt - 1] == wi
+                    or tags[piece_word[nxt - 1]].startswith("I")
+                )
+                end_logits[pos] = 4.0 if continues else 8.0
+
+            def msoftmax(x: np.ndarray) -> np.ndarray:
+                z = np.where(p_mask.astype(bool), -np.inf, x.astype(np.float64))
+                z = z - np.max(z)
+                e = np.exp(z)
+                return e / e.sum()
+
+            sp, ep = msoftmax(start_logits), msoftmax(end_logits)
+            outer = np.outer(sp, ep)
+            cand = np.triu(np.tril(outer, 15 - 1))
+            flat = cand.reshape(-1)
+            idx = int(np.argmax(flat))
+            s_pos, e_pos = idx // n, idx % n
+            so = offsets[s_pos - 1] if 1 <= s_pos <= total else None
+            eo = offsets[e_pos - 1] if 1 <= e_pos <= total else None
+            begin = so[0] if so else 0
+            stop = eo[1] if eo else 0
+            rows["qa_id"].append(qa_id)
+            rows["question"].append(question)
+            rows["answer"].append(context[begin:stop])
+            rows["start"].append(begin)
+            rows["end"].append(stop)
+            rows["score"].append(round(float(flat[idx]), 5))
+    return pa.Table.from_pydict(
+        {
+            "qa_id": pa.array(rows["qa_id"], type=pa.string()),
+            "question": pa.array(rows["question"], type=pa.string()),
+            "answer": pa.array(rows["answer"], type=pa.string()),
+            "start": pa.array(rows["start"], type=pa.int32()),
+            "end": pa.array(rows["end"], type=pa.int32()),
+            "score": pa.array(rows["score"], type=pa.float64()),
+        }
+    )
 
 
 def q_lang_id(sf_dir: str, corpus_root: str) -> pa.Table:
@@ -482,12 +608,6 @@ def q_lang_id(sf_dir: str, corpus_root: str) -> pa.Table:
     )
 
 
-def q_decode(sf_dir: str, corpus_root: str) -> pa.Table:
-    from rust_bert_ray.functions.text import WordPieceRoundTrip
-
-    return WordPieceRoundTrip()(_documents(sf_dir))
-
-
 def q_fingerprints(sf_dir: str, corpus_root: str, shingle: int = 8) -> pa.Table:
     # independent reimplementation of the rolling min-shingle-hash
     t = _documents(sf_dir)
@@ -504,6 +624,99 @@ def q_fingerprints(sf_dir: str, corpus_root: str, shingle: int = 8) -> pa.Table:
         fps.append(min(zlib.crc32(g.encode()) for g in grams))
     return pa.Table.from_pydict(
         {"doc_id": t.column("doc_id"), "fingerprint": pa.array(fps, type=pa.int64())}
+    )
+
+
+def q_decode(sf_dir: str, corpus_root: str) -> pa.Table:
+    """Independent WordPiece round-trip oracle: greedy longest-match is
+    re-derived with a TRIE walk (deepest terminal wins) instead of the
+    runtime's shrinking-suffix probe, and the ``##``-fusing decode +
+    cleanup is re-written from the common.rs:1397-1466 contract.  Shares
+    only the vocab FILE and the word regex (input contract)."""
+    import re as _re
+
+    from rust_bert_ray.tokenization import DEFAULT_VOCAB_PATH
+
+    vocab: dict[str, int] = {}
+    with open(DEFAULT_VOCAB_PATH, encoding="utf-8") as f:
+        for i, line in enumerate(f):
+            vocab[line.rstrip("\n")] = i
+    inv = {i: p for p, i in vocab.items()}
+    specials = {"[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"}
+    special_ids = {vocab[t] for t in specials if t in vocab}
+    unk_id = vocab["[UNK]"]
+
+    # trie over pieces: node = {char: node, id?: terminal}
+    root: dict = {}
+    cont_root: dict = {}
+    for piece, pid in vocab.items():
+        if piece in specials:
+            continue
+        node = cont_root if piece.startswith("##") else root
+        for ch in piece[2:] if piece.startswith("##") else piece:
+            node = node.setdefault(ch, {})
+        node["\x00id"] = pid
+
+    def encode_word(word: str) -> list[int]:
+        if len(word) > 100:
+            return [unk_id]
+        ids: list[int] = []
+        pos = 0
+        while pos < len(word):
+            node = root if pos == 0 else cont_root
+            best = None
+            best_end = pos
+            j = pos
+            while j < len(word):
+                node = node.get(word[j])
+                if node is None:
+                    break
+                j += 1
+                if "\x00id" in node:
+                    best, best_end = node["\x00id"], j
+            if best is None:
+                return [unk_id]
+            ids.append(best)
+            pos = best_end
+        return ids
+
+    word_re = _re.compile(r"(?u)\w+|[^\w\s]")
+    t = _documents(sf_dir)
+    n_pieces, n_unk, decoded, roundtrip = [], [], [], []
+    for text in t.column("text").to_pylist():
+        ids: list[int] = []
+        for w in word_re.findall(text):
+            ids.extend(encode_word(w))
+        parts: list[str] = []
+        for i in ids:  # CLS/SEP wrap then skip_special_tokens ⇒ identity
+            if i in special_ids:
+                continue
+            piece = inv.get(i, "[UNK]")
+            if piece.startswith("##") and parts:
+                parts[-1] += piece[2:]
+            elif piece.startswith("##"):
+                parts.append(piece[2:])
+            else:
+                parts.append(piece)
+        out = " ".join(parts)
+        for src, dst in (
+            (" .", "."), (" ?", "?"), (" !", "!"), (" ,", ","),
+            (" ' ", "'"), (" n't", "n't"), (" 'm", "'m"), (" 's", "'s"),
+            (" 've", "'ve"), (" 're", "'re"),
+        ):
+            out = out.replace(src, dst)
+        n_pieces.append(len(ids))
+        n_unk.append(sum(1 for i in ids if i == unk_id))
+        decoded.append(out)
+        roundtrip.append(int(out == text))
+    return pa.Table.from_pydict(
+        {
+            "doc_id": t.column("doc_id"),
+            "n_pieces": pa.array(n_pieces, type=pa.int64()),
+            "n_unk": pa.array(n_unk, type=pa.int64()),
+            "decoded": pa.array(decoded, type=pa.string()),
+            "roundtrip": pa.array(roundtrip, type=pa.int64()),
+        }
     )
 
 
