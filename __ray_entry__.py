@@ -534,6 +534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_media_inventory": _kg_media_inventory,
         "dedup_embedding_pairs": dedup.dedup_embedding_pairs,
         "q_doc_quality": text.q_doc_quality,
+        "q_decode_unigram": text.q_decode_unigram,
     }
 
 
@@ -566,7 +567,7 @@ GROUP BY s.kind
             "q_embed_docs", "q_embed_dense", "q_keywords", "q_masked_lm",
             "qa_answers", "q_conversation", "kg_media_frames",
             "kg_media_resize",
-            "q_lang_id", "q_decode", "q_decode_bpe", "q_fingerprints", "kg_nodes", "kg_edges",
+            "q_lang_id", "q_decode", "q_decode_bpe", "q_decode_unigram", "q_fingerprints", "kg_nodes", "kg_edges",
             "kg_media_features", "dedup_minhash_pairs", "dedup_simhash_pairs",
             "dedup_embedding_lsh_pairs", "dedup_clusters_minhash",
             "ann_lsh_topk", "ann_ivf_topk",

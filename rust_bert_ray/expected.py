@@ -33,7 +33,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 EXPECTED_ROOT = "/tmp/rbr_expected"
-VERSION = 18  # bump whenever any builder's semantics change
+VERSION = 19  # bump whenever any builder's semantics change
 
 
 # ------------------------------------------------------------ input helpers
@@ -787,6 +787,99 @@ def q_decode_bpe(sf_dir: str, corpus_root: str) -> pa.Table:
     )
 
 
+def q_decode_unigram(sf_dir: str, corpus_root: str) -> pa.Table:
+    """Independent unigram oracle: EXHAUSTIVE segmentation enumeration
+    per word (corpus words are short) scored by the global selection
+    rule the runtime's forward Viterbi realizes — max total log-prob,
+    then fewest pieces, then lexicographically-largest reversed piece-
+    length tuple (longest last piece first).  Shares only the model
+    FILE and word regex; no UnigramTokenizer import."""
+    import json as _json
+    import re as _re
+
+    from rust_bert_ray.unigram import DEFAULT_MODEL_PATH
+
+    with open(DEFAULT_MODEL_PATH, encoding="utf-8") as f:
+        model = _json.load(f)
+    logp: dict[str, float] = model["pieces"]
+    unk_logp: float = model["unk_logp"]
+    vocab = {p: i for i, p in enumerate(sorted(logp))}
+    unk_id = len(vocab)
+    max_len = max(len(p) for p in logp)
+    word_re = _re.compile(r"(?u)\w+|[^\w\s]")
+
+    seg_cache: dict[str, list[str]] = {}
+
+    def enumerate_best(word: str) -> list[str]:
+        cached = seg_cache.get(word)
+        if cached is not None:
+            return cached
+        n = len(word)
+        best_key = None
+        best_pieces: list[str] | None = None
+        # DFS over all split points; pieces must be in-vocab or 1-char UNK
+        stack: list[tuple[int, float, list[str]]] = [(0, 0.0, [])]
+        while stack:
+            pos, score, pieces = stack.pop()
+            if pos == n:
+                key = (
+                    score,
+                    -len(pieces),
+                    tuple(len(p) for p in reversed(pieces)),
+                )
+                if best_key is None or key > best_key:
+                    best_key = key
+                    best_pieces = pieces
+                continue
+            for end in range(pos + 1, min(n, pos + max_len) + 1):
+                piece = word[pos:end]
+                lp = logp.get(piece)
+                if lp is None:
+                    if end - pos == 1:
+                        lp = unk_logp
+                    else:
+                        continue
+                stack.append((end, score + lp, pieces + [piece]))
+        assert best_pieces is not None
+        if len(seg_cache) < 200_000:
+            seg_cache[word] = best_pieces
+        return best_pieces
+
+    t = _documents(sf_dir)
+    n_pieces, n_unk, decoded, roundtrip = [], [], [], []
+    for text in t.column("text").to_pylist():
+        words = word_re.findall(text)
+        total = unk = 0
+        out_words: list[str] = []
+        for w in words:
+            pieces = enumerate_best(w)
+            total += len(pieces)
+            unk += sum(1 for p in pieces if p not in vocab)
+            out_words.append(
+                "".join(p if p in vocab else "<unk>" for p in pieces)
+            )
+        out = " ".join(out_words)
+        for src, dst in (
+            (" .", "."), (" ?", "?"), (" !", "!"), (" ,", ","),
+            (" ' ", "'"), (" n't", "n't"), (" 'm", "'m"), (" 's", "'s"),
+            (" 've", "'ve"), (" 're", "'re"),
+        ):
+            out = out.replace(src, dst)
+        n_pieces.append(total)
+        n_unk.append(unk)
+        decoded.append(out)
+        roundtrip.append(int(out == text))
+    return pa.Table.from_pydict(
+        {
+            "doc_id": t.column("doc_id"),
+            "n_pieces": pa.array(n_pieces, type=pa.int64()),
+            "n_unk": pa.array(n_unk, type=pa.int64()),
+            "decoded": pa.array(decoded, type=pa.string()),
+            "roundtrip": pa.array(roundtrip, type=pa.int64()),
+        }
+    )
+
+
 def q_conversation(sf_dir: str, corpus_root: str) -> pa.Table:
     """Independent re-derivation of the keyed conversation semantics
     (conversation.rs:469-699 add/mark-processed, :925-934 batched
@@ -1306,6 +1399,7 @@ BUILDERS = {
     "q_lang_id": q_lang_id,
     "q_decode": q_decode,
     "q_decode_bpe": q_decode_bpe,
+    "q_decode_unigram": q_decode_unigram,
     "q_fingerprints": q_fingerprints,
     "kg_nodes": kg_nodes,
     "kg_edges": kg_edges,

@@ -504,3 +504,45 @@ def q_decode_bpe(sf_dir: str):
     return docs.map_batches(
         BpeRoundTrip, batch_format="pyarrow", batch_size=65536, concurrency=2
     )
+
+
+class UnigramRoundTrip:
+    """documents → unigram-LM (SentencePiece-family) encode → decode
+    round-trip — the third subword algorithm family the reference
+    dispatches (common.rs:1332-1396; Albert/XLNet/T5 are unigram
+    models).  Stateful actor stage: the trained piece LM loads once."""
+
+    def __init__(self):
+        from rust_bert_ray.unigram import UnigramTokenizer
+
+        self.tokenizer = UnigramTokenizer()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from rust_bert_ray.tokenization import clean_up_tokenization
+
+        tk = self.tokenizer
+        n_pieces, n_unk, decoded, roundtrip = [], [], [], []
+        for text in batch.column("text").to_pylist():
+            enc = tk.encode(text)
+            out = clean_up_tokenization(tk.decode(enc.ids, enc.word_indices))
+            n_pieces.append(len(enc.ids))
+            n_unk.append(sum(1 for i in enc.ids if i == tk.unk_id))
+            decoded.append(out)
+            roundtrip.append(int(out == text))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_pieces": pa.array(n_pieces, type=pa.int64()),
+                "n_unk": pa.array(n_unk, type=pa.int64()),
+                "decoded": pa.array(decoded, type=pa.string()),
+                "roundtrip": pa.array(roundtrip, type=pa.int64()),
+            }
+        )
+
+
+def q_decode_unigram(sf_dir: str):
+    """Unigram-LM encode→decode round-trip over every document."""
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+    return docs.map_batches(
+        UnigramRoundTrip, batch_format="pyarrow", batch_size=65536, concurrency=2
+    )
