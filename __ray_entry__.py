@@ -505,7 +505,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sort_top_events": relational.q_sort_top_events,
         "q_customers_without_orders": relational.q_customers_without_orders,
         # --- text analysis (documents) ---
-        "q_token_counts": text.q_token_counts,
         "q_lang_stats": text.q_lang_stats,
         "q_vocab_stats": text.q_vocab_stats,
         "q_quality_quantiles": text.q_quality_quantiles,
@@ -515,6 +514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_fingerprints": text.q_fingerprints,
         # --- deduplication family ---
         "dedup_exact": dedup.dedup_exact,
+        "dedup_span_marks": dedup.dedup_span_marks,
         "dedup_jaccard_pairs": dedup.dedup_jaccard_pairs,
         "dedup_minhash_pairs": dedup.dedup_minhash_pairs,
         "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
@@ -535,6 +535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_pairs": dedup.dedup_embedding_pairs,
         "q_doc_quality": text.q_doc_quality,
         "q_decode_unigram": text.q_decode_unigram,
+        "q_token_counts": text.q_token_counts,
     }
 
 
@@ -542,6 +543,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from rust_bert_ray.functions import dedup, relational, similarity, text
+
+    dedup_span_marks_sql = dedup.DEDUP_SPAN_MARKS_SQL
 
     kg_triples_sql = f"""
 SELECT doc_id, subj, pred, obj
@@ -603,6 +606,7 @@ GROUP BY s.kind
         "q_split_assign": text.Q_SPLIT_ASSIGN_SQL,
         "q_quality_quantiles": text.Q_QUALITY_QUANTILES_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
+        "dedup_span_marks": dedup_span_marks_sql,
         "dedup_jaccard_pairs": dedup.DEDUP_JACCARD_SQL,
         "dedup_embedding_pairs": dedup.DEDUP_EMBEDDING_SQL,
         "dedup_clusters": dedup.DEDUP_CLUSTERS_SQL,

@@ -995,3 +995,119 @@ def dedup_embedding_lsh_pairs(
         lambda df: df.drop_duplicates(["vec_a", "vec_b"])[["vec_a", "vec_b", "cos"]],
         batch_format="pandas",
     )
+
+
+# -------------------------------- exact duplicated-substring span marks
+
+def dedup_span_marks(sf_dir: str, n: int = 8, num_partitions: int = 16):
+    """Maximal cross-document duplicated word-span marks (the exact-
+    substring dedup of Lee et al. 2022, re-expressed Ray-Data-first
+    without suffix arrays):
+
+    1. per batch, every word ``n``-gram becomes one (digest, doc_id,
+       pos) row — the exchange carries a 16-byte blake2b digest, never
+       the text (~28 B/word regardless of document size);
+    2. groupby digest-bucket: digests seen in ≥ 2 DISTINCT docs mark
+       their (doc_id, pos) rows as duplicated;
+    3. groupby doc-bucket: per doc, consecutive marked positions merge
+       into maximal spans (vectorized gaps-and-islands, one pandas pass
+       per bucket — never per-group Python).
+
+    Output: (doc_id, span_start, span_end, n_words) with 0-based word
+    indices, span_end inclusive of the final gram's last word.
+    Tokenization is ``text.split(" ")`` to match the SQL oracle exactly.
+    """
+    import hashlib
+
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def grams(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        out_d, out_id, out_pos = [], [], []
+        blake = hashlib.blake2b
+        for doc_id, text in zip(ids, texts):
+            words = text.split(" ")
+            for pos in range(len(words) - n + 1):
+                g = " ".join(words[pos : pos + n])
+                out_d.append(blake(g.encode(), digest_size=16).digest())
+                out_id.append(doc_id)
+                out_pos.append(pos)
+        return pa.Table.from_pydict(
+            {
+                "digest": pa.array(out_d, type=pa.binary()),
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "pos": pa.array(out_pos, type=pa.int64()),
+                "_bucket": pa.array(
+                    [d[0] % num_partitions for d in out_d], type=pa.int64()
+                ),
+            }
+        )
+
+    def dup_marks(df: pd.DataFrame) -> pd.DataFrame:
+        # digests with ≥2 distinct docs → keep their (doc_id, pos) rows
+        ndocs = df.groupby("digest")["doc_id"].transform("nunique")
+        keep = df.loc[ndocs > 1, ["doc_id", "pos"]].drop_duplicates()
+        keep["_dbucket"] = keep["doc_id"] % num_partitions
+        return keep
+
+    def merge_spans(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"),
+                 "span_start": pd.Series(dtype="int64"),
+                 "span_end": pd.Series(dtype="int64"),
+                 "n_words": pd.Series(dtype="int64")}
+            )
+        df = df.sort_values(["doc_id", "pos"])
+        doc = df["doc_id"].to_numpy()
+        pos = df["pos"].to_numpy()
+        new_island = np.empty(len(df), dtype=bool)
+        new_island[0] = True
+        new_island[1:] = (doc[1:] != doc[:-1]) | (pos[1:] != pos[:-1] + 1)
+        island = np.cumsum(new_island)
+        out = (
+            pd.DataFrame({"doc_id": doc, "pos": pos, "island": island})
+            .groupby("island", sort=True)
+            .agg(doc_id=("doc_id", "first"), span_start=("pos", "min"),
+                 span_end=("pos", "max"))
+            .reset_index(drop=True)
+        )
+        out["span_end"] = out["span_end"] + n - 1
+        out["n_words"] = out["span_end"] - out["span_start"] + 1
+        return out[["doc_id", "span_start", "span_end", "n_words"]]
+
+    marked = (
+        docs.map_batches(grams, batch_format="pyarrow", batch_size=8192)
+        .groupby("_bucket", num_partitions=num_partitions)
+        .map_groups(dup_marks, batch_format="pandas")
+    )
+    return marked.groupby("_dbucket", num_partitions=num_partitions).map_groups(
+        merge_spans, batch_format="pandas"
+    )
+
+
+DEDUP_SPAN_MARKS_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), pos_tbl AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i FROM toks
+), g AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(t[i : i + 7], ' ') AS gram
+  FROM pos_tbl
+), dup AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1
+), marks AS (
+  SELECT DISTINCT doc_id, pos FROM g SEMI JOIN dup USING (gram)
+), isl AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM marks
+)
+SELECT doc_id,
+       MIN(pos) AS span_start,
+       MAX(pos) + 7 AS span_end,
+       MAX(pos) + 7 - MIN(pos) + 1 AS n_words
+FROM isl
+GROUP BY doc_id, grp
+"""

@@ -89,3 +89,44 @@ def test_cluster_keep_list_join_path_matches_broadcast(ray_session):
     assert a[["doc_id", "cluster_id", "keep"]].equals(
         b[["doc_id", "cluster_id", "keep"]]
     )
+
+
+def test_dedup_span_marks_semantics(ray_session, tmp_path):
+    """Cross-doc duplicated 8-gram runs merge into maximal spans;
+    within-doc-only repeats are not marked."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data
+    from rust_bert_ray.functions.dedup import dedup_span_marks
+
+    shared = "one two three four five six seven eight nine ten"  # 10 words
+    docs = pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": pa.array(
+                [
+                    f"prefix {shared} suffix tail words here",
+                    f"other start {shared} different ending now",
+                    # within-doc repeat only — must NOT be marked
+                    "a b c d e f g h a b c d e f g h",
+                    "completely unrelated text with nothing shared at all ok",
+                ]
+            ),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(docs, sf / "documents.parquet")
+    out = (
+        dedup_span_marks(str(sf))
+        .to_pandas()
+        .sort_values(["doc_id", "span_start"], ignore_index=True)
+    )
+    assert set(out["doc_id"]) == {1, 2}
+    r1 = out[out.doc_id == 1].iloc[0]
+    # doc 1: shared starts at word 1, 10 words → grams at pos 1..3,
+    # span covers words 1..(3+7)=10
+    assert (r1.span_start, r1.span_end, r1.n_words) == (1, 10, 10)
+    r2 = out[out.doc_id == 2].iloc[0]
+    assert (r2.span_start, r2.span_end, r2.n_words) == (2, 11, 10)
