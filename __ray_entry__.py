@@ -505,13 +505,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sort_top_events": relational.q_sort_top_events,
         "q_customers_without_orders": relational.q_customers_without_orders,
         # --- text analysis (documents) ---
-        "q_lang_stats": text.q_lang_stats,
         "q_vocab_stats": text.q_vocab_stats,
         "q_quality_quantiles": text.q_quality_quantiles,
         "q_lang_id": text.q_lang_id,
         "q_decode": text.q_decode,
         "q_decode_bpe": text.q_decode_bpe,
-        "q_fingerprints": text.q_fingerprints,
+        "q_chunk_docs": text.q_chunk_docs,
+        "q_pack_sequences": text.q_pack_sequences,
         # --- deduplication family ---
         "dedup_exact": dedup.dedup_exact,
         "dedup_span_marks": dedup.dedup_span_marks,
@@ -536,6 +536,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_quality": text.q_doc_quality,
         "q_decode_unigram": text.q_decode_unigram,
         "q_token_counts": text.q_token_counts,
+        "q_lang_stats": text.q_lang_stats,
+        "q_fingerprints": text.q_fingerprints,
     }
 
 
@@ -570,7 +572,7 @@ GROUP BY s.kind
             "q_embed_docs", "q_embed_dense", "q_keywords", "q_masked_lm",
             "qa_answers", "q_conversation", "kg_media_frames",
             "kg_media_resize",
-            "q_lang_id", "q_decode", "q_decode_bpe", "q_decode_unigram", "q_fingerprints", "kg_nodes", "kg_edges",
+            "q_lang_id", "q_decode", "q_decode_bpe", "q_decode_unigram", "q_pack_sequences", "q_fingerprints", "kg_nodes", "kg_edges",
             "kg_media_features", "dedup_minhash_pairs", "dedup_simhash_pairs",
             "dedup_embedding_lsh_pairs", "dedup_clusters_minhash",
             "ann_lsh_topk", "ann_ivf_topk",
@@ -607,6 +609,7 @@ GROUP BY s.kind
         "q_quality_quantiles": text.Q_QUALITY_QUANTILES_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_span_marks": dedup_span_marks_sql,
+        "q_chunk_docs": text.Q_CHUNK_DOCS_SQL,
         "dedup_jaccard_pairs": dedup.DEDUP_JACCARD_SQL,
         "dedup_embedding_pairs": dedup.DEDUP_EMBEDDING_SQL,
         "dedup_clusters": dedup.DEDUP_CLUSTERS_SQL,

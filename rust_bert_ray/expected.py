@@ -33,7 +33,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 EXPECTED_ROOT = "/tmp/rbr_expected"
-VERSION = 19  # bump whenever any builder's semantics change
+VERSION = 20  # bump whenever any builder's semantics change
 
 
 # ------------------------------------------------------------ input helpers
@@ -787,6 +787,58 @@ def q_decode_bpe(sf_dir: str, corpus_root: str) -> pa.Table:
     )
 
 
+def q_pack_sequences(
+    sf_dir: str, corpus_root: str, target: int = 256, shard_size: int = 100
+) -> pa.Table:
+    """Independent sequence-packing oracle: single pass over the full
+    corpus sorted by doc_id, fresh greedy next-fit implementation (no
+    shard grouping machinery — shard boundaries emerge from the key
+    rule alone)."""
+    t = _documents(sf_dir)
+    rows = sorted(
+        zip(
+            t.column("doc_id").to_pylist(),
+            (len(x.split(" ")) for x in t.column("text").to_pylist()),
+        )
+    )
+    out: dict[str, list] = {
+        "pack_id": [], "n_docs": [], "n_words": [], "fill_bp": [], "doc_ids": [],
+    }
+    cur_shard = None
+    k = 0
+    ids: list[int] = []
+    words = 0
+    def emit() -> None:
+        nonlocal k, ids, words
+        if ids:
+            out["pack_id"].append(f"{cur_shard}:{k}")
+            out["n_docs"].append(len(ids))
+            out["n_words"].append(words)
+            out["fill_bp"].append((10_000 * words) // target)
+            out["doc_ids"].append(";".join(map(str, ids)))
+            k += 1
+            ids, words = [], 0
+    for doc_id, nw in rows:
+        shard = doc_id // shard_size
+        if shard != cur_shard:
+            emit()
+            cur_shard, k = shard, 0
+        elif ids and words + nw > target:
+            emit()
+        ids.append(doc_id)
+        words += nw
+    emit()
+    return pa.Table.from_pydict(
+        {
+            "pack_id": pa.array(out["pack_id"], type=pa.string()),
+            "n_docs": pa.array(out["n_docs"], type=pa.int64()),
+            "n_words": pa.array(out["n_words"], type=pa.int64()),
+            "fill_bp": pa.array(out["fill_bp"], type=pa.int64()),
+            "doc_ids": pa.array(out["doc_ids"], type=pa.string()),
+        }
+    )
+
+
 def q_decode_unigram(sf_dir: str, corpus_root: str) -> pa.Table:
     """Independent unigram oracle: EXHAUSTIVE segmentation enumeration
     per word (corpus words are short) scored by the global selection
@@ -1400,6 +1452,7 @@ BUILDERS = {
     "q_decode": q_decode,
     "q_decode_bpe": q_decode_bpe,
     "q_decode_unigram": q_decode_unigram,
+    "q_pack_sequences": q_pack_sequences,
     "q_fingerprints": q_fingerprints,
     "kg_nodes": kg_nodes,
     "kg_edges": kg_edges,

@@ -546,3 +546,132 @@ def q_decode_unigram(sf_dir: str):
     return docs.map_batches(
         UnigramRoundTrip, batch_format="pyarrow", batch_size=65536, concurrency=2
     )
+
+
+def q_chunk_docs(sf_dir: str, chunk_words: int = 32, overlap: int = 8):
+    """Context-window chunking: split each document into fixed-size word
+    windows with overlap — the LM-training chunker (same stride algebra
+    as the token-classification featurizer, token_classification.rs:
+    836-928, lifted to document level).  Chunks step by
+    ``chunk_words - overlap``; the last chunk starts at the final step
+    position that still begins before the end of the document.  Pure
+    map — embarrassingly parallel, no shuffle.
+    """
+    step = chunk_words - overlap
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def chunks(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        out: dict[str, list] = {
+            "doc_id": [], "chunk_idx": [], "start_word": [], "end_word": [],
+            "n_words": [], "chunk_text": [],
+        }
+        for doc_id, text in zip(ids, texts):
+            words = text.split(" ")
+            n = len(words)
+            k = 0
+            for start in range(0, max(n - overlap, 1), step):
+                end = min(start + chunk_words, n)
+                out["doc_id"].append(doc_id)
+                out["chunk_idx"].append(k)
+                out["start_word"].append(start)
+                out["end_word"].append(end - 1)
+                out["n_words"].append(end - start)
+                out["chunk_text"].append(" ".join(words[start:end]))
+                k += 1
+                if end == n:
+                    break
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                "chunk_idx": pa.array(out["chunk_idx"], type=pa.int64()),
+                "start_word": pa.array(out["start_word"], type=pa.int64()),
+                "end_word": pa.array(out["end_word"], type=pa.int64()),
+                "n_words": pa.array(out["n_words"], type=pa.int64()),
+                "chunk_text": pa.array(out["chunk_text"], type=pa.string()),
+            }
+        )
+
+    return docs.map_batches(chunks, batch_format="pyarrow", batch_size=65536)
+
+
+Q_CHUNK_DOCS_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), steps AS (
+  SELECT doc_id, t, len(t) AS n,
+         unnest(generate_series(0, CAST(FLOOR((GREATEST(len(t) - 8, 1) - 1) / 24.0) AS BIGINT))) AS k
+  FROM toks
+)
+SELECT doc_id, k AS chunk_idx, k * 24 AS start_word,
+       LEAST(k * 24 + 32, n) - 1 AS end_word,
+       LEAST(k * 24 + 32, n) - k * 24 AS n_words,
+       array_to_string(t[k * 24 + 1 : LEAST(k * 24 + 32, n)], ' ') AS chunk_text
+FROM steps
+WHERE k = 0 OR (k - 1) * 24 + 32 < n
+"""
+
+
+def q_pack_sequences(sf_dir: str, target_words: int = 256, shard_size: int = 100):
+    """Sequence packing for LM training: greedy next-fit packing of
+    documents into ``target_words`` bins.
+
+    Packing is inherently sequential, so it is made deterministic and
+    distributed by a DATA-INDEPENDENT shard key (``doc_id //
+    shard_size``): packs never cross shards (exactly how production
+    pipelines pack per input file), each shard packs independently
+    inside one ``map_groups`` call, and the result is invariant to Ray
+    block boundaries.  Documents longer than the budget get their own
+    pack (never split).
+    """
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        n_words = pa.array(
+            [len(x.split(" ")) for x in t.column("text").to_pylist()],
+            type=pa.int64(),
+        )
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_words": n_words,
+                "_shard": pa.array(ids // shard_size, type=pa.int64()),
+            }
+        )
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id")
+        out: dict[str, list] = {
+            "pack_id": [], "n_docs": [], "n_words": [], "fill_bp": [],
+            "doc_ids": [],
+        }
+        shard = int(df["_shard"].iloc[0])
+        k = 0
+        cur_ids: list[int] = []
+        cur_words = 0
+        def flush():
+            nonlocal k, cur_ids, cur_words
+            if not cur_ids:
+                return
+            out["pack_id"].append(f"{shard}:{k}")
+            out["n_docs"].append(len(cur_ids))
+            out["n_words"].append(cur_words)
+            out["fill_bp"].append((10_000 * cur_words) // target_words)
+            out["doc_ids"].append(";".join(str(i) for i in cur_ids))
+            k += 1
+            cur_ids, cur_words = [], 0
+        for doc_id, nw in zip(df["doc_id"], df["n_words"]):
+            if cur_ids and cur_words + int(nw) > target_words:
+                flush()
+            cur_ids.append(int(doc_id))
+            cur_words += int(nw)
+        flush()
+        return pd.DataFrame(out)
+
+    return (
+        docs.map_batches(add_shard, batch_format="pyarrow", batch_size=65536)
+        .groupby("_shard", num_partitions=16)
+        .map_groups(pack, batch_format="pandas")
+    )
