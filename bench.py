@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "dedup_simhash_pairs",
     "dedup_clusters_minhash",
     "q_decode",
+    "q_chunk_docs",
     "ann_topk",
     "ann_lsh_topk",
 ]
