@@ -88,3 +88,34 @@ def test_unknown_chars_become_unk(tk):
 def test_model_probabilities_normalized(tk):
     total = sum(math.exp(lp) for lp in tk.logp.values())
     assert total == pytest.approx(1.0, rel=1e-6)
+
+
+def test_ner_stage_accepts_unigram_tokenizer(tk):
+    """The unigram tokenizer slots into NerStage's injectable-tokenizer
+    contract (words from the shared regex → gazetteer tagging works;
+    piece offsets/masks drive the reference decode path)."""
+    import pyarrow as pa
+
+    from rust_bert_ray.corpus import DOCS_SCHEMA, GAZETTEER
+    from rust_bert_ray.stages.ner import NerStage
+
+    docs = pa.Table.from_pylist(
+        [
+            {
+                "doc_id": "u-0",
+                "spans": [
+                    {"kind": "text", "text": "Amy visited Paris last spring.",
+                     "media_ref": "", "offset": 0}
+                ],
+            }
+        ],
+        schema=DOCS_SCHEMA,
+    )
+    stage = NerStage(gazetteer=GAZETTEER, tokenizer=tk)
+    assert not stage._fast  # injected backend → reference path
+    ents = stage(docs).column("entities").to_pylist()[0]
+    found = {(e["word"], e["label"]) for e in ents}
+    assert ("Amy", "PER") in found and ("Paris", "LOC") in found
+    # offsets point at the surface
+    for e in ents:
+        assert "Amy visited Paris last spring."[e["begin"]:e["end"]] == e["word"]

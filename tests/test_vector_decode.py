@@ -176,3 +176,18 @@ def test_bio_runs_matches_reference_chunker(lids):
         label = ["", "PER", "ORG", "LOC"][typ]
         got.append(([f"w{m}" for m in members.tolist()], label))
     assert got == expected
+
+
+def test_fast_path_invariant_to_batch_boundaries():
+    """The batch-flat decode must produce identical entities regardless
+    of how docs are sliced into batches (block-boundary invariance)."""
+    import pyarrow as pa
+
+    docs, _ = generate(120, diversify=True)
+    whole = NerStage(GAZETTEER)(docs).column("entities").to_pylist()
+    stage = NerStage(GAZETTEER)  # shared caches across batches
+    pieces = []
+    for lo, hi in ((0, 7), (7, 40), (40, 41), (41, 120)):
+        out = stage(docs.slice(lo, hi - lo))
+        pieces.extend(out.column("entities").to_pylist())
+    assert pieces == whole
