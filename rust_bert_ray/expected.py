@@ -758,6 +758,7 @@ def q_decode_bpe(sf_dir: str, corpus_root: str) -> pa.Table:
         return units
 
     word_cache: dict[str, list[str]] = {}
+    inv = {i: u for u, i in vocab.items()}
     t = _documents(sf_dir)
     n_pieces, n_words, decoded, roundtrip = [], [], [], []
     for text in t.column("text").to_pylist():
@@ -769,7 +770,6 @@ def q_decode_bpe(sf_dir: str, corpus_root: str) -> pa.Table:
                 units = apply_in_order([b2u[b] for b in token.encode("utf-8")])
                 word_cache[token] = units
             ids.extend(vocab[u] for u in units)
-        inv = {i: u for u, i in vocab.items()}
         data = bytes(u2b[ch] for i in ids for ch in inv[i])
         out = data.decode("utf-8", errors="replace")
         n_pieces.append(len(ids))

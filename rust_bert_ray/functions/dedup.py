@@ -1044,12 +1044,14 @@ def dedup_span_marks(sf_dir: str, n: int = 8, num_partitions: int = 16):
             }
         )
 
-    def dup_marks(df: pd.DataFrame) -> pd.DataFrame:
-        # digests with ≥2 distinct docs → keep their (doc_id, pos) rows
+    def dup_marks(df: pd.DataFrame) -> pa.Table:
+        # digests with ≥2 distinct docs → keep their (doc_id, pos) rows;
+        # returned as ARROW — these blocks feed the next sort shuffle
+        # (CLAUDE.md: sort-shuffling pandas blocks is ~10× slower)
         ndocs = df.groupby("digest")["doc_id"].transform("nunique")
         keep = df.loc[ndocs > 1, ["doc_id", "pos"]].drop_duplicates()
         keep["_dbucket"] = keep["doc_id"] % num_partitions
-        return keep
+        return pa.Table.from_pandas(keep, preserve_index=False)
 
     def merge_spans(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):

@@ -35,6 +35,9 @@ import ray.data
 from rust_bert_ray.functions.util import round_ha
 
 INDEX_ROOT = "/tmp/rbr_ann_index"
+# bump whenever the hashing/centroid algebra changes — a stale persisted
+# index must not survive a code change (same trap expected.VERSION guards)
+INDEX_VERSION = 1
 
 
 def _read_embeddings(sf_dir: str):
@@ -125,7 +128,7 @@ def _ensure_index(sf_dir: str, key: str, add_bucket) -> tuple[str, dict]:
     """
     sf_tag = f"{os.path.basename(os.path.normpath(sf_dir))}-" \
              f"{zlib.crc32(os.path.abspath(sf_dir).encode()) & 0xFFFFFFFF:08x}"
-    base = os.path.join(INDEX_ROOT, sf_tag, key)
+    base = os.path.join(INDEX_ROOT, sf_tag, f"{key}-v{INDEX_VERSION}")
     meta_path = os.path.join(base, "meta.json")
     fp = _source_fingerprint(sf_dir)
     if os.path.exists(meta_path):
@@ -173,6 +176,17 @@ def _probed_partitions(base: str, buckets) -> list[str]:
         if os.path.isdir(d):
             files.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
     return files
+
+
+def _empty_topk():
+    """Empty result with the topk schema — a Dataset, matching the
+    normal path's return type."""
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {"vec_id": pa.array([], type=pa.int64()),
+             "cos": pa.array([], type=pa.float64())}
+        )
+    )
 
 
 def _partition_rows(dirs: list[str]) -> int:
@@ -236,10 +250,7 @@ def ann_lsh_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10, n_bits: int = 
     near = {q_bucket} | {q_bucket ^ (1 << b) for b in range(n_bits)}
     dirs = _probed_partitions(base, near)
     if not dirs:
-        return pa.Table.from_pydict(
-            {"vec_id": pa.array([], type=pa.int64()),
-             "cos": pa.array([], type=pa.float64())}
-        )
+        return _empty_topk()
     emb = ray.data.read_parquet(dirs, columns=["vec_id", "embedding"])
     return _scored_topk(emb, q, query_vec_id, k)
 
@@ -346,10 +357,7 @@ def ann_ivf_topk(
     probe = np.argsort(-(C @ qn))[:n_probe].tolist()
     dirs = _probed_partitions(base, probe)
     if not dirs:
-        return pa.Table.from_pydict(
-            {"vec_id": pa.array([], type=pa.int64()),
-             "cos": pa.array([], type=pa.float64())}
-        )
+        return _empty_topk()
     emb = ray.data.read_parquet(dirs, columns=["vec_id", "embedding"])
     return _scored_topk(emb, q, query_vec_id, k)
 

@@ -52,6 +52,36 @@ from rust_bert_ray.tokenization import MASK_SPECIAL, SubwordTokenizer
 ENTITY_TYPE_NAMES = [""] + [label[2:] for label in NER_LABELS[1::2]]
 
 
+class _GrowArray:
+    """Amortized-O(1) append numpy array (capacity doubling)."""
+
+    def __init__(self, dtype, cap: int = 1024):
+        self._arr = np.empty(cap, dtype=dtype)
+        self.n = 0
+
+    def _reserve(self, extra: int) -> None:
+        need = self.n + extra
+        if need > len(self._arr):
+            new = np.empty(max(need, 2 * len(self._arr)), dtype=self._arr.dtype)
+            new[: self.n] = self._arr[: self.n]
+            self._arr = new
+
+    def append(self, v) -> None:
+        self._reserve(1)
+        self._arr[self.n] = v
+        self.n += 1
+
+    def extend(self, vals) -> None:
+        vals = np.asarray(vals, dtype=self._arr.dtype)
+        self._reserve(len(vals))
+        self._arr[self.n : self.n + len(vals)] = vals
+        self.n += len(vals)
+
+    @property
+    def view(self) -> np.ndarray:
+        return self._arr[: self.n]
+
+
 class _PieceCache:
     """Per-actor word → piece summary cache for the batch-flat decode.
 
@@ -60,7 +90,10 @@ class _PieceCache:
     (start, count) into a flat per-piece jitter array.  Piece ids and
     per-piece arithmetic match ``SubwordTokenizer._encode_word`` +
     ``DeterministicTagScorer.jitter_for`` exactly — the fast path reads
-    this cache instead of re-deriving pieces per occurrence.
+    this cache instead of re-deriving pieces per occurrence.  All flat
+    arrays grow by capacity doubling (amortized O(1) per word): on
+    diversified corpora every batch adds new words, and a full rebuild
+    per batch would be quadratic over an actor's lifetime.
     """
 
     def __init__(self, tokenizer, scorer, cap: int = 1_000_000):
@@ -68,33 +101,45 @@ class _PieceCache:
         self.scorer = scorer
         self.cap = cap
         self.uid: dict[str, int] = {}
-        self._starts: list[int] = []
-        self._counts: list[int] = []
-        self._wlens: list[int] = []
-        self._first_gaz: list[bool] = []
-        self._jit_chunks: list[np.ndarray] = [np.zeros(0, np.float64)]
-        self._pending_jit: list[float] = []
-        self._n_pieces = 0
-        # rebuilt lazily after new words arrive
-        self.start = np.zeros(0, np.int64)
-        self.count = np.zeros(0, np.int64)
-        self.wlen = np.zeros(0, np.int64)
-        self.first_gaz = np.zeros(0, bool)
-        self.jitter = np.zeros(0, np.float64)
+        self._start = _GrowArray(np.int64)
+        self._count = _GrowArray(np.int64)
+        self._wlen = _GrowArray(np.int64)
+        self._first_gaz = _GrowArray(bool)
+        self._jitter = _GrowArray(np.float64)
+
+    # live views (cheap slices of the growable buffers)
+    @property
+    def start(self) -> np.ndarray:
+        return self._start.view
+
+    @property
+    def count(self) -> np.ndarray:
+        return self._count.view
+
+    @property
+    def wlen(self) -> np.ndarray:
+        return self._wlen.view
+
+    @property
+    def first_gaz(self) -> np.ndarray:
+        return self._first_gaz.view
+
+    @property
+    def jitter(self) -> np.ndarray:
+        return self._jitter.view
 
     def _add(self, word: str) -> int:
         if len(self.uid) >= self.cap:
             return -1
         ids, lens, _masks = self.tokenizer._encode_word(word)
-        j = len(self._starts)
+        j = self._start.n
         self.uid[word] = j
-        self._starts.append(self._n_pieces)
-        self._counts.append(len(ids))
-        self._wlens.append(sum(lens))
+        self._start.append(self._jitter.n)
+        self._count.append(len(ids))
+        self._wlen.append(sum(lens))
         self._first_gaz.append(word in self.scorer.index)
         jit = self.scorer.jitter_for
-        self._pending_jit.extend(jit(pid) for pid in ids)
-        self._n_pieces += len(ids)
+        self._jitter.extend([jit(pid) for pid in ids])
         return j
 
     def ensure(self, words: list[str]) -> np.ndarray:
@@ -102,25 +147,11 @@ class _PieceCache:
         uid = self.uid
         inv = np.empty(len(words), np.int64)
         add = self._add
-        n_before = len(self._starts)
         for i, w in enumerate(words):
             j = uid.get(w)
             if j is None:
                 j = add(w)
             inv[i] = j
-        if len(self._starts) != n_before:
-            if self._pending_jit:
-                self._jit_chunks.append(
-                    np.asarray(self._pending_jit, dtype=np.float64)
-                )
-                self._pending_jit = []
-            if len(self._jit_chunks) > 1:
-                self._jit_chunks = [np.concatenate(self._jit_chunks)]
-            self.jitter = self._jit_chunks[0]
-            self.start = np.asarray(self._starts, dtype=np.int64)
-            self.count = np.asarray(self._counts, dtype=np.int64)
-            self.wlen = np.asarray(self._wlens, dtype=np.int64)
-            self.first_gaz = np.asarray(self._first_gaz, dtype=bool)
         return inv
 
 ENTITY_STRUCT = pa.struct(

@@ -435,7 +435,14 @@ def assemble_special_tokens(
     a_t, a_s, a_m, a_o = body(enc_a, 0)
     has_b = enc_b is not None
     if has_b:
-        b_seg = 1 if family in ("bert", "xlnet", "prophetnet") else 0
+        # families with token_type_ids give the pair sequence segment 1;
+        # roberta/bart/gpt2/t5-style models have no segment embedding
+        b_seg = (
+            1
+            if family in ("bert", "albert", "deberta", "fnet", "xlnet",
+                          "prophetnet")
+            else 0
+        )
         b_t, b_s, b_m, b_o = body(enc_b, b_seg)
 
     def special(tok: str, seg: int):

@@ -63,7 +63,8 @@ class UnigramTokenizer:
 
     def segment(self, word: str) -> list[str]:
         """Best segmentation (max Σ log p; ties → fewer pieces, then the
-        LONGEST first piece — deterministic)."""
+        longest LAST piece, recursively — deterministic; matches the
+        enumeration oracle's reversed-piece-length-tuple rule)."""
         cached = self._cache.get(word)
         if cached is not None:
             return cached

@@ -168,6 +168,10 @@ def test_assembly_truth_table():
                   [0, 0, 0, 1, 1, 2]),
         "prophetnet": (["1", "2", "[SEP]", "3", "[SEP]"], [0, 0, 0, 1, 1]),
     }
+    # bert-layout aliases share the segment convention (pair = segment 1)
+    expect["albert"] = expect["bert"]
+    expect["deberta"] = expect["bert"]
+    expect["fnet"] = expect["bert"]
     for fam, (toks, segs) in expect.items():
         out = assemble_special_tokens(fam, a, b)
         assert out.tokens == toks, fam
