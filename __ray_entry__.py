@@ -467,7 +467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     not, is verified by the local mirror (tools/check_oracles.py)
     against the same oracles each round.
     """
-    from rust_bert_ray.functions import dedup, relational, similarity, text
+    from rust_bert_ray.functions import dedup, graph, relational, similarity, text
 
     return {
         # --- reference NLP pipelines over documents/corpus ---
@@ -481,7 +481,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_embed_dense": _q_embed_dense,
         "q_zero_shot": _q_zero_shot,
         "q_zero_shot_multi": _q_zero_shot_multi,
-        "q_multilabel": _q_multilabel,
         "q_keywords": _q_keywords,
         "q_masked_lm": _q_masked_lm,
         "qa_answers": _q_qa,
@@ -493,16 +492,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_media_features": _kg_media_features,
         "kg_media_frames": _kg_media_frames,
         "kg_media_resize": _kg_media_resize,
+        # --- KG graph analytics (over the materialized edges table) ---
+        "kg_degree_stats": graph.kg_degree_stats,
+        "kg_paths_2hop": graph.kg_paths_2hop,
+        "kg_reachability": graph.kg_reachability,
         # --- relational plumbing (TPC-H-ish tables) ---
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q_order_revenue_topk": relational.q_order_revenue_topk,
         "q_segment_order_stats": relational.q_segment_order_stats,
-        "q_events_hourly": relational.q_events_hourly,
         "q_join_shuffle": relational.q_join_shuffle,
         "q_events_sessions": relational.q_events_sessions,
         "q_events_asof": relational.q_events_asof,
         "q_events_range_join": relational.q_events_range_join,
-        "q_events_sliding": relational.q_events_sliding,
         "q_customers_without_orders": relational.q_customers_without_orders,
         # --- text analysis (documents) ---
         "q_vocab_stats": text.q_vocab_stats,
@@ -526,8 +527,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": similarity.ann_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
-        # --- tail rotation (see docstring): driver-green in round 2,
+        # --- tail rotation (see docstring): driver-green in rounds 2-3,
         #     local-mirror-verified every round ---
+        "q_multilabel": _q_multilabel,
+        "q_events_hourly": relational.q_events_hourly,
+        "q_events_sliding": relational.q_events_sliding,
         "q_region_acctbal": relational.q_region_acctbal,
         "q_filter_highvalue": relational.q_filter_highvalue,
         "q_distinct_segments": relational.q_distinct_segments,
@@ -545,9 +549,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # ---------------------------------------------------------- oracle SQL ----
 
 def oracle_sql() -> dict[str, str]:
-    from rust_bert_ray.functions import dedup, relational, similarity, text
+    from rust_bert_ray.functions import dedup, graph, relational, similarity, text
 
     dedup_span_marks_sql = dedup.DEDUP_SPAN_MARKS_SQL
+
+    # Graph analytics: native SQL computed over the INDEPENDENTLY built
+    # expected edges table (expected.py builds it from a fresh pandas
+    # pipeline, not the Ray stages), so degree/path/reachability algebra
+    # is genuinely cross-checked, not replayed.
+    _exp_edges = f"{_EXPECTED_DIR}/kg_edges.parquet"
+    kg_degree_stats_sql = graph.KG_DEGREE_STATS_SQL_TEMPLATE.format(edges=_exp_edges)
+    kg_paths_2hop_sql = graph.KG_PATHS_2HOP_SQL_TEMPLATE.format(edges=_exp_edges)
+    kg_reachability_sql = graph.KG_REACHABILITY_SQL_TEMPLATE.format(
+        edges=_exp_edges, max_hops=4
+    )
 
     kg_triples_sql = f"""
 SELECT doc_id, subj, pred, obj
@@ -584,6 +599,9 @@ GROUP BY s.kind
         **expected_backed,
         "kg_triples": kg_triples_sql,
         "kg_media_inventory": kg_media_inventory_sql,
+        "kg_degree_stats": kg_degree_stats_sql,
+        "kg_paths_2hop": kg_paths_2hop_sql,
+        "kg_reachability": kg_reachability_sql,
         "q_sentiment": classify.SENTIMENT_SQL,
         "q_zero_shot": classify.ZERO_SHOT_SQL,
         "q_zero_shot_multi": classify.ZERO_SHOT_MULTI_SQL,

@@ -1,0 +1,80 @@
+"""Graph analytics (functions/graph.py) on a tiny hand-built edges table.
+
+The sf0.01 oracle gate cross-checks the full pipeline; these tests pin
+the graph algebra itself — degree partials/merge, 2-hop join semantics
+(src != dst, distinct-mid counting), BFS hop minimality and the
+deterministic hub-seed tie-break — against DuckDB on a graph small
+enough to verify by eye.
+"""
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from rust_bert_ray.functions import graph
+
+#      a --r1--> b --r2--> c
+#      a --r1--> c          (direct shortcut: c is hop 1, not 2)
+#      b --r2--> a          (cycle back; a stays hop 0)
+#      d --r3--> b          (d unreachable from a)
+_EDGES = pa.table(
+    {
+        "subj_id": ["a", "a", "b", "b", "d"],
+        "pred": ["r1", "r1", "r2", "r2", "r3"],
+        "obj_id": ["b", "c", "c", "a", "b"],
+        "n_obs": pa.array([2, 1, 3, 1, 5], type=pa.int64()),
+    }
+)
+
+
+@pytest.fixture()
+def tiny_edges(monkeypatch):
+    monkeypatch.setattr(
+        graph, "edges_dataset", lambda sf_dir: ray.data.from_arrow(_EDGES)
+    )
+
+
+def _sorted_df(result):
+    t = result.to_pandas() if hasattr(result, "to_pandas") else result
+    return t.sort_values(t.columns.tolist()).reset_index(drop=True)
+
+
+def test_degree_stats_matches_duckdb(tiny_edges):
+    got = _sorted_df(graph.kg_degree_stats("unused"))
+    want = duckdb.sql(
+        graph.KG_DEGREE_STATS_SQL_TEMPLATE.replace(
+            "read_parquet('{edges}')", "_EDGES"
+        )
+    ).df()
+    want = _sorted_df(want)[got.columns.tolist()]
+    assert got.equals(want)
+    # spot-check one row by hand: b has out {c,a} and in {a->b, d->b}
+    b = got.set_index("node_id").loc["b"]
+    assert (b.out_deg, b.in_deg, b.out_obs, b.in_obs) == (2, 2, 4, 7)
+
+
+def test_paths_2hop_excludes_src_eq_dst(tiny_edges):
+    got = _sorted_df(graph.kg_paths_2hop("unused"))
+    # walks: a-b-c, a-b-a(drop src==dst), b-a-b(drop), b-a-c, d-b-c, d-b-a
+    rows = {
+        (r.pred_1, r.pred_2): (r.n_paths, r.n_mid) for r in got.itertuples()
+    }
+    assert rows == {
+        ("r1", "r2"): (1, 1),  # a-b-c via b (a-b-a dropped)
+        ("r2", "r1"): (1, 1),  # b-a-c via a (b-a-b dropped)
+        ("r3", "r2"): (2, 1),  # d-b-c, d-b-a via b
+    }
+
+
+def test_reachability_min_hops_and_seed(tiny_edges):
+    t = graph.kg_reachability("unused")
+    hops = dict(zip(t.column("node_id").to_pylist(), t.column("hops").to_pylist()))
+    # seed = max out-degree: a has 2, b has 2 -> tie broken to "a"
+    assert hops == {"a": 0, "b": 1, "c": 1}  # c direct, d unreachable
+
+
+def test_reachability_hop_cap(tiny_edges):
+    t = graph.kg_reachability("unused", max_hops=0)
+    assert t.to_pydict() == {"node_id": ["a"], "hops": [0]}
