@@ -475,12 +475,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_generate": _q_generate,
         "q_summarize": _q_summarize,
         "q_translate": _q_translate,
-        "q_translate_m2m": _q_translate_m2m,
         "q_pos_tags": _q_pos,
         "q_embed_docs": _q_embed,
         "q_embed_dense": _q_embed_dense,
         "q_zero_shot": _q_zero_shot,
-        "q_zero_shot_multi": _q_zero_shot_multi,
         "q_keywords": _q_keywords,
         "q_masked_lm": _q_masked_lm,
         "qa_answers": _q_qa,
@@ -491,11 +489,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edges": _kg_edges,
         "kg_media_features": _kg_media_features,
         "kg_media_frames": _kg_media_frames,
-        "kg_media_resize": _kg_media_resize,
         # --- KG graph analytics (over the materialized edges table) ---
         "kg_degree_stats": graph.kg_degree_stats,
         "kg_paths_2hop": graph.kg_paths_2hop,
         "kg_reachability": graph.kg_reachability,
+        "kg_components": graph.kg_components,
+        "kg_triangles": graph.kg_triangles,
+        "kg_influence": graph.kg_influence,
         # --- relational plumbing (TPC-H-ish tables) ---
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q_order_revenue_topk": relational.q_order_revenue_topk,
@@ -529,6 +529,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": similarity.ann_ivf_topk,
         # --- tail rotation (see docstring): driver-green in rounds 2-3,
         #     local-mirror-verified every round ---
+        "q_translate_m2m": _q_translate_m2m,
+        "kg_media_resize": _kg_media_resize,
+        "q_zero_shot_multi": _q_zero_shot_multi,
         "q_multilabel": _q_multilabel,
         "q_events_hourly": relational.q_events_hourly,
         "q_events_sliding": relational.q_events_sliding,
@@ -563,6 +566,9 @@ def oracle_sql() -> dict[str, str]:
     kg_reachability_sql = graph.KG_REACHABILITY_SQL_TEMPLATE.format(
         edges=_exp_edges, max_hops=4
     )
+    kg_components_sql = graph.KG_COMPONENTS_SQL_TEMPLATE.format(edges=_exp_edges)
+    kg_triangles_sql = graph.KG_TRIANGLES_SQL_TEMPLATE.format(edges=_exp_edges)
+    kg_influence_sql = graph.KG_INFLUENCE_SQL_TEMPLATE.format(edges=_exp_edges)
 
     kg_triples_sql = f"""
 SELECT doc_id, subj, pred, obj
@@ -602,6 +608,9 @@ GROUP BY s.kind
         "kg_degree_stats": kg_degree_stats_sql,
         "kg_paths_2hop": kg_paths_2hop_sql,
         "kg_reachability": kg_reachability_sql,
+        "kg_components": kg_components_sql,
+        "kg_triangles": kg_triangles_sql,
+        "kg_influence": kg_influence_sql,
         "q_sentiment": classify.SENTIMENT_SQL,
         "q_zero_shot": classify.ZERO_SHOT_SQL,
         "q_zero_shot_multi": classify.ZERO_SHOT_MULTI_SQL,

@@ -22,6 +22,25 @@ operators re-express those queries Ray-Data-first over the edges table
   bound the CC keep-list documents (functions/dedup.py); past it, swap
   the broadcast for a per-hop semi-join of edges against the frontier
   dataset — the plan shape stays otherwise identical.
+- ``kg_components`` — weakly-connected component labels via the same
+  hash-to-min star contraction as dedup's CC (functions/dedup.py:600),
+  re-keyed for STRING node ids (lexicographic min is the label; the
+  algorithm only needs a total order).  Per round: one bucketed groupby
+  + vectorized pandas contraction; the driver sees three scalars
+  (count + two checksums) per round, never an edge.
+- ``kg_triangles`` — per-node triangle participation counts on the
+  undirected simple graph: orient edges a<b, build wedges with one
+  hash-partitioned self-join (x<y<z by construction, so each triangle
+  is closed exactly once), close them with a two-key join back against
+  the edge set, explode corners, combine.  Hub wedges are the skew
+  risk at scale — cap or sample per-node adjacency before the wedge
+  join past ~10^4 degree (same knob as dedup's bucket_cap).
+- ``kg_influence`` — integer path-count centrality: the number of
+  directed WALKS of length 1, 2 and 3 ending at each node (walks, not
+  simple paths — revisits count, which keeps the algebra exact and
+  join-expressible).  Chained hash-partitioned self-joins with
+  per-batch partial counts; all-integer output, so the SQL oracle is
+  exact.
 
 Every output column is an integer count or a string id, so the DuckDB
 oracles (native SQL over the INDEPENDENTLY built expected edges table —
@@ -316,4 +335,482 @@ walk(node_id, hops) AS (
 )
 SELECT node_id, CAST(MIN(hops) AS BIGINT) AS hops
 FROM walk GROUP BY node_id
+"""
+
+
+# ------------------------------------------ weakly-connected components ----
+
+def _string_cc(pairs_ds, u_col: str, v_col: str, *, n_buckets: int = 64,
+               num_partitions: int = 8, max_iters: int = 16):
+    """Hash-to-min star contraction over STRING node ids.
+
+    Same algorithm as functions/dedup.py:600 (see its docstring for the
+    contraction invariant and O(log diameter) bound), re-keyed for
+    string ids: the component label is the lexicographic minimum, and
+    bucketing/checksums hash the strings (pandas' vectorized
+    hash_pandas_object — deterministic for a fixed pandas build, which
+    is all a within-run convergence check needs).  Returns labels
+    (node_id, component_id) for nodes with >= 1 non-self edge.
+    """
+    import pandas as pd
+    from pandas.util import hash_pandas_object
+
+    from ray.data.aggregate import Sum
+
+    def make_sym(a_col: str, b_col: str):
+        def sym(t: pa.Table) -> pa.Table:
+            u = pa.concat_arrays(
+                [t.column(a_col).combine_chunks(), t.column(b_col).combine_chunks()]
+            )
+            v = pa.concat_arrays(
+                [t.column(b_col).combine_chunks(), t.column(a_col).combine_chunks()]
+            )
+            return pa.Table.from_pydict({"u": u, "v": v})
+
+        return sym
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        h = hash_pandas_object(
+            t.column("u").to_pandas(), index=False
+        ).to_numpy() % np.uint64(n_buckets)
+        return t.append_column("_bucket", pa.array(h.astype("int64")))
+
+    def contract(df: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        df = df[["u", "v"]].drop_duplicates()
+        m = np.minimum(df.groupby("u")["v"].transform("min"), df["u"])
+        star = pd.DataFrame(
+            {"u": pd.concat([df["v"], df["u"]]), "v": pd.concat([m, m])}
+        )
+        star = star[star["u"] != star["v"]].drop_duplicates()
+        return star
+
+    def checksum_partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        hu = hash_pandas_object(t.column("u").to_pandas(), index=False).to_numpy()
+        hv = hash_pandas_object(t.column("v").to_pandas(), index=False).to_numpy()
+        # per-element 31-bit masks -> partial sums add exactly across any
+        # block layout (dedup.py checksum_partial rationale)
+        m1 = (hu * np.uint64(2654435761) ^ hv) & np.uint64((1 << 31) - 1)
+        m2 = (hv * np.uint64(0x9E3779B1) ^ (hu >> np.uint64(1))) & np.uint64(
+            (1 << 31) - 1
+        )
+        return pa.Table.from_pydict(
+            {
+                "n": pa.array([len(hu)], type=pa.int64()),
+                "ck": pa.array([int(m1.sum())], type=pa.int64()),
+                "ck2": pa.array([int(m2.sum())], type=pa.int64()),
+            }
+        )
+
+    def signature(ds) -> tuple:
+        agg = ds.map_batches(
+            checksum_partial, batch_format="pyarrow", batch_size=65536
+        ).aggregate(
+            Sum("n", alias_name="n"),
+            Sum("ck", alias_name="ck"),
+            Sum("ck2", alias_name="ck2"),
+        )
+        return (agg.get("n") or 0, agg.get("ck") or 0, agg.get("ck2") or 0)
+
+    edges = pairs_ds.map_batches(
+        make_sym(u_col, v_col), batch_format="pyarrow", batch_size=65536
+    )
+    prev_sig = None
+    for _ in range(max_iters):
+        edges = (
+            edges.map_batches(add_bucket, batch_format="pyarrow", batch_size=65536)
+            .groupby("_bucket", num_partitions=num_partitions)
+            .map_groups(contract, batch_format="pandas")
+            .map_batches(make_sym("u", "v"), batch_format="pyarrow", batch_size=65536)
+            .materialize()
+        )
+        sig = signature(edges)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    def labels(df: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        lab = df.groupby("u", as_index=False)["v"].min()
+        lab["component_id"] = np.minimum(lab["u"], lab["v"])
+        return lab.rename(columns={"u": "node_id"})[["node_id", "component_id"]]
+
+    return (
+        edges.map_batches(add_bucket, batch_format="pyarrow", batch_size=65536)
+        .groupby("_bucket", num_partitions=num_partitions)
+        .map_groups(labels, batch_format="pandas")
+    )
+
+
+def _all_nodes(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Distinct node ids appearing on either side of the edges table
+    (per-batch unique partials, then one grouped distinct — the shuffle
+    carries node ids, never edges)."""
+
+    def both(t: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays(
+            [
+                t.column("subj_id").combine_chunks(),
+                t.column("obj_id").combine_chunks(),
+            ]
+        )
+        return pa.Table.from_pydict({"node_id": pa.compute.unique(ids)})
+
+    return (
+        edges.map_batches(both, batch_format="pyarrow", batch_size=65536)
+        .groupby("node_id", num_partitions=8)
+        .map_groups(
+            lambda df: df.head(1)[["node_id"]], batch_format="pandas"
+        )
+    )
+
+
+def kg_components(sf_dir: str):
+    """Weakly-connected component labels (node_id, component_id) over
+    EVERY node in the edges table; component_id = lexicographic minimum
+    of the component.  Nodes whose only edges are self-loops (or which
+    the contraction never labels) map to themselves via a
+    hash-partitioned left_outer join — no driver-side label broadcast.
+    """
+    edges = edges_dataset(sf_dir)
+
+    def drop_loops(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.not_equal(t.column("subj_id"), t.column("obj_id")))
+
+    non_loop = edges.map_batches(drop_loops, batch_format="pyarrow")
+    labels = _string_cc(non_loop, "subj_id", "obj_id")
+
+    joined = _all_nodes(edges).join(
+        labels, "left_outer", 8, on=("node_id",)
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        comp = pc.coalesce(t.column("component_id"), t.column("node_id"))
+        return pa.Table.from_pydict(
+            {"node_id": t.column("node_id"), "component_id": comp}
+        )
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
+KG_COMPONENTS_SQL_TEMPLATE = """
+WITH RECURSIVE raw AS MATERIALIZED (
+    SELECT subj_id, obj_id FROM read_parquet('{edges}')
+),
+ed AS MATERIALIZED (
+    SELECT subj_id AS u, obj_id AS v FROM raw WHERE subj_id <> obj_id
+    UNION
+    SELECT obj_id, subj_id FROM raw WHERE subj_id <> obj_id
+),
+nodes AS MATERIALIZED (
+    SELECT subj_id AS node_id FROM raw UNION SELECT obj_id FROM raw
+),
+walk(node_id, r) AS (
+    SELECT node_id, node_id FROM nodes
+    UNION
+    SELECT w.node_id, ed.v FROM walk w JOIN ed ON ed.u = w.r
+)
+SELECT node_id, MIN(r) AS component_id FROM walk GROUP BY node_id
+"""
+
+
+# ------------------------------------------------------------ triangles ----
+
+def kg_triangles(sf_dir: str):
+    """Per-node triangle participation (node_id, n_tri) on the
+    undirected simple graph; only nodes in >= 1 triangle are emitted.
+
+    Plan: orient a<b + distinct (bucketed drop_duplicates — all copies
+    of an (a, b) pair share hash(a)), wedge join on the middle node
+    (x<y<z by construction, so each triangle closes exactly once), then
+    close wedges against the edge set with a REDUCE-SIDE bucketed merge
+    (union both sides keyed on the (lo, hi) endpoint pair, bucket by
+    key hash, one vectorized pandas merge per bucket) — Ray 2.49's
+    hash-join operator leaves schema-less empty partitions when its
+    input is another join, so the closing step deliberately uses the
+    groupby-merge join shape instead of chaining ``Dataset.join``.
+    Corner counting folds into the same per-bucket body; the final
+    shuffle carries (node_id, partial_count) rows only.
+    """
+    from ray.data.aggregate import Sum
+
+    edges = edges_dataset(sf_dir)
+
+    def orient(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s, o = t.column("subj_id"), t.column("obj_id")
+        keep = pc.not_equal(s, o)
+        a = pc.if_else(pc.less(s, o), s, o)
+        b = pc.if_else(pc.less(s, o), o, s)
+        return pa.Table.from_pydict({"a": a, "b": b}).filter(keep)
+
+    def dedup_pairs(df):
+        return df.drop_duplicates(["a", "b"])[["a", "b"]]
+
+    und = (
+        edges.map_batches(orient, batch_format="pyarrow", batch_size=65536)
+        .groupby("a", num_partitions=8)
+        .map_groups(dedup_pairs, batch_format="pandas")
+    ).materialize()
+
+    left = und.map_batches(
+        lambda t: pa.Table.from_pydict({"x": t.column("a"), "y": t.column("b")}),
+        batch_format="pyarrow",
+    )
+    right = und.map_batches(
+        lambda t: pa.Table.from_pydict({"y_r": t.column("a"), "z": t.column("b")}),
+        batch_format="pyarrow",
+    )
+    wedges = left.join(right, "inner", 8, on=("y",), right_on=("y_r",))
+
+    def tag_wedges(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "k1": t.column("x"),
+                "k2": t.column("z"),
+                "mid": t.column("y"),
+                "side": pa.array([1] * t.num_rows, type=pa.int64()),
+            }
+        )
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "k1": t.column("a"),
+                "k2": t.column("b"),
+                "mid": pa.array([""] * t.num_rows, type=pa.string()),
+                "side": pa.array([0] * t.num_rows, type=pa.int64()),
+            }
+        )
+
+    tagged = wedges.map_batches(tag_wedges, batch_format="pyarrow").union(
+        und.map_batches(tag_edges, batch_format="pyarrow")
+    )
+
+    def close_and_count(df) -> "pa.Table":
+        import numpy as np
+        import pandas as pd
+
+        e = df.loc[df["side"] == 0, ["k1", "k2"]]
+        w = df.loc[df["side"] == 1, ["k1", "k2", "mid"]]
+        closed = w.merge(e, on=["k1", "k2"])
+        corners = np.concatenate(
+            [closed["k1"].to_numpy(), closed["mid"].to_numpy(),
+             closed["k2"].to_numpy()]
+        )
+        uniq, counts = np.unique(corners, return_counts=True)
+        return pd.DataFrame({"node_id": uniq, "p_n": counts.astype("int64")})
+
+    return (
+        tagged.map_batches(
+            _with_bucket(["k1", "k2"]), batch_format="pyarrow", batch_size=65536
+        )
+        .groupby("_bucket", num_partitions=8)
+        .map_groups(close_and_count, batch_format="pandas")
+        .groupby("node_id", num_partitions=8)
+        .aggregate(Sum("p_n", alias_name="n_tri"))
+    )
+
+
+KG_TRIANGLES_SQL_TEMPLATE = """
+WITH ed AS MATERIALIZED (
+    SELECT DISTINCT LEAST(subj_id, obj_id) AS a, GREATEST(subj_id, obj_id) AS b
+    FROM read_parquet('{edges}') WHERE subj_id <> obj_id
+),
+tri AS MATERIALIZED (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM ed e1
+    JOIN ed e2 ON e2.a = e1.b
+    JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT node_id, COUNT(*) AS n_tri
+FROM (SELECT x AS node_id FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri)
+GROUP BY node_id
+"""
+
+
+# ------------------------------------------------- path-count influence ----
+
+def _with_bucket(key_cols, n_buckets: int = 32):
+    """map_batches fn: append ``_bucket`` = hash of the concatenated key
+    columns mod n_buckets (vectorized pandas string hash — only
+    within-run consistency is needed for co-location)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        import numpy as np
+        from pandas.util import hash_pandas_object
+
+        key = t.column(key_cols[0]).to_pandas()
+        for c in key_cols[1:]:
+            key = key + "\x00" + t.column(c).to_pandas()
+        h = hash_pandas_object(key, index=False).to_numpy() % np.uint64(n_buckets)
+        return t.append_column("_bucket", pa.array(h.astype("int64")))
+
+    return f
+
+
+def _propagate_counts(counts_ds, edges):
+    """One hop of count propagation: given per-node walk counts
+    (node_id, n), return (node_id, n) where n' [v] = sum over edges
+    (u -> v) of n[u].  Reduce-side bucketed merge keyed on the source
+    node — the shuffle carries the node-bounded count table plus edges,
+    never materialized walks, which is what keeps path counting viable
+    when walk cardinality explodes (hub nodes at 10^12 docs).
+    """
+    from ray.data.aggregate import Sum
+
+    def tag_counts(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "k": t.column("node_id"),
+                "n": t.column("n"),
+                "dst": pa.array([""] * t.num_rows, type=pa.string()),
+                "side": pa.array([1] * t.num_rows, type=pa.int64()),
+            }
+        )
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "k": t.column("subj_id"),
+                "n": pa.array([0] * t.num_rows, type=pa.int64()),
+                "dst": t.column("obj_id"),
+                "side": pa.array([0] * t.num_rows, type=pa.int64()),
+            }
+        )
+
+    tagged = counts_ds.map_batches(tag_counts, batch_format="pyarrow").union(
+        edges.map_batches(tag_edges, batch_format="pyarrow")
+    )
+
+    def merge_and_sum(df) -> "pd.DataFrame":
+        import pandas as pd
+
+        c = df.loc[df["side"] == 1, ["k", "n"]]
+        e = df.loc[df["side"] == 0, ["k", "dst"]]
+        hit = e.merge(c, on="k")
+        out = hit.groupby("dst", as_index=False)["n"].sum()
+        return out.rename(columns={"dst": "node_id"})[["node_id", "n"]]
+
+    return (
+        tagged.map_batches(
+            _with_bucket(["k"]), batch_format="pyarrow", batch_size=65536
+        )
+        .groupby("_bucket", num_partitions=8)
+        .map_groups(merge_and_sum, batch_format="pandas")
+        .groupby("node_id", num_partitions=8)
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def kg_influence(sf_dir: str):
+    """Integer path-count centrality: (node_id, paths_1, paths_2,
+    paths_3, influence) where paths_h counts directed WALKS of length h
+    ending at the node (revisits count — what keeps the algebra exact
+    and shuffle-expressible) and influence is their sum.  Only nodes
+    with >= 1 incoming walk are emitted.
+
+    Plan: paths_1 = in-degree counts; each further hop is one
+    ``_propagate_counts`` round (n'[v] = sum over (u -> v) of n[u]) —
+    the recurrence means NO walk is ever materialized; every shuffle is
+    bounded by node count + edge count regardless of walk cardinality.
+    """
+    from ray.data.aggregate import Sum
+
+    edges = edges_dataset(sf_dir)
+
+    def in_partials(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = t.column("obj_id").to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(ids, return_counts=True)
+        return pa.Table.from_pydict(
+            {
+                "node_id": pa.array(uniq, type=pa.string()),
+                "n": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    p1 = (
+        edges.map_batches(in_partials, batch_format="pyarrow", batch_size=65536)
+        .groupby("node_id", num_partitions=8)
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+    p2 = _propagate_counts(p1, edges).materialize()
+    p3 = _propagate_counts(p2, edges).materialize()
+
+    def widen(which: str):
+        def f(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            n = t.column("n").to_numpy(zero_copy_only=False)
+            zero = np.zeros(len(n), dtype="int64")
+            return pa.Table.from_pydict(
+                {
+                    "node_id": t.column("node_id"),
+                    "p1": pa.array(n if which == "p1" else zero, type=pa.int64()),
+                    "p2": pa.array(n if which == "p2" else zero, type=pa.int64()),
+                    "p3": pa.array(n if which == "p3" else zero, type=pa.int64()),
+                }
+            )
+
+        return f
+
+    merged = (
+        p1.map_batches(widen("p1"), batch_format="pyarrow")
+        .union(
+            p2.map_batches(widen("p2"), batch_format="pyarrow"),
+            p3.map_batches(widen("p3"), batch_format="pyarrow"),
+        )
+        .groupby("node_id", num_partitions=8)
+        .aggregate(
+            Sum("p1", alias_name="paths_1"),
+            Sum("p2", alias_name="paths_2"),
+            Sum("p3", alias_name="paths_3"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        infl = pc.add(
+            pc.add(t.column("paths_1"), t.column("paths_2")), t.column("paths_3")
+        )
+        return t.append_column("influence", infl)
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+KG_INFLUENCE_SQL_TEMPLATE = """
+WITH e AS MATERIALIZED (
+    SELECT subj_id, obj_id FROM read_parquet('{edges}')
+),
+p1 AS (SELECT obj_id AS node_id, COUNT(*) AS n FROM e GROUP BY 1),
+p2 AS (SELECT b.obj_id AS node_id, COUNT(*) AS n
+       FROM e a JOIN e b ON a.obj_id = b.subj_id GROUP BY 1),
+p3 AS (SELECT c.obj_id AS node_id, COUNT(*) AS n
+       FROM e a JOIN e b ON a.obj_id = b.subj_id
+              JOIN e c ON b.obj_id = c.subj_id GROUP BY 1)
+SELECT COALESCE(p1.node_id, p2.node_id, p3.node_id) AS node_id,
+       COALESCE(p1.n, 0) AS paths_1,
+       COALESCE(p2.n, 0) AS paths_2,
+       COALESCE(p3.n, 0) AS paths_3,
+       COALESCE(p1.n, 0) + COALESCE(p2.n, 0) + COALESCE(p3.n, 0) AS influence
+FROM p1
+FULL OUTER JOIN p2 ON p1.node_id = p2.node_id
+FULL OUTER JOIN p3 ON COALESCE(p1.node_id, p2.node_id) = p3.node_id
 """

@@ -78,3 +78,60 @@ def test_reachability_min_hops_and_seed(tiny_edges):
 def test_reachability_hop_cap(tiny_edges):
     t = graph.kg_reachability("unused", max_hops=0)
     assert t.to_pydict() == {"node_id": ["a"], "hops": [0]}
+
+
+def test_components_two_clusters_and_self_loop(monkeypatch):
+    # a-b-c chain | d-e | f self-loop only: three components
+    cc_edges = pa.table(
+        {
+            "subj_id": ["a", "b", "d", "f"],
+            "pred": ["r"] * 4,
+            "obj_id": ["b", "c", "e", "f"],
+            "n_obs": pa.array([1, 1, 1, 1], type=pa.int64()),
+        }
+    )
+    monkeypatch.setattr(
+        graph, "edges_dataset", lambda sf_dir: ray.data.from_arrow(cc_edges)
+    )
+    got = _sorted_df(graph.kg_components("unused"))
+    assert dict(zip(got.node_id, got.component_id)) == {
+        "a": "a", "b": "a", "c": "a", "d": "d", "e": "d", "f": "f",
+    }
+    # DuckDB recursive-closure oracle agrees on the same table
+    want = duckdb.sql(
+        graph.KG_COMPONENTS_SQL_TEMPLATE.replace(
+            "read_parquet('{edges}')", "cc_edges"
+        )
+    ).df()
+    want = _sorted_df(want)[got.columns.tolist()]
+    assert got.equals(want)
+
+
+def test_triangles_single_triangle(tiny_edges):
+    # undirected simple edges: ab, ac, bc, bd -> one triangle {a,b,c}
+    got = _sorted_df(graph.kg_triangles("unused"))
+    assert dict(zip(got.node_id, got.n_tri)) == {"a": 1, "b": 1, "c": 1}
+    want = duckdb.sql(
+        graph.KG_TRIANGLES_SQL_TEMPLATE.replace("read_parquet('{edges}')", "_EDGES")
+    ).df()
+    want = _sorted_df(want)[got.columns.tolist()]
+    assert got.astype(str).equals(want.astype(str))
+
+
+def test_influence_walk_counts(tiny_edges):
+    got = _sorted_df(graph.kg_influence("unused"))
+    rows = {
+        r.node_id: (r.paths_1, r.paths_2, r.paths_3, r.influence)
+        for r in got.itertuples()
+    }
+    # hand-enumerated walks on the module graph (see _EDGES comment)
+    assert rows == {
+        "a": (1, 2, 1, 4),
+        "b": (2, 1, 2, 5),
+        "c": (2, 3, 3, 8),
+    }
+    want = duckdb.sql(
+        graph.KG_INFLUENCE_SQL_TEMPLATE.replace("read_parquet('{edges}')", "_EDGES")
+    ).df()
+    want = _sorted_df(want)[got.columns.tolist()]
+    assert got.astype(str).equals(want.astype(str))
