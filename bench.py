@@ -42,6 +42,11 @@ BENCH_QUERIES = [
     "q_chunk_docs",
     "ann_topk",
     "ann_lsh_topk",
+    # graph analytics over the materialized KG edges table; the edge
+    # extraction itself is pre-warmed (and separately measured as the
+    # flagship), so these time the graph operator alone
+    "kg_degree_stats",
+    "kg_triangles",
 ]
 
 
@@ -109,7 +114,14 @@ def run_bench() -> dict:
 
     query_times: dict[str, float] = {}
     qs = entry_mod.queries()
-    for name in [] if os.environ.get("RBR_SKIP_QUERIES") else BENCH_QUERIES:
+    bench_queries = [] if os.environ.get("RBR_SKIP_QUERIES") else BENCH_QUERIES
+    if any(n.startswith("kg_") for n in bench_queries):
+        # materialize the edges table once, untimed: graph queries are
+        # consumers of the (flagship-measured) extraction, not re-runs
+        from rust_bert_ray.functions import graph as graph_mod
+
+        graph_mod.edges_dataset(SF_DIR)
+    for name in bench_queries:
         t = time.time()
         ds = qs[name](SF_DIR)
         # consume the stream without materializing to the driver
