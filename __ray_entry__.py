@@ -473,7 +473,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- reference NLP pipelines over documents/corpus ---
         "q_sentiment": _q_sentiment,
         "q_generate": _q_generate,
-        "q_summarize": _q_summarize,
         "q_translate": _q_translate,
         "q_pos_tags": _q_pos,
         "q_embed_docs": _q_embed,
@@ -488,7 +487,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes": _kg_nodes,
         "kg_edges": _kg_edges,
         "kg_media_features": _kg_media_features,
-        "kg_media_frames": _kg_media_frames,
         # --- KG graph analytics (over the materialized edges table) ---
         "kg_degree_stats": graph.kg_degree_stats,
         "kg_paths_2hop": graph.kg_paths_2hop,
@@ -496,12 +494,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_components": graph.kg_components,
         "kg_triangles": graph.kg_triangles,
         "kg_influence": graph.kg_influence,
+        "kg_pagerank": graph.kg_pagerank,
         # --- relational plumbing (TPC-H-ish tables) ---
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q_order_revenue_topk": relational.q_order_revenue_topk,
         "q_segment_order_stats": relational.q_segment_order_stats,
         "q_join_shuffle": relational.q_join_shuffle,
         "q_events_sessions": relational.q_events_sessions,
+        "q_events_cumulative": relational.q_events_cumulative,
         "q_events_asof": relational.q_events_asof,
         "q_events_range_join": relational.q_events_range_join,
         "q_customers_without_orders": relational.q_customers_without_orders,
@@ -529,7 +529,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": similarity.ann_ivf_topk,
         # --- tail rotation (see docstring): driver-green in rounds 2-3,
         #     local-mirror-verified every round ---
+        "q_summarize": _q_summarize,
         "q_translate_m2m": _q_translate_m2m,
+        "kg_media_frames": _kg_media_frames,
         "kg_media_resize": _kg_media_resize,
         "q_zero_shot_multi": _q_zero_shot_multi,
         "q_multilabel": _q_multilabel,
@@ -567,6 +569,7 @@ def oracle_sql() -> dict[str, str]:
         edges=_exp_edges, max_hops=4
     )
     kg_components_sql = graph.KG_COMPONENTS_SQL_TEMPLATE.format(edges=_exp_edges)
+    kg_pagerank_sql = graph.KG_PAGERANK_SQL_TEMPLATE.format(edges=_exp_edges)
     kg_triangles_sql = graph.KG_TRIANGLES_SQL_TEMPLATE.format(edges=_exp_edges)
     kg_influence_sql = graph.KG_INFLUENCE_SQL_TEMPLATE.format(edges=_exp_edges)
 
@@ -611,6 +614,7 @@ GROUP BY s.kind
         "kg_components": kg_components_sql,
         "kg_triangles": kg_triangles_sql,
         "kg_influence": kg_influence_sql,
+        "kg_pagerank": kg_pagerank_sql,
         "q_sentiment": classify.SENTIMENT_SQL,
         "q_zero_shot": classify.ZERO_SHOT_SQL,
         "q_zero_shot_multi": classify.ZERO_SHOT_MULTI_SQL,
@@ -624,6 +628,7 @@ GROUP BY s.kind
         "q_events_hourly": relational.Q_EVENTS_HOURLY_SQL,
         "q_join_shuffle": relational.Q_JOIN_SHUFFLE_SQL,
         "q_events_sessions": relational.Q_EVENTS_SESSIONS_SQL,
+        "q_events_cumulative": relational.Q_EVENTS_CUMULATIVE_SQL,
         "q_events_asof": relational.Q_EVENTS_ASOF_SQL,
         "q_events_range_join": relational.Q_EVENTS_RANGE_JOIN_SQL,
         "q_events_sliding": relational.Q_EVENTS_SLIDING_SQL,

@@ -814,3 +814,175 @@ FROM p1
 FULL OUTER JOIN p2 ON p1.node_id = p2.node_id
 FULL OUTER JOIN p3 ON COALESCE(p1.node_id, p2.node_id) = p3.node_id
 """
+
+
+# ----------------------------------------------- fixed-point PageRank ----
+
+def _edges_with_outdeg(edges: "ray.data.Dataset"):
+    """Distinct (subj_id, obj_id) pairs annotated with the source's
+    out-degree ``d``.  Bucketing by hash(subj) co-locates every edge of
+    a source, so dedupe + degree are ONE vectorized pandas body per
+    bucket — no separate degree join."""
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"subj_id": t.column("subj_id"), "obj_id": t.column("obj_id")}
+        )
+
+    def dedup_and_degree(df) -> "pd.DataFrame":
+        df = df.drop_duplicates(["subj_id", "obj_id"])[["subj_id", "obj_id"]]
+        df["d"] = df.groupby("subj_id")["obj_id"].transform("size").astype("int64")
+        return df
+
+    return (
+        edges.map_batches(project, batch_format="pyarrow", batch_size=65536)
+        .map_batches(
+            _with_bucket(["subj_id"]), batch_format="pyarrow", batch_size=65536
+        )
+        .groupby("_bucket", num_partitions=8)
+        .map_groups(dedup_and_degree, batch_format="pandas")
+    )
+
+
+def kg_pagerank(sf_dir: str, iters: int = 3):
+    """Fixed-point integer PageRank: (node_id, rank_micro) after
+    ``iters`` power iterations at damping 0.85 over the DISTINCT
+    (subj, obj) edge graph, in micro-rank units (start 1_000_000 per
+    node; update r'[v] = 150_000 + sum over (u -> v) of
+    (r[u] * 85 // 100) // out_deg[u], all int64 floor arithmetic).
+
+    Fixed-point on purpose: float PageRank's per-node contribution sum
+    depends on reduction order, which no distributed/SQL pair can pin
+    bit-exactly — integer floor algebra makes the DuckDB chained-CTE
+    oracle EXACT.  Dangling mass (sink nodes) is dropped, as the
+    documented semantics on both sides.
+
+    Plan per iteration (same propagation shape as ``kg_influence``):
+    union the node-bounded rank table with degree-annotated edges,
+    bucket by source, one vectorized merge per bucket emitting integer
+    contributions, grouped sum, union with the base-mass rows.  No
+    per-node tasks; shuffles bounded by nodes + edges.
+    """
+    from ray.data.aggregate import Sum
+
+    edges = edges_dataset(sf_dir)
+    ed = _edges_with_outdeg(edges).materialize()
+    nodes = _all_nodes(edges).materialize()
+
+    def base_rows(r0: int):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict(
+                {
+                    "node_id": t.column("node_id"),
+                    "r": pa.array([r0] * t.num_rows, type=pa.int64()),
+                }
+            )
+
+        return f
+
+    rank = nodes.map_batches(base_rows(1_000_000), batch_format="pyarrow")
+
+    def tag_rank(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "k": t.column("node_id"),
+                "r": t.column("r"),
+                "dst": pa.array([""] * t.num_rows, type=pa.string()),
+                "d": pa.array([0] * t.num_rows, type=pa.int64()),
+                "side": pa.array([1] * t.num_rows, type=pa.int64()),
+            }
+        )
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "k": t.column("subj_id"),
+                "r": pa.array([0] * t.num_rows, type=pa.int64()),
+                "dst": t.column("obj_id"),
+                "d": t.column("d"),
+                "side": pa.array([0] * t.num_rows, type=pa.int64()),
+            }
+        )
+
+    def contribs(df) -> "pd.DataFrame":
+        import pandas as pd
+
+        rk = df.loc[df["side"] == 1, ["k", "r"]]
+        e = df.loc[df["side"] == 0, ["k", "dst", "d"]]
+        hit = e.merge(rk, on="k")
+        hit["p"] = (hit["r"].to_numpy() * 85 // 100) // hit["d"].to_numpy()
+        out = hit.groupby("dst", as_index=False)["p"].sum()
+        return out.rename(columns={"dst": "node_id"})[["node_id", "p"]]
+
+    for _ in range(iters):
+        propagated = (
+            rank.map_batches(tag_rank, batch_format="pyarrow")
+            .union(ed.map_batches(tag_edges, batch_format="pyarrow"))
+            .map_batches(
+                _with_bucket(["k"]), batch_format="pyarrow", batch_size=65536
+            )
+            .groupby("_bucket", num_partitions=8)
+            .map_groups(contribs, batch_format="pandas")
+            .map_batches(
+                lambda t: pa.Table.from_pydict(
+                    {"node_id": t.column("node_id"), "r": t.column("p")}
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        rank = (
+            nodes.map_batches(base_rows(150_000), batch_format="pyarrow")
+            .union(propagated)
+            .groupby("node_id", num_partitions=8)
+            .aggregate(Sum("r", alias_name="r"))
+            .materialize()
+        )
+
+    return rank.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"node_id": t.column("node_id"), "rank_micro": t.column("r")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+KG_PAGERANK_SQL_TEMPLATE = """
+WITH e AS MATERIALIZED (
+    SELECT DISTINCT subj_id, obj_id FROM read_parquet('{edges}')
+),
+nodes AS MATERIALIZED (
+    SELECT subj_id AS node_id FROM e UNION SELECT obj_id FROM e
+),
+deg AS MATERIALIZED (
+    SELECT subj_id AS node_id, COUNT(*) AS d FROM e GROUP BY 1
+),
+r0 AS (SELECT node_id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+r1 AS (
+    SELECT n.node_id,
+           CAST(150000 + COALESCE(SUM(r.r * 85 // 100 // deg.d), 0) AS BIGINT) AS r
+    FROM nodes n
+    LEFT JOIN e ON e.obj_id = n.node_id
+    LEFT JOIN r0 r ON r.node_id = e.subj_id
+    LEFT JOIN deg ON deg.node_id = e.subj_id
+    GROUP BY n.node_id
+),
+r2 AS (
+    SELECT n.node_id,
+           CAST(150000 + COALESCE(SUM(r.r * 85 // 100 // deg.d), 0) AS BIGINT) AS r
+    FROM nodes n
+    LEFT JOIN e ON e.obj_id = n.node_id
+    LEFT JOIN r1 r ON r.node_id = e.subj_id
+    LEFT JOIN deg ON deg.node_id = e.subj_id
+    GROUP BY n.node_id
+),
+r3 AS (
+    SELECT n.node_id,
+           CAST(150000 + COALESCE(SUM(r.r * 85 // 100 // deg.d), 0) AS BIGINT) AS r
+    FROM nodes n
+    LEFT JOIN e ON e.obj_id = n.node_id
+    LEFT JOIN r2 r ON r.node_id = e.subj_id
+    LEFT JOIN deg ON deg.node_id = e.subj_id
+    GROUP BY n.node_id
+)
+SELECT node_id, r AS rank_micro FROM r3
+"""

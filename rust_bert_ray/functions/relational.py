@@ -438,6 +438,62 @@ GROUP BY user_id
 """
 
 
+def q_events_cumulative(sf_dir: str):
+    """Per-event window functions over (PARTITION BY user ORDER BY ts,
+    event_id): running position ``seq`` (ROW_NUMBER), running value sum
+    ``cum_value_cents`` (SUM OVER, fixed-point cents so the oracle hash
+    is exact — a sequential double cumsum would be bit-fragile), and
+    microsecond gap to the previous event ``gap_us`` (LAG).
+
+    Plan shape: same keyed-window discipline as ``q_events_sessions`` —
+    bucket by hash(user), ONE vectorized pandas body per bucket (sort +
+    grouped cumcount/cumsum/diff); each event row crosses the wire
+    exactly once and the per-user sequential semantics hold because a
+    user never spans buckets.
+    """
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def windows_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        a = df["value"].to_numpy()
+        # half-away-from-zero on value*100, matching DuckDB ROUND(DOUBLE)
+        cents = (np.sign(a) * np.floor(np.abs(a) * 100.0 + 0.5)).astype("int64")
+        g = df.groupby("user_id")
+        seq = g.cumcount().to_numpy() + 1
+        cum = df.assign(_c=cents).groupby("user_id")["_c"].cumsum().to_numpy()
+        gap = g["ts"].diff().fillna(pd.Timedelta(0))
+        gap_us = gap.to_numpy().astype("timedelta64[us]").astype("int64")
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "user_id": df["user_id"].to_numpy(),
+                "seq": seq.astype("int64"),
+                "cum_value_cents": cum.astype("int64"),
+                "gap_us": gap_us,
+            }
+        )
+
+    return (
+        ev.map_batches(_add_user_bucket, batch_format="pyarrow", batch_size=65536)
+        .groupby("_ubucket", num_partitions=8)
+        .map_groups(windows_bucket, batch_format="pandas")
+    )
+
+
+Q_EVENTS_CUMULATIVE_SQL = """
+SELECT event_id, user_id,
+       ROW_NUMBER() OVER w AS seq,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT)
+           AS cum_value_cents,
+       COALESCE(CAST(DATE_DIFF('microsecond', LAG(ts) OVER w, ts) AS BIGINT), 0)
+           AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 # -------------------------------------------------------- as-of join
 
 def q_events_asof(sf_dir: str):

@@ -118,6 +118,19 @@ def test_triangles_single_triangle(tiny_edges):
     assert got.astype(str).equals(want.astype(str))
 
 
+def test_pagerank_fixed_point(tiny_edges):
+    got = _sorted_df(graph.kg_pagerank("unused"))
+    # hand-run of the integer recurrence (deg: a=2, b=2, d=1; 3 iters)
+    assert dict(zip(got.node_id, got.rank_micro)) == {
+        "a": 371796, "b": 598640, "c": 692936, "d": 150000,
+    }
+    want = duckdb.sql(
+        graph.KG_PAGERANK_SQL_TEMPLATE.replace("read_parquet('{edges}')", "_EDGES")
+    ).df()
+    want = _sorted_df(want)[got.columns.tolist()]
+    assert got.astype(str).equals(want.astype(str))
+
+
 def test_influence_walk_counts(tiny_edges):
     got = _sorted_df(graph.kg_influence("unused"))
     rows = {
