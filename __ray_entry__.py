@@ -502,7 +502,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_join_shuffle": relational.q_join_shuffle,
         "q_events_sessions": relational.q_events_sessions,
         "q_events_cumulative": relational.q_events_cumulative,
-        "q_events_asof": relational.q_events_asof,
         "q_events_range_join": relational.q_events_range_join,
         "q_customers_without_orders": relational.q_customers_without_orders,
         # --- text analysis (documents) ---
@@ -516,6 +515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pack_sequences": text.q_pack_sequences,
         # --- deduplication family ---
         "dedup_exact": dedup.dedup_exact,
+        "dedup_contamination": dedup.dedup_contamination,
         "dedup_span_marks": dedup.dedup_span_marks,
         "dedup_jaccard_pairs": dedup.dedup_jaccard_pairs,
         "dedup_minhash_pairs": dedup.dedup_minhash_pairs,
@@ -536,6 +536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_zero_shot_multi": _q_zero_shot_multi,
         "q_multilabel": _q_multilabel,
         "q_events_hourly": relational.q_events_hourly,
+        "q_events_asof": relational.q_events_asof,
         "q_events_sliding": relational.q_events_sliding,
         "q_region_acctbal": relational.q_region_acctbal,
         "q_filter_highvalue": relational.q_filter_highvalue,
@@ -641,6 +642,7 @@ GROUP BY s.kind
         "q_split_assign": text.Q_SPLIT_ASSIGN_SQL,
         "q_quality_quantiles": text.Q_QUALITY_QUANTILES_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
+        "dedup_contamination": dedup.DEDUP_CONTAMINATION_SQL,
         "dedup_span_marks": dedup_span_marks_sql,
         "q_chunk_docs": text.Q_CHUNK_DOCS_SQL,
         "dedup_jaccard_pairs": dedup.DEDUP_JACCARD_SQL,

@@ -1113,3 +1113,183 @@ SELECT doc_id,
 FROM isl
 GROUP BY doc_id, grp
 """
+
+
+# ------------------------------------------- benchmark decontamination
+
+# pandas siphash keys (exactly 16 chars) for the two independent 64-bit
+# token-hash streams; combined per gram they give ~128-bit identity.
+_CONTAM_HK1 = "rbr.contam.key.1"
+_CONTAM_HK2 = "rbr.contam.key.2"
+_CONTAM_C1 = np.uint64(0x9E3779B97F4A7C15)
+_CONTAM_C2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _gram_hash_pairs(texts, n: int):
+    """Vectorized word-``n``-gram hashing: every gram of every row becomes
+    a (h1, h2) pair of order-sensitive 64-bit rolling hashes over
+    per-token siphashes (``pd.util.hash_array``, two independent keys —
+    collision probability ~2^-128 per comparison, i.e. exact in
+    practice).  No Python loop over rows or grams; the only loop is the
+    ``n``-step rolling combine over aligned numpy slices.
+
+    Returns ``(h1, h2, gram_row_idx, grams_per_row)``.
+    """
+    toks = pc.split_pattern(texts, " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = np.asarray(toks.values.to_pandas(), dtype=object)
+    lens = offsets[1:] - offsets[:-1]
+    g = np.maximum(lens - n + 1, 0)
+    total = int(g.sum())
+    if total == 0:
+        return (
+            np.empty(0, np.uint64),
+            np.empty(0, np.uint64),
+            np.empty(0, np.int64),
+            g,
+        )
+    th1 = pd.util.hash_array(flat, hash_key=_CONTAM_HK1, categorize=True)
+    th2 = pd.util.hash_array(flat, hash_key=_CONTAM_HK2, categorize=True)
+    row_idx = np.repeat(np.arange(len(g), dtype=np.int64), g)
+    # ragged arange: global flat index of each gram's first token
+    first_gram_of_row = np.repeat(np.cumsum(g) - g, g)
+    base = np.repeat(offsets[:-1], g) + (
+        np.arange(total, dtype=np.int64) - first_gram_of_row
+    )
+    acc1 = np.zeros(total, dtype=np.uint64)
+    acc2 = np.zeros(total, dtype=np.uint64)
+    for k in range(n):
+        idx = base + k
+        acc1 = acc1 * _CONTAM_C1 + th1[idx]  # uint64 wraparound by design
+        acc2 = acc2 * _CONTAM_C2 + th2[idx]
+    return acc1, acc2, row_idx, g
+
+
+def dedup_contamination(
+    sf_dir: str, n: int = 8, bench_mod: int = 10, bench_rem: int = 3
+):
+    """Benchmark decontamination: per training document, the number of
+    word ``n``-grams that also occur anywhere in the *benchmark* split
+    (the standard eval-overlap check run before LM training — GPT-3
+    appendix C / Llama-style n-gram collision rule).
+
+    The benchmark here is the deterministic slice
+    ``doc_id % bench_mod == bench_rem`` of the documents table so the
+    oracle is self-contained; in production the bench side is any
+    (small) table of eval-set texts.
+
+    Scale shape at 100 TB: the benchmark gram set is collected ONCE
+    (eval suites are ~MBs; 16 B/gram) into two sorted uint64 arrays and
+    broadcast via ``ray.put``; the corpus pass is then **map-only** —
+    zero shuffle, each batch binary-searching the shared arrays.  Output
+    rows only for contaminated docs (hit count ≥ 1), so the result is
+    tiny by construction.
+
+    Output: ``(doc_id, n_grams, n_hits)`` — int64, ``n_hits ≥ 1``.
+    Tokenization is ``text.split(" ")`` to match the SQL oracle.
+    """
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % bench_mod == bench_rem))
+        if t.num_rows == 0:
+            return pa.Table.from_pydict(
+                {"h1": pa.array([], pa.uint64()), "h2": pa.array([], pa.uint64())}
+            )
+        h1, h2, _, _ = _gram_hash_pairs(t.column("text"), n)
+        return pa.Table.from_pydict(
+            {"h1": pa.array(h1, pa.uint64()), "h2": pa.array(h2, pa.uint64())}
+        )
+
+    bench = docs.map_batches(
+        bench_grams, batch_format="pyarrow", batch_size=65536
+    ).to_pandas()  # bounded: the benchmark suite, not the corpus
+    bh1 = bench["h1"].to_numpy().astype(np.uint64)
+    bh2 = bench["h2"].to_numpy().astype(np.uint64)
+    order = np.lexsort((bh2, bh1))
+    bh1, bh2 = bh1[order], bh2[order]
+    if len(bh1):
+        uniq = np.empty(len(bh1), dtype=bool)
+        uniq[0] = True
+        uniq[1:] = (bh1[1:] != bh1[:-1]) | (bh2[1:] != bh2[:-1])
+        bh1, bh2 = bh1[uniq], bh2[uniq]
+    bench_ref = ray.put((bh1, bh2))
+
+    class ContamScan:
+        def __init__(self, bench_ref):
+            self.bh1, self.bh2 = (
+                ray.get(bench_ref)
+                if isinstance(bench_ref, ray.ObjectRef)
+                else bench_ref
+            )
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            t = t.filter(pa.array(ids % bench_mod != bench_rem))
+            empty = pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_grams": pa.array([], pa.int64()),
+                    "n_hits": pa.array([], pa.int64()),
+                }
+            )
+            if t.num_rows == 0:
+                return empty
+            h1, h2, row_idx, g = _gram_hash_pairs(t.column("text"), n)
+            if not len(h1):
+                return empty
+            lo = np.searchsorted(self.bh1, h1, side="left")
+            hi = np.searchsorted(self.bh1, h1, side="right")
+            hit = np.zeros(len(h1), dtype=bool)
+            one = hi == lo + 1
+            safe = np.minimum(lo, max(len(self.bh2) - 1, 0))
+            hit[one] = self.bh2[safe[one]] == h2[one]
+            for i in np.nonzero(hi - lo > 1)[0]:  # bench h1 collisions: ~never
+                hit[i] = bool((self.bh2[lo[i] : hi[i]] == h2[i]).any())
+            n_hits = np.bincount(
+                row_idx, weights=hit, minlength=t.num_rows
+            ).astype(np.int64)
+            mask = n_hits > 0
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array(ids[mask], pa.int64()),
+                    "n_grams": pa.array(g.astype(np.int64)[mask], pa.int64()),
+                    "n_hits": pa.array(n_hits[mask], pa.int64()),
+                }
+            )
+
+    return docs.map_batches(
+        ContamScan,
+        fn_constructor_kwargs={"bench_ref": bench_ref},
+        batch_format="pyarrow",
+        batch_size=65536,
+        concurrency=2,
+    )
+
+
+DEDUP_CONTAMINATION_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), pos_tbl AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i FROM toks
+), g AS (
+  SELECT doc_id, array_to_string(t[i : i + 7], ' ') AS gram FROM pos_tbl
+), bench AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 3
+), train AS (
+  SELECT doc_id, gram FROM g WHERE doc_id % 10 <> 3
+), hits AS (
+  SELECT t.doc_id, CASE WHEN b.gram IS NULL THEN 0 ELSE 1 END AS hit
+  FROM train t LEFT JOIN bench b USING (gram)
+)
+SELECT doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(hit) AS BIGINT) AS n_hits
+FROM hits
+GROUP BY doc_id
+HAVING SUM(hit) > 0
+"""

@@ -130,3 +130,82 @@ def test_dedup_span_marks_semantics(ray_session, tmp_path):
     assert (r1.span_start, r1.span_end, r1.n_words) == (1, 10, 10)
     r2 = out[out.doc_id == 2].iloc[0]
     assert (r2.span_start, r2.span_end, r2.n_words) == (2, 11, 10)
+
+
+def test_dedup_contamination_semantics(ray_session, tmp_path):
+    """Training docs overlapping a benchmark doc's 8-grams are flagged
+    with exact per-position hit counts; bench docs never appear; clean
+    docs never appear."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rust_bert_ray.functions.dedup import dedup_contamination
+
+    bench_txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = pa.Table.from_pydict(
+        {
+            # bench_mod=10, bench_rem=3 → doc 3 and 13 are the benchmark
+            "doc_id": pa.array([3, 13, 1, 2, 4], type=pa.int64()),
+            "text": pa.array(
+                [
+                    bench_txt,  # 10 words → 3 distinct 8-grams
+                    "totally separate benchmark document with eight more words padding",
+                    # doc 1: contains the full bench_txt → all 3 bench grams
+                    f"lead {bench_txt} trail",
+                    # doc 2: shares only a 7-gram (one word short) → clean
+                    "beta gamma delta epsilon zeta eta theta X Y Z",
+                    # doc 4: contains the first bench 8-gram twice
+                    f"{' '.join(bench_txt.split()[:8])} mid {' '.join(bench_txt.split()[:8])}",
+                ]
+            ),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(docs, sf / "documents.parquet")
+    out = (
+        dedup_contamination(str(sf))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert out["doc_id"].tolist() == [1, 4]
+    d1 = out[out.doc_id == 1].iloc[0]
+    assert (d1.n_grams, d1.n_hits) == (5, 3)  # 12 words → 5 grams, 3 hits
+    d4 = out[out.doc_id == 4].iloc[0]
+    # 17 words → 10 grams; positions 0 and 9 reproduce the bench gram
+    assert (d4.n_grams, d4.n_hits) == (10, 2)
+
+
+def test_gram_hash_pairs_matches_string_grams(ray_session):
+    """The rolling 128-bit gram hash is injective on real gram strings:
+    equal grams ⇒ equal (h1,h2); distinct grams ⇒ distinct pairs."""
+    import pyarrow as pa
+
+    from rust_bert_ray.functions.dedup import _gram_hash_pairs
+
+    texts = pa.array(
+        [
+            "a b c d e f g h i j",
+            "z y a b c d e f g h i j",  # shares grams with row 0, shifted
+            "a b c d e f g h",  # exactly one gram, equals row 0 pos 0
+            "short text",  # < 8 tokens → no grams
+        ]
+    )
+    h1, h2, row_idx, g = _gram_hash_pairs(texts, 8)
+    assert g.tolist() == [3, 5, 1, 0]
+    # brute-force string grams
+    grams = []
+    for t in texts.to_pylist():
+        w = t.split(" ")
+        grams += [" ".join(w[i : i + 8]) for i in range(max(len(w) - 7, 0))]
+    assert len(grams) == len(h1)
+    seen = {}
+    for s, pair in zip(grams, zip(h1.tolist(), h2.tolist())):
+        if s in seen:
+            assert seen[s] == pair
+        else:
+            assert pair not in seen.values()
+            seen[s] = pair
+    # the equal grams really did collide (same string, same pair)
+    assert grams[0] == grams[5] == grams[8]
+    assert h1[0] == h1[5] == h1[8] and h2[0] == h2[5] == h2[8]
