@@ -505,7 +505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_range_join": relational.q_events_range_join,
         "q_customers_without_orders": relational.q_customers_without_orders,
         # --- text analysis (documents) ---
-        "q_vocab_stats": text.q_vocab_stats,
+        "q_sample_mixture": text.q_sample_mixture,
         "q_quality_quantiles": text.q_quality_quantiles,
         "q_lang_id": text.q_lang_id,
         "q_decode": text.q_decode,
@@ -542,6 +542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_filter_highvalue": relational.q_filter_highvalue,
         "q_distinct_segments": relational.q_distinct_segments,
         "q_split_assign": text.q_split_assign,
+        "q_vocab_stats": text.q_vocab_stats,
         "kg_media_inventory": _kg_media_inventory,
         "dedup_embedding_pairs": dedup.dedup_embedding_pairs,
         "q_doc_quality": text.q_doc_quality,
@@ -640,6 +641,7 @@ GROUP BY s.kind
         "q_lang_stats": text.Q_LANG_STATS_SQL,
         "q_vocab_stats": text.Q_VOCAB_STATS_SQL,
         "q_split_assign": text.Q_SPLIT_ASSIGN_SQL,
+        "q_sample_mixture": text.Q_SAMPLE_MIXTURE_SQL,
         "q_quality_quantiles": text.Q_QUALITY_QUANTILES_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_contamination": dedup.DEDUP_CONTAMINATION_SQL,

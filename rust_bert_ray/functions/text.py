@@ -675,3 +675,64 @@ def q_pack_sequences(sf_dir: str, target_words: int = 256, shard_size: int = 100
         .groupby("_shard", num_partitions=16)
         .map_groups(pack, batch_format="pandas")
     )
+
+
+# ----------------------------------------- stratified mixture sampling
+
+# Target mixture weights (keep probability per language) for the
+# training-data domain-mixing step.  Thresholds are PRE-COMPUTED integer
+# literals in 1/2^32 units so the Ray side and the SQL oracle share the
+# exact same integers (no float→int cast ambiguity).
+MIXTURE_RATES = {"en": 0.85, "de": 0.60, "es": 0.50, "fr": 0.35, "zh": 0.20}
+MIXTURE_DEFAULT_RATE = 0.10
+_MIX_MULT = 2654435761  # Knuth multiplicative hash constant
+_MIX_MOD = 4294967296  # 2^32
+MIXTURE_THRESHOLDS = {
+    lang: int(rate * _MIX_MOD) for lang, rate in MIXTURE_RATES.items()
+}
+MIXTURE_DEFAULT_THRESHOLD = int(MIXTURE_DEFAULT_RATE * _MIX_MOD)
+
+
+def q_sample_mixture(sf_dir: str):
+    """Deterministic stratified sampling to target per-language mixture
+    weights (the domain-mixing step of a training-data pipeline): keep a
+    document iff ``knuth_hash(doc_id) mod 2^32`` falls under its
+    language's threshold.
+
+    Scale shape: **map-only, zero shuffle** — the keep decision is a
+    pure function of (doc_id, lang), so it is independent of
+    partitioning, repeatable across resumed runs, and each worker needs
+    only the tiny threshold dict.  Upsampling (rates > 1) composes by
+    emitting ``floor(rate)`` copies plus one fractional-hash copy.
+    """
+    docs = _read_documents(sf_dir, ["doc_id", "lang"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        # (id mod 2^32) * C < 2^64 — exact in uint64, mirrored by the
+        # oracle's HUGEINT arithmetic
+        h = (ids % np.uint64(_MIX_MOD)) * np.uint64(_MIX_MULT) % np.uint64(_MIX_MOD)
+        langs = t.column("lang").to_pandas()
+        thr = (
+            langs.map(MIXTURE_THRESHOLDS)
+            .fillna(MIXTURE_DEFAULT_THRESHOLD)
+            .to_numpy(dtype=np.uint64)
+        )
+        return t.filter(pa.array(h < thr))
+
+    return docs.map_batches(fn, batch_format="pyarrow", batch_size=65536)
+
+
+def _mixture_case_sql() -> str:
+    whens = "\n         ".join(
+        f"WHEN '{lang}' THEN {thr}" for lang, thr in MIXTURE_THRESHOLDS.items()
+    )
+    return f"CASE lang {whens}\n         ELSE {MIXTURE_DEFAULT_THRESHOLD} END"
+
+
+Q_SAMPLE_MIXTURE_SQL = f"""
+SELECT doc_id, lang
+FROM documents
+WHERE CAST(doc_id % {_MIX_MOD} AS HUGEINT) * {_MIX_MULT} % {_MIX_MOD} <
+      {_mixture_case_sql()}
+"""
