@@ -506,7 +506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_customers_without_orders": relational.q_customers_without_orders,
         # --- text analysis (documents) ---
         "q_sample_mixture": text.q_sample_mixture,
-        "q_quality_quantiles": text.q_quality_quantiles,
+        "q_tfidf_topk": text.q_tfidf_topk,
         "q_lang_id": text.q_lang_id,
         "q_decode": text.q_decode,
         "q_decode_bpe": text.q_decode_bpe,
@@ -543,6 +543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_distinct_segments": relational.q_distinct_segments,
         "q_split_assign": text.q_split_assign,
         "q_vocab_stats": text.q_vocab_stats,
+        "q_quality_quantiles": text.q_quality_quantiles,
         "kg_media_inventory": _kg_media_inventory,
         "dedup_embedding_pairs": dedup.dedup_embedding_pairs,
         "q_doc_quality": text.q_doc_quality,
@@ -642,6 +643,7 @@ GROUP BY s.kind
         "q_vocab_stats": text.Q_VOCAB_STATS_SQL,
         "q_split_assign": text.Q_SPLIT_ASSIGN_SQL,
         "q_sample_mixture": text.Q_SAMPLE_MIXTURE_SQL,
+        "q_tfidf_topk": text.Q_TFIDF_TOPK_SQL,
         "q_quality_quantiles": text.Q_QUALITY_QUANTILES_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_contamination": dedup.DEDUP_CONTAMINATION_SQL,

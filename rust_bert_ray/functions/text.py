@@ -736,3 +736,130 @@ FROM documents
 WHERE CAST(doc_id % {_MIX_MOD} AS HUGEINT) * {_MIX_MULT} % {_MIX_MOD} <
       {_mixture_case_sql()}
 """
+
+
+# --------------------------------------------------- TF-IDF top terms
+
+_TFIDF_SCALE = 1_000_000  # integer idf units: idf_int = SCALE // df
+_TFIDF_K = 3
+
+
+def q_tfidf_topk(sf_dir: str, k: int = _TFIDF_K):
+    """Top-``k`` characteristic terms per document by integer TF-IDF
+    (``weight = tf * (SCALE // df)``; ties break token-ascending).
+
+    Integer fixed-point idf keeps the distributed result bit-identical
+    to the SQL oracle — float ``log`` idf would hash-diverge on
+    reduction order.  Plan shape:
+
+    1. **DF pass**: per batch, distinct tokens per doc pre-aggregate to
+       (token, partial_count) — the combiner — then one vocab-bounded
+       ``groupby(token).sum()``; the exchange carries token partials,
+       never documents.
+    2. The DF table is broadcast once (``ray.put``).  At 100 TB a raw
+       web vocab outgrows a broadcast: the documented scale path swaps
+       step 3 for a hash-partitioned join of the exploded (doc, token,
+       tf) rows against the DF table, same algebra.
+    3. **Scoring pass**: map-only — per batch explode tokens, vectorized
+       pandas groupby for tf, dict-map df, one sort + groupby-head for
+       the per-doc top-k.
+    """
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def df_partials(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column("text"), " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        flat = toks.values.to_pandas().to_numpy(dtype=object)
+        row = np.repeat(
+            np.arange(len(offsets) - 1), offsets[1:] - offsets[:-1]
+        )
+        pairs = pd.DataFrame({"r": row, "token": flat}).drop_duplicates()
+        part = pairs.groupby("token", sort=False).size().reset_index(name="n")
+        return pa.Table.from_pydict(
+            {
+                "token": pa.array(part["token"], pa.string()),
+                "n": pa.array(part["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    df_tbl = (
+        docs.map_batches(df_partials, batch_format="pyarrow", batch_size=65536)
+        .groupby("token", num_partitions=8)
+        .sum("n")
+        .to_pandas()
+    )  # vocab-bounded (see docstring for the joined scale path)
+    df_map = dict(zip(df_tbl["token"], df_tbl["sum(n)"].astype(np.int64)))
+    df_ref = ray.put(df_map)
+
+    class TfidfScore:
+        def __init__(self, df_ref, k):
+            m = ray.get(df_ref) if isinstance(df_ref, ray.ObjectRef) else df_ref
+            self.idf = {t: _TFIDF_SCALE // int(d) for t, d in m.items()}
+            self.k = k
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            toks = pc.split_pattern(t.column("text"), " ")
+            toks = (
+                toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+            )
+            offsets = toks.offsets.to_numpy(zero_copy_only=False)
+            flat = toks.values.to_pandas().to_numpy(dtype=object)
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            row = np.repeat(
+                np.arange(len(ids)), offsets[1:] - offsets[:-1]
+            )
+            tf = (
+                pd.DataFrame({"doc_id": ids[row], "token": flat})
+                .groupby(["doc_id", "token"], sort=False)
+                .size()
+                .reset_index(name="tf")
+            )
+            idf = tf["token"].map(self.idf).to_numpy(np.int64)
+            tf["weight"] = tf["tf"].to_numpy(np.int64) * idf
+            top = (
+                tf.sort_values(
+                    ["doc_id", "weight", "token"],
+                    ascending=[True, False, True],
+                    kind="mergesort",
+                )
+                .groupby("doc_id", sort=False)
+                .head(self.k)
+            )
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array(top["doc_id"].to_numpy(np.int64), pa.int64()),
+                    "token": pa.array(top["token"], pa.string()),
+                    "weight": pa.array(top["weight"].to_numpy(np.int64), pa.int64()),
+                }
+            )
+
+    return docs.map_batches(
+        TfidfScore,
+        fn_constructor_kwargs={"df_ref": df_ref, "k": k},
+        batch_format="pyarrow",
+        batch_size=65536,
+        concurrency=2,
+    )
+
+
+Q_TFIDF_TOPK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+), df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token
+), w AS (
+  SELECT tf.doc_id, tf.token, tf.tf * ({_TFIDF_SCALE} // df.df) AS weight
+  FROM tf JOIN df USING (token)
+), r AS (
+  SELECT doc_id, token, weight,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY weight DESC, token ASC
+         ) AS rn
+  FROM w
+)
+SELECT doc_id, token, CAST(weight AS BIGINT) AS weight
+FROM r WHERE rn <= {_TFIDF_K}
+"""

@@ -39,3 +39,42 @@ def test_sample_mixture_deterministic_and_stratified(ray_session, tmp_path):
         kept = int((out.lang == lang).sum())
         sigma = (rate * (1 - rate) / total) ** 0.5
         assert abs(kept / total - rate) < max(3 * sigma, 0.02), (lang, kept / total)
+
+
+def test_tfidf_topk_semantics(ray_session, tmp_path):
+    """tf * (SCALE // df) integer weights; top-3 per doc, token-ascending
+    tie-break; tokens present in every doc get the minimal idf."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rust_bert_ray.functions.text import q_tfidf_topk
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    "apple apple banana common",
+                    "cherry banana common common",
+                ]
+            ),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(docs, sf / "documents.parquet")
+    out = (
+        q_tfidf_topk(str(sf))
+        .to_pandas()
+        .sort_values(["doc_id", "weight", "token"],
+                     ascending=[True, False, True], ignore_index=True)
+    )
+    # df: apple 1, banana 2, cherry 1, common 2 → idf 1e6, 5e5, 1e6, 5e5
+    d1 = out[out.doc_id == 1]
+    assert list(zip(d1.token, d1.weight)) == [
+        ("apple", 2_000_000), ("banana", 500_000), ("common", 500_000)
+    ]
+    d2 = out[out.doc_id == 2]
+    assert list(zip(d2.token, d2.weight)) == [
+        ("cherry", 1_000_000), ("common", 1_000_000), ("banana", 500_000)
+    ]
