@@ -467,7 +467,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     not, is verified by the local mirror (tools/check_oracles.py)
     against the same oracles each round.
     """
-    from rust_bert_ray.functions import dedup, graph, relational, similarity, text
+    from rust_bert_ray.functions import (
+        clustering,
+        dedup,
+        graph,
+        relational,
+        similarity,
+        text,
+    )
 
     return {
         # --- reference NLP pipelines over documents/corpus ---
@@ -507,8 +514,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis (documents) ---
         "q_sample_mixture": text.q_sample_mixture,
         "q_tfidf_topk": text.q_tfidf_topk,
-        "q_lang_id": text.q_lang_id,
-        "q_decode": text.q_decode,
         "q_decode_bpe": text.q_decode_bpe,
         "q_decode_unigram": text.q_decode_unigram,
         "q_chunk_docs": text.q_chunk_docs,
@@ -523,10 +528,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_lsh_pairs": dedup.dedup_embedding_lsh_pairs,
         "dedup_clusters": dedup.dedup_clusters,
         "dedup_clusters_minhash": dedup.dedup_clusters_minhash,
-        # --- similarity search (embeddings) ---
+        # --- similarity search / clustering (embeddings) ---
         "ann_topk": similarity.ann_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
+        "q_embed_clusters": clustering.q_embed_clusters,
+        "dedup_semantic": clustering.dedup_semantic,
         # --- tail rotation (see docstring): driver-green in rounds 2-3,
         #     local-mirror-verified every round ---
         "q_summarize": _q_summarize,
@@ -544,6 +551,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_split_assign": text.q_split_assign,
         "q_vocab_stats": text.q_vocab_stats,
         "q_quality_quantiles": text.q_quality_quantiles,
+        "q_lang_id": text.q_lang_id,
+        "q_decode": text.q_decode,
         "kg_media_inventory": _kg_media_inventory,
         "dedup_embedding_pairs": dedup.dedup_embedding_pairs,
         "q_doc_quality": text.q_doc_quality,
@@ -604,6 +613,7 @@ GROUP BY s.kind
             "kg_media_features", "dedup_minhash_pairs", "dedup_simhash_pairs",
             "dedup_embedding_lsh_pairs", "dedup_clusters_minhash",
             "ann_lsh_topk", "ann_ivf_topk",
+            "q_embed_clusters", "dedup_semantic",
         )
     }
 

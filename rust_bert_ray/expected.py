@@ -33,7 +33,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 EXPECTED_ROOT = "/tmp/rbr_expected"
-VERSION = 20  # bump whenever any builder's semantics change
+VERSION = 21  # bump whenever any builder's semantics change
 
 
 # ------------------------------------------------------------ input helpers
@@ -1434,6 +1434,89 @@ def ann_ivf_topk(
 
 # ------------------------------------------------------------------ registry
 
+
+
+# --------------------------------- embedding k-means / SemDeDup (independent)
+# Independent single-process re-derivation of clustering.py's semantics:
+# the assignment here uses the DIRECT squared-distance formula
+# ((x-c)^2 summed) where the Ray side uses the expanded ||c||^2 - 2x.c
+# form — both are exact integer arithmetic in float64 (micro-unit
+# quantized vectors, every term < 2^53), so the argmins agree by
+# mathematics, not by shared float luck.  Sums/centroid updates are
+# exact int64 with floor division on both sides.
+
+def _quant_embeddings(sf_dir: str):
+    t = _embeddings(sf_dir)
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+    x = np.stack(t.column("embedding").to_pylist()).astype(np.float64) * 1e6
+    return ids, np.copysign(np.floor(np.abs(x) + 0.5), x)
+
+
+def _kmeans_expected(ids, xq, k: int = 8, iters: int = 4):
+    h = (
+        (ids.astype(np.uint64) % np.uint64(4294967296))
+        * np.uint64(2654435761)
+        % np.uint64(4294967296)
+    )
+    order = np.lexsort((ids, h))
+    cent = xq[order[:k]].copy()
+    for _ in range(iters):
+        d2 = ((xq[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        for j in range(k):
+            m = a == j
+            if m.any():
+                cent[j] = np.floor_divide(
+                    xq[m].sum(axis=0).astype(np.int64), int(m.sum())
+                ).astype(np.float64)
+    d2 = ((xq[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    return cent, d2.argmin(axis=1)
+
+
+def q_embed_clusters(sf_dir: str, corpus_root: str) -> pa.Table:
+    ids, xq = _quant_embeddings(sf_dir)
+    _, a = _kmeans_expected(ids, xq)
+    return pa.Table.from_pydict(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "cluster": pa.array(a.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def dedup_semantic(
+    sf_dir: str, corpus_root: str, threshold: float = 0.38, k: int = 8
+) -> pa.Table:
+    from rust_bert_ray.functions.util import round_ha
+
+    ids, xq = _quant_embeddings(sf_dir)
+    _, a = _kmeans_expected(ids, xq, k=k)
+    va, vb, cl, cs = [], [], [], []
+    for j in range(k):
+        m = np.nonzero(a == j)[0]
+        m = m[np.argsort(ids[m], kind="mergesort")]
+        if len(m) < 2:
+            continue
+        x = xq[m]
+        g = x @ x.T  # exact integer dots — order-independent
+        n = (x * x).sum(axis=1)
+        cos = round_ha(g / np.sqrt(np.outer(n, n)), 5)
+        iu, ju = np.triu_indices(len(m), k=1)
+        keep = cos[iu, ju] >= threshold
+        va.extend(ids[m][iu[keep]].tolist())
+        vb.extend(ids[m][ju[keep]].tolist())
+        cl.extend([j] * int(keep.sum()))
+        cs.extend(cos[iu, ju][keep].tolist())
+    return pa.Table.from_pydict(
+        {
+            "vec_a": pa.array(va, pa.int64()),
+            "vec_b": pa.array(vb, pa.int64()),
+            "cluster": pa.array(cl, pa.int64()),
+            "cos": pa.array(cs, pa.float64()),
+        }
+    )
+
+
 BUILDERS = {
     "q_generate": q_generate,
     "q_summarize": q_summarize,
@@ -1462,6 +1545,8 @@ BUILDERS = {
     "dedup_embedding_lsh_pairs": dedup_embedding_lsh_pairs,
     "dedup_clusters_minhash": dedup_clusters_minhash,
     "ann_lsh_topk": ann_lsh_topk,
+    "q_embed_clusters": q_embed_clusters,
+    "dedup_semantic": dedup_semantic,
     "ann_ivf_topk": ann_ivf_topk,
 }
 

@@ -78,3 +78,82 @@ def test_tfidf_topk_semantics(ray_session, tmp_path):
     assert list(zip(d2.token, d2.weight)) == [
         ("cherry", 1_000_000), ("common", 1_000_000), ("banana", 500_000)
     ]
+
+
+def test_kmeans_partition_invariance(ray_session, tmp_path):
+    """Integer fixed-point k-means assignments are identical whatever the
+    block layout — exact int sums + floor-div centroids have no
+    reduction-order dependence."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data
+    from rust_bert_ray.functions.clustering import kmeans_fit, q_embed_clusters
+
+    rng = np.random.default_rng(11)
+    n, d = 600, 16
+    emb = (rng.normal(size=(n, d)) * 0.3).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(t, sf / "embeddings.parquet")
+
+    a = q_embed_clusters(str(sf)).to_pandas().sort_values("vec_id", ignore_index=True)
+    # different block structure: many small blocks
+    ds = ray.data.read_parquet(str(sf / "embeddings.parquet")).repartition(13)
+    cent_a = kmeans_fit(ray.data.read_parquet(str(sf / "embeddings.parquet")))
+    cent_b = kmeans_fit(ds)
+    assert (cent_a == cent_b).all()
+    b = q_embed_clusters(str(sf)).to_pandas().sort_values("vec_id", ignore_index=True)
+    assert a.equals(b)
+    assert a["cluster"].nunique() > 1
+
+
+def test_dedup_semantic_within_cluster_only(ray_session, tmp_path):
+    """SemDeDup emits a<b pairs with cos ≥ threshold, all tagged with the
+    pair's (shared) cluster, and never compares across clusters."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rust_bert_ray.functions.clustering import dedup_semantic, q_embed_clusters
+
+    rng = np.random.default_rng(5)
+    # two tight groups far apart + noise: near-dups only within groups
+    base1 = rng.normal(size=8) * 0.3 + 0.4
+    base2 = rng.normal(size=8) * 0.3 - 0.4
+    vecs = [base1 + rng.normal(size=8) * 0.01 for _ in range(5)]
+    vecs += [base2 + rng.normal(size=8) * 0.01 for _ in range(5)]
+    vecs += [rng.normal(size=8) for _ in range(20)]
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(30, dtype=np.int64)),
+            "embedding": pa.array(
+                [np.asarray(v, np.float32) for v in vecs], pa.list_(pa.float32())
+            ),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(t, sf / "embeddings.parquet")
+
+    pairs = dedup_semantic(str(sf), threshold=0.95, k=4, iters=3).to_pandas()
+    cl = (
+        q_embed_clusters(str(sf), k=4, iters=3)
+        .to_pandas()
+        .set_index("vec_id")["cluster"]
+    )
+    assert len(pairs) > 0
+    assert (pairs.vec_a < pairs.vec_b).all()
+    for r in pairs.itertuples():
+        assert cl[r.vec_a] == cl[r.vec_b] == r.cluster
+    # the two tight groups never mix
+    g1, g2 = set(range(5)), set(range(5, 10))
+    for r in pairs.itertuples():
+        assert not ({r.vec_a, r.vec_b} & g1 and {r.vec_a, r.vec_b} & g2)
