@@ -506,7 +506,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q_order_revenue_topk": relational.q_order_revenue_topk,
         "q_segment_order_stats": relational.q_segment_order_stats,
-        "q_join_shuffle": relational.q_join_shuffle,
         "q_events_sessions": relational.q_events_sessions,
         "q_events_cumulative": relational.q_events_cumulative,
         "q_events_range_join": relational.q_events_range_join,
@@ -514,6 +513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis (documents) ---
         "q_sample_mixture": text.q_sample_mixture,
         "q_tfidf_topk": text.q_tfidf_topk,
+        "q_shuffle_rank": text.q_shuffle_rank,
         "q_decode_bpe": text.q_decode_bpe,
         "q_decode_unigram": text.q_decode_unigram,
         "q_chunk_docs": text.q_chunk_docs,
@@ -553,6 +553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_quality_quantiles": text.q_quality_quantiles,
         "q_lang_id": text.q_lang_id,
         "q_decode": text.q_decode,
+        "q_join_shuffle": relational.q_join_shuffle,
         "kg_media_inventory": _kg_media_inventory,
         "dedup_embedding_pairs": dedup.dedup_embedding_pairs,
         "q_doc_quality": text.q_doc_quality,
@@ -654,6 +655,7 @@ GROUP BY s.kind
         "q_split_assign": text.Q_SPLIT_ASSIGN_SQL,
         "q_sample_mixture": text.Q_SAMPLE_MIXTURE_SQL,
         "q_tfidf_topk": text.Q_TFIDF_TOPK_SQL,
+        "q_shuffle_rank": text.Q_SHUFFLE_RANK_SQL,
         "q_quality_quantiles": text.Q_QUALITY_QUANTILES_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_contamination": dedup.DEDUP_CONTAMINATION_SQL,

@@ -40,8 +40,12 @@ BENCH_QUERIES = [
     "dedup_clusters_minhash",
     "q_decode",
     "q_chunk_docs",
+    "dedup_contamination",
+    "q_tfidf_topk",
     "ann_topk",
     "ann_lsh_topk",
+    "q_embed_clusters",
+    "dedup_semantic",
     # graph analytics over the materialized KG edges table; the edge
     # extraction itself is pre-warmed (and separately measured as the
     # flagship), so these time the graph operator alone

@@ -863,3 +863,100 @@ WITH toks AS (
 SELECT doc_id, token, CAST(weight AS BIGINT) AS weight
 FROM r WHERE rn <= {_TFIDF_K}
 """
+
+
+# ------------------------------------------------ global shuffle rank
+
+_SHUF_MULT = 1103515245  # decorrelated from the mixture-sampling hash
+_SHUF_MOD = 4294967296
+_SHUF_BUCKETS = 64
+
+
+def q_shuffle_rank(sf_dir: str, num_buckets: int = _SHUF_BUCKETS):
+    """Global deterministic training-data shuffle: every document gets a
+    dense rank 0..n-1 in pseudorandom order (``hash(doc_id)`` asc,
+    doc_id tie-break) — the "shuffle the corpus once before epoching"
+    step, reproducible across runs and partitionings.
+
+    Plan shape — distributed rank WITHOUT a monolithic global sort:
+
+    1. histogram pass (combiner): per batch, counts per key-range bucket
+       (top bits of the 32-bit hash) — the exchange is ``num_buckets``
+       int64s per block;
+    2. the driver prefix-sums the tiny histogram into per-bucket rank
+       offsets (broadcast with the task closure);
+    3. ONE bucketed groupby: each bucket sorts only its own members and
+       emits ``offset + local_rank``.
+
+    At 100 TB: set ``num_buckets`` ≈ cluster cores × 4 — each sort is
+    then corpus/buckets rows, and the histogram stays KBs.  This is the
+    sample-sort layout Ray's own ``Dataset.sort`` uses internally, but
+    with deterministic equal-width key ranges (the hash is uniform by
+    construction) and the rank emitted without a second pass.
+    """
+    docs = _read_documents(sf_dir, ["doc_id"])
+    shift = _SHUF_MOD // num_buckets
+
+    def key_of(ids: np.ndarray) -> np.ndarray:
+        u = ids.astype(np.uint64)
+        return (u % np.uint64(_SHUF_MOD)) * np.uint64(_SHUF_MULT) % np.uint64(
+            _SHUF_MOD
+        )
+
+    def hist(t: pa.Table) -> pa.Table:
+        k = key_of(t.column("doc_id").to_numpy(zero_copy_only=False))
+        b = (k // np.uint64(shift)).astype(np.int64)
+        counts = np.bincount(b, minlength=num_buckets).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "bucket": pa.array(np.arange(num_buckets, dtype=np.int64)),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    h = (
+        docs.map_batches(hist, batch_format="pyarrow", batch_size=65536)
+        .groupby("bucket", num_partitions=4)
+        .sum("n")
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    counts = np.zeros(num_buckets, dtype=np.int64)
+    counts[h["bucket"].to_numpy()] = h["sum(n)"].to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])  # tiny; ships in closure
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        k = key_of(ids)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "key": pa.array(k, pa.uint64()),
+                "bucket": pa.array((k // np.uint64(shift)).astype(np.int64)),
+            }
+        )
+
+    def rank_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["key", "doc_id"], ignore_index=True)
+        base = offsets[int(df["bucket"].iat[0])]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype(np.int64),
+                "rank": np.arange(base, base + len(df), dtype=np.int64),
+            }
+        )
+
+    return (
+        docs.map_batches(tag, batch_format="pyarrow", batch_size=65536)
+        .groupby("bucket", num_partitions=8)
+        .map_groups(rank_bucket, batch_format="pandas")
+    )
+
+
+Q_SHUFFLE_RANK_SQL = f"""
+SELECT doc_id,
+       ROW_NUMBER() OVER (
+         ORDER BY (doc_id % {_SHUF_MOD}) * {_SHUF_MULT} % {_SHUF_MOD}, doc_id
+       ) - 1 AS rank
+FROM documents
+"""

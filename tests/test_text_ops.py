@@ -157,3 +157,37 @@ def test_dedup_semantic_within_cluster_only(ray_session, tmp_path):
     g1, g2 = set(range(5)), set(range(5, 10))
     for r in pairs.itertuples():
         assert not ({r.vec_a, r.vec_b} & g1 and {r.vec_a, r.vec_b} & g2)
+
+
+def test_shuffle_rank_dense_and_invariant(ray_session, tmp_path):
+    """Ranks are a dense 0..n-1 permutation, identical across block
+    layouts, and ordered by (hash, doc_id)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rust_bert_ray.functions.text import q_shuffle_rank
+
+    n = 5000
+    ids = np.arange(100, 100 + n, dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids), "text": pa.array(["x"] * n)})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(t, sf / "documents.parquet")
+
+    out = q_shuffle_rank(str(sf)).to_pandas().sort_values("rank", ignore_index=True)
+    assert len(out) == n
+    assert out["rank"].tolist() == list(range(n))  # dense permutation
+    assert set(out["doc_id"]) == set(ids)
+    # matches the reference ordering rule
+    u = ids.astype(np.uint64)
+    key = (u % np.uint64(2**32)) * np.uint64(1103515245) % np.uint64(2**32)
+    order = np.lexsort((ids, key))
+    assert out["doc_id"].tolist() == ids[order].tolist()
+    # different bucket count → same ranks (offsets recomputed, exact)
+    out2 = (
+        q_shuffle_rank(str(sf), num_buckets=16)
+        .to_pandas()
+        .sort_values("rank", ignore_index=True)
+    )
+    assert out.equals(out2)
