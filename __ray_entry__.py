@@ -252,6 +252,23 @@ def _q_keywords(sf_dir: str):
     ).map_batches(project, batch_format="pyarrow")
 
 
+def _q_lm_scores(sf_dir: str):
+    """Per-doc pseudo-perplexity under the deterministic reference LM —
+    the training-data quality filter, via the KV-cache scoring path."""
+    import os as _os
+
+    import ray.data
+
+    from rust_bert_ray.stages.generation import LmScoreStage
+
+    docs = ray.data.read_parquet(
+        _os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return docs.map_batches(
+        LmScoreStage, batch_format="pyarrow", batch_size=65536, concurrency=2
+    )
+
+
 def _q_masked_lm(sf_dir: str):
     import os as _os
 
@@ -487,6 +504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_zero_shot": _q_zero_shot,
         "q_keywords": _q_keywords,
         "q_masked_lm": _q_masked_lm,
+        "q_lm_scores": _q_lm_scores,
         "qa_answers": _q_qa,
         "q_conversation": _q_conversation,
         # --- KG construction (interleaved corpus; north rule) ---
@@ -505,7 +523,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- relational plumbing (TPC-H-ish tables) ---
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q_order_revenue_topk": relational.q_order_revenue_topk,
-        "q_segment_order_stats": relational.q_segment_order_stats,
         "q_events_sessions": relational.q_events_sessions,
         "q_events_cumulative": relational.q_events_cumulative,
         "q_events_range_join": relational.q_events_range_join,
@@ -554,6 +571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lang_id": text.q_lang_id,
         "q_decode": text.q_decode,
         "q_join_shuffle": relational.q_join_shuffle,
+        "q_segment_order_stats": relational.q_segment_order_stats,
         "kg_media_inventory": _kg_media_inventory,
         "dedup_embedding_pairs": dedup.dedup_embedding_pairs,
         "q_doc_quality": text.q_doc_quality,
@@ -614,7 +632,7 @@ GROUP BY s.kind
             "kg_media_features", "dedup_minhash_pairs", "dedup_simhash_pairs",
             "dedup_embedding_lsh_pairs", "dedup_clusters_minhash",
             "ann_lsh_topk", "ann_ivf_topk",
-            "q_embed_clusters", "dedup_semantic",
+            "q_embed_clusters", "dedup_semantic", "q_lm_scores",
         )
     }
 

@@ -33,7 +33,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 EXPECTED_ROOT = "/tmp/rbr_expected"
-VERSION = 21  # bump whenever any builder's semantics change
+VERSION = 22  # bump whenever any builder's semantics change
 
 
 # ------------------------------------------------------------ input helpers
@@ -1436,6 +1436,56 @@ def ann_ivf_topk(
 
 
 
+
+
+def q_lm_scores(sf_dir: str, corpus_root: str) -> pa.Table:
+    """Independent re-derivation of LmScoreStage's spec: crc bigram
+    logits over the 16-word base vocab + actual token, incremental
+    2-token context, nll = logsumexp - logit(actual), 5-dp half-away
+    rounding.  Does NOT import the stage."""
+    import zlib
+
+    from rust_bert_ray.functions.util import round_ha
+
+    vocab16 = _GEN_VOCAB[:-1]
+    docs = _documents(sf_dir)
+    out_id, out_n, out_nll = [], [], []
+    memo = {}
+    for doc_id, text in zip(
+        docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()
+    ):
+        toks = text.split(" ")
+        if len(toks) < 2:
+            continue
+        s_acc = 0.0
+        for i in range(1, len(toks)):
+            ctx = tuple(toks[max(0, i - 2) : i])
+            j = "\x00".join(ctx)
+            got = memo.get(ctx)
+            if got is None:
+                base = np.array(
+                    [
+                        (zlib.crc32(f"{j}|{t}".encode("utf-8")) % 1000) / 100.0
+                        for t in vocab16
+                    ],
+                    dtype=np.float64,
+                )
+                got = float(np.sum(np.exp(base)))
+                memo[ctx] = got
+            a = (zlib.crc32(f"{j}|{toks[i]}".encode("utf-8")) % 1000) / 100.0
+            s_acc += float(np.log(got + np.exp(a)) - a)
+        out_id.append(doc_id)
+        out_n.append(len(toks) - 1)
+        out_nll.append(float(round_ha(s_acc / (len(toks) - 1), 5)))
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(out_id, pa.int64()),
+            "n_scored": pa.array(out_n, pa.int64()),
+            "avg_nll": pa.array(out_nll, pa.float64()),
+        }
+    )
+
+
 # --------------------------------- embedding k-means / SemDeDup (independent)
 # Independent single-process re-derivation of clustering.py's semantics:
 # the assignment here uses the DIRECT squared-distance formula
@@ -1546,6 +1596,7 @@ BUILDERS = {
     "dedup_clusters_minhash": dedup_clusters_minhash,
     "ann_lsh_topk": ann_lsh_topk,
     "q_embed_clusters": q_embed_clusters,
+    "q_lm_scores": q_lm_scores,
     "dedup_semantic": dedup_semantic,
     "ann_ivf_topk": ann_ivf_topk,
 }

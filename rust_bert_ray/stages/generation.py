@@ -643,3 +643,84 @@ class TranslationStage(TextGenerationStage):
 
     def _prompt(self, text: str) -> str:
         return self.prefix + self._sep + " ".join(text.split()[: self.prompt_words])
+
+
+class LmScoreStage:
+    """Per-document pseudo-perplexity scoring — the LM quality filter of
+    a training-data pipeline (the CCNet / Gopher "perplexity against a
+    reference LM" rule), run through the SAME KV-cache-shaped engine the
+    generation stages use: one ``prefill`` then O(1) ``step``s, never a
+    full-history re-read.
+
+    Scoring rule (deterministic backend): at each position i ≥ 1 the
+    candidate set is the LM's 16-word base vocab plus the actual next
+    token; ``nll_i = logsumexp(candidates) − logit(actual)`` with the
+    crc-driven bigram logit ``(crc(ctx|tok) % 1000) / 100`` (no EOS
+    length pressure — scoring never terminates sequences).  Output is
+    ``avg_nll = round_ha(Σ nll / n, 5)`` — lower = more "fluent" under
+    the reference LM.  A real LM backend plugs in by replacing
+    ``_base_logits`` / ``_tok_logit`` with its forward.
+
+    Per-actor memo: base-vocab logit vectors keyed by the 2-token
+    context (bounded cache), so repeated contexts cost one dict hit —
+    the same bounded-memo pattern as the NER stage caches.
+    """
+
+    _MEMO_CAP = 200_000
+
+    def __init__(self):
+        self.lm = DeterministicLM()
+        self.base_vocab = self.lm.vocab[:-1]  # no EOS in scoring
+        self._memo: dict[tuple[str, ...], tuple[np.ndarray, float]] = {}
+
+    def _ctx_key(self, state: LMState) -> tuple[str, ...]:
+        return state.last2
+
+    def _base(self, ctx: tuple[str, ...]) -> tuple[np.ndarray, float]:
+        hit = self._memo.get(ctx)
+        if hit is not None:
+            return hit
+        j = "\x00".join(ctx)
+        logits = np.array(
+            [(_crc(f"{j}|{t}") % 1000) / 100.0 for t in self.base_vocab],
+            dtype=np.float64,
+        )
+        out = (logits, float(np.sum(np.exp(logits))))
+        if len(self._memo) < self._MEMO_CAP:
+            self._memo[ctx] = out
+        return out
+
+    def _score_tokens(self, tokens: list[str]) -> tuple[int, float]:
+        state = self.lm.prefill(tokens[:1])
+        nll_sum = 0.0
+        for tok in tokens[1:]:
+            ctx = self._ctx_key(state)
+            _, s_base = self._base(ctx)
+            a = (_crc("\x00".join(ctx) + f"|{tok}") % 1000) / 100.0
+            nll_sum += float(np.log(s_base + np.exp(a)) - a)
+            state = self.lm.step(state, tok)
+        return len(tokens) - 1, nll_sum
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_id, out_n, out_nll = [], [], []
+        from rust_bert_ray.functions.util import round_ha
+
+        for doc_id, text in zip(ids, texts):
+            tokens = text.split(" ")
+            if len(tokens) < 2:
+                continue
+            n, s = self._score_tokens(tokens)
+            out_id.append(doc_id)
+            out_n.append(n)
+            out_nll.append(float(round_ha(s / n, 5)))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "n_scored": pa.array(out_n, pa.int64()),
+                "avg_nll": pa.array(out_nll, pa.float64()),
+            }
+        )

@@ -191,3 +191,49 @@ def test_shuffle_rank_dense_and_invariant(ray_session, tmp_path):
         .sort_values("rank", ignore_index=True)
     )
     assert out.equals(out2)
+
+
+def test_lm_score_stage_semantics(ray_session):
+    """Pseudo-perplexity: manual logsumexp over base vocab + actual token
+    reproduces the stage; short docs are skipped; memoized contexts do
+    not change results."""
+    import zlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from rust_bert_ray.functions.util import round_ha
+    from rust_bert_ray.stages.generation import LmScoreStage
+
+    stage = LmScoreStage()
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["data flows fast data flows", "one", "data data data"]),
+        }
+    )
+    out = stage(batch).to_pandas()
+    assert out.doc_id.tolist() == [1, 3]  # "one" has a single token
+
+    def manual(text):
+        toks = text.split(" ")
+        vocab16 = stage.base_vocab
+        s_acc = 0.0
+        for i in range(1, len(toks)):
+            ctx = tuple(toks[max(0, i - 2):i])
+            j = "\x00".join(ctx)
+            base = np.array(
+                [(zlib.crc32(f"{j}|{t}".encode()) % 1000) / 100.0 for t in vocab16]
+            )
+            a = (zlib.crc32(f"{j}|{toks[i]}".encode()) % 1000) / 100.0
+            s_acc += float(np.log(np.sum(np.exp(base)) + np.exp(a)) - a)
+        return float(round_ha(s_acc / (len(toks) - 1), 5))
+
+    assert out[out.doc_id == 1].avg_nll.iloc[0] == manual("data flows fast data flows")
+    assert out[out.doc_id == 3].avg_nll.iloc[0] == manual("data data data")
+    # a second pass (warm memo) is identical
+    out2 = stage(batch).to_pandas()
+    assert out.equals(out2)
+    # in-vocab fluent-ish text scores differently from junk — the filter
+    # actually separates inputs
+    assert out[out.doc_id == 1].avg_nll.iloc[0] != out[out.doc_id == 3].avg_nll.iloc[0]
