@@ -252,6 +252,14 @@ def _q_keywords(sf_dir: str):
     ).map_batches(project, batch_format="pyarrow")
 
 
+def _curation_corpus(sf_dir: str):
+    """Composition flagship: quality → decontaminate → dedup → mixture
+    sample → shuffle rank (pipelines/curation.py)."""
+    from rust_bert_ray.pipelines.curation import curation_corpus
+
+    return curation_corpus(sf_dir)
+
+
 def _q_lm_scores(sf_dir: str):
     """Per-doc pseudo-perplexity under the deterministic reference LM —
     the training-data quality filter, via the KV-cache scoring path."""
@@ -267,6 +275,12 @@ def _q_lm_scores(sf_dir: str):
     return docs.map_batches(
         LmScoreStage, batch_format="pyarrow", batch_size=65536, concurrency=2
     )
+
+
+def _curation_sql() -> str:
+    from rust_bert_ray.pipelines.curation import CURATION_SQL
+
+    return CURATION_SQL
 
 
 def _q_masked_lm(sf_dir: str):
@@ -507,6 +521,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lm_scores": _q_lm_scores,
         "qa_answers": _q_qa,
         "q_conversation": _q_conversation,
+        # --- end-to-end training-data curation (composition flagship) ---
+        "curation_corpus": _curation_corpus,
         # --- KG construction (interleaved corpus; north rule) ---
         "kg_triples": _kg_triples,
         "kg_nodes": _kg_nodes,
@@ -522,7 +538,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": graph.kg_pagerank,
         # --- relational plumbing (TPC-H-ish tables) ---
         "q1_pricing_summary": relational.q1_pricing_summary,
-        "q_order_revenue_topk": relational.q_order_revenue_topk,
         "q_events_sessions": relational.q_events_sessions,
         "q_events_cumulative": relational.q_events_cumulative,
         "q_events_range_join": relational.q_events_range_join,
@@ -572,6 +587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_decode": text.q_decode,
         "q_join_shuffle": relational.q_join_shuffle,
         "q_segment_order_stats": relational.q_segment_order_stats,
+        "q_order_revenue_topk": relational.q_order_revenue_topk,
         "kg_media_inventory": _kg_media_inventory,
         "dedup_embedding_pairs": dedup.dedup_embedding_pairs,
         "q_doc_quality": text.q_doc_quality,
@@ -674,6 +690,7 @@ GROUP BY s.kind
         "q_sample_mixture": text.Q_SAMPLE_MIXTURE_SQL,
         "q_tfidf_topk": text.Q_TFIDF_TOPK_SQL,
         "q_shuffle_rank": text.Q_SHUFFLE_RANK_SQL,
+        "curation_corpus": _curation_sql(),
         "q_quality_quantiles": text.Q_QUALITY_QUANTILES_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_contamination": dedup.DEDUP_CONTAMINATION_SQL,

@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "q_decode",
     "q_chunk_docs",
     "dedup_contamination",
+    "curation_corpus",
     "q_tfidf_topk",
     "ann_topk",
     "ann_lsh_topk",

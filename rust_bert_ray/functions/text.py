@@ -872,13 +872,10 @@ _SHUF_MOD = 4294967296
 _SHUF_BUCKETS = 64
 
 
-def q_shuffle_rank(sf_dir: str, num_buckets: int = _SHUF_BUCKETS):
-    """Global deterministic training-data shuffle: every document gets a
-    dense rank 0..n-1 in pseudorandom order (``hash(doc_id)`` asc,
-    doc_id tie-break) — the "shuffle the corpus once before epoching"
-    step, reproducible across runs and partitionings.
-
-    Plan shape — distributed rank WITHOUT a monolithic global sort:
+def shuffle_rank(docs, num_buckets: int = _SHUF_BUCKETS):
+    """Dense pseudorandom rank 0..n-1 over any Dataset with a ``doc_id``
+    column (``hash(doc_id)`` asc, doc_id tie-break); all other columns
+    pass through.  Distributed rank WITHOUT a monolithic global sort:
 
     1. histogram pass (combiner): per batch, counts per key-range bucket
        (top bits of the 32-bit hash) — the exchange is ``num_buckets``
@@ -894,7 +891,6 @@ def q_shuffle_rank(sf_dir: str, num_buckets: int = _SHUF_BUCKETS):
     with deterministic equal-width key ranges (the hash is uniform by
     construction) and the rank emitted without a second pass.
     """
-    docs = _read_documents(sf_dir, ["doc_id"])
     shift = _SHUF_MOD // num_buckets
 
     def key_of(ids: np.ndarray) -> np.ndarray:
@@ -918,39 +914,40 @@ def q_shuffle_rank(sf_dir: str, num_buckets: int = _SHUF_BUCKETS):
         docs.map_batches(hist, batch_format="pyarrow", batch_size=65536)
         .groupby("bucket", num_partitions=4)
         .sum("n")
-        .to_pandas()
-        .sort_values("bucket")
+        .to_pandas()  # indexed assignment below needs no sort
     )
     counts = np.zeros(num_buckets, dtype=np.int64)
-    counts[h["bucket"].to_numpy()] = h["sum(n)"].to_numpy()
+    if len(h):  # empty input → empty to_pandas frame without columns
+        counts[h["bucket"].to_numpy()] = h["sum(n)"].to_numpy()
     offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])  # tiny; ships in closure
 
     def tag(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         k = key_of(ids)
-        return pa.Table.from_pydict(
-            {
-                "doc_id": pa.array(ids, pa.int64()),
-                "key": pa.array(k, pa.uint64()),
-                "bucket": pa.array((k // np.uint64(shift)).astype(np.int64)),
-            }
+        t = t.append_column("key", pa.array(k, pa.uint64()))
+        return t.append_column(
+            "bucket", pa.array((k // np.uint64(shift)).astype(np.int64))
         )
 
     def rank_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["key", "doc_id"], ignore_index=True)
         base = offsets[int(df["bucket"].iat[0])]
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"].astype(np.int64),
-                "rank": np.arange(base, base + len(df), dtype=np.int64),
-            }
-        )
+        out = df.drop(columns=["key", "bucket"])
+        out["rank"] = np.arange(base, base + len(df), dtype=np.int64)
+        return out
 
     return (
         docs.map_batches(tag, batch_format="pyarrow", batch_size=65536)
         .groupby("bucket", num_partitions=8)
         .map_groups(rank_bucket, batch_format="pandas")
     )
+
+
+def q_shuffle_rank(sf_dir: str, num_buckets: int = _SHUF_BUCKETS):
+    """Global deterministic training-data shuffle over the documents
+    table — the "shuffle the corpus once before epoching" step,
+    reproducible across runs and partitionings (see ``shuffle_rank``)."""
+    return shuffle_rank(_read_documents(sf_dir, ["doc_id"]), num_buckets)
 
 
 Q_SHUFFLE_RANK_SQL = f"""

@@ -237,3 +237,49 @@ def test_lm_score_stage_semantics(ray_session):
     # in-vocab fluent-ish text scores differently from junk — the filter
     # actually separates inputs
     assert out[out.doc_id == 1].avg_nll.iloc[0] != out[out.doc_id == 3].avg_nll.iloc[0]
+
+
+def test_curation_pipeline_stages(ray_session, tmp_path):
+    """Each curation stage visibly acts on a crafted corpus: short docs
+    drop (quality), bench-split and contaminated docs drop, duplicate
+    texts keep the lowest doc_id, ranks are dense."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rust_bert_ray.pipelines.curation import curate
+
+    # three disjoint vocabularies so only the intended 8-grams collide
+    bench_txt = " ".join(f"b{i}" for i in range(16))
+    contam_txt = " ".join(f"b{i}" for i in range(8)) + " " + " ".join(
+        f"c{i}" for i in range(10)
+    )  # first 8-gram copied from the bench split
+    uniq = " ".join(f"u{i}" for i in range(21))
+    dupe = " ".join(f"d{i}" for i in range(21))
+    docs = pa.table(
+        {
+            # mod 10 rem 3 → doc 3 is the benchmark split
+            "doc_id": pa.array([3, 1, 2, 11, 41, 51], pa.int64()),
+            "text": pa.array(
+                [
+                    bench_txt,   # bench split → dropped
+                    contam_txt,  # contaminated (shares an 8-gram) → dropped
+                    "too short", # quality drop
+                    uniq,        # kept
+                    dupe,        # kept (min doc_id of the pair)
+                    dupe,        # duplicate → dropped
+                ]
+            ),
+            "lang": pa.array(["en"] * 6),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(docs, sf / "documents.parquet")
+
+    out = curate(str(sf)).to_pandas().sort_values("rank", ignore_index=True)
+    # en threshold is 0.85 — both surviving ids must pass the mixture
+    # hash (11 and 41 do: knuth_hash < 0.85 * 2^32; 51 would too, but it
+    # loses the dedup to 41)
+    assert set(out.doc_id) == {11, 41}
+    assert out["rank"].tolist() == [0, 1]
+    assert (out.lang == "en").all()
