@@ -523,6 +523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_conversation": _q_conversation,
         # --- end-to-end training-data curation (composition flagship) ---
         "curation_corpus": _curation_corpus,
+        "q_dsir_weights": text.q_dsir_weights,
         # --- KG construction (interleaved corpus; north rule) ---
         "kg_triples": _kg_triples,
         "kg_nodes": _kg_nodes,
@@ -541,7 +542,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_sessions": relational.q_events_sessions,
         "q_events_cumulative": relational.q_events_cumulative,
         "q_events_range_join": relational.q_events_range_join,
-        "q_customers_without_orders": relational.q_customers_without_orders,
         # --- text analysis (documents) ---
         "q_sample_mixture": text.q_sample_mixture,
         "q_tfidf_topk": text.q_tfidf_topk,
@@ -588,6 +588,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_join_shuffle": relational.q_join_shuffle,
         "q_segment_order_stats": relational.q_segment_order_stats,
         "q_order_revenue_topk": relational.q_order_revenue_topk,
+        "q_customers_without_orders": relational.q_customers_without_orders,
         "kg_media_inventory": _kg_media_inventory,
         "dedup_embedding_pairs": dedup.dedup_embedding_pairs,
         "q_doc_quality": text.q_doc_quality,
@@ -649,6 +650,7 @@ GROUP BY s.kind
             "dedup_embedding_lsh_pairs", "dedup_clusters_minhash",
             "ann_lsh_topk", "ann_ivf_topk",
             "q_embed_clusters", "dedup_semantic", "q_lm_scores",
+            "q_dsir_weights",
         )
     }
 

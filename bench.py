@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "q_chunk_docs",
     "dedup_contamination",
     "curation_corpus",
+    "q_dsir_weights",
     "q_tfidf_topk",
     "ann_topk",
     "ann_lsh_topk",

@@ -33,7 +33,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 EXPECTED_ROOT = "/tmp/rbr_expected"
-VERSION = 22  # bump whenever any builder's semantics change
+VERSION = 23  # bump whenever any builder's semantics change
 
 
 # ------------------------------------------------------------ input helpers
@@ -1567,6 +1567,67 @@ def dedup_semantic(
     )
 
 
+def q_dsir_weights(sf_dir: str, corpus_root: str) -> pa.Table:
+    """Independent DSIR re-derivation: Counter-based distribution pass
+    and per-doc Python-loop scoring (no bincount/reduceat, no Ray) —
+    same crc32 bucketing and integer log-ratio spec as the query.
+
+    Weight formula (the spec both sides implement): with Laplace
+    smoothing, w_b = rint(1e6 * log(((n_tgt+1)*(S_raw+B)) /
+    ((n_raw+1)*(S_tgt+B)))) — exact integer products, one float divide.
+    """
+    from collections import Counter
+
+    from rust_bert_ray.functions.text import DSIR_TARGET_SOURCES
+
+    B = 4096
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+
+    def grams(text: str) -> list[int]:
+        w = text.split()
+        uni = [zlib.crc32(x.encode()) % B for x in w]
+        bi = [zlib.crc32(f"{a} {b}".encode()) % B for a, b in zip(w, w[1:])]
+        return uni + bi
+
+    raw: Counter = Counter()
+    tgt: Counter = Counter()
+    docs = list(
+        zip(
+            t.column("doc_id").to_pylist(),
+            t.column("text").to_pylist(),
+            t.column("source").to_pylist(),
+        )
+    )
+    for _, text, source in docs:
+        g = grams(text)
+        raw.update(g)
+        if source in DSIR_TARGET_SOURCES:
+            tgt.update(g)
+    s_raw, s_tgt = sum(raw.values()), sum(tgt.values())
+    w = np.empty(B, dtype=np.int64)
+    for b in range(B):
+        num = (tgt[b] + 1) * (s_raw + B)
+        den = (raw[b] + 1) * (s_tgt + B)
+        w[b] = int(np.rint(1_000_000 * np.log(num / den)))
+
+    ids, scores, n_grams = [], [], []
+    for doc_id, text, _ in docs:
+        g = grams(text)
+        ids.append(doc_id)
+        scores.append(int(sum(int(w[b]) for b in g)))
+        n_grams.append(len(g))
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "dsir_score": pa.array(scores, pa.int64()),
+            "n_grams": pa.array(n_grams, pa.int64()),
+        }
+    )
+
+
 BUILDERS = {
     "q_generate": q_generate,
     "q_summarize": q_summarize,
@@ -1599,6 +1660,7 @@ BUILDERS = {
     "q_lm_scores": q_lm_scores,
     "dedup_semantic": dedup_semantic,
     "ann_ivf_topk": ann_ivf_topk,
+    "q_dsir_weights": q_dsir_weights,
 }
 
 

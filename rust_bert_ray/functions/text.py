@@ -957,3 +957,124 @@ SELECT doc_id,
        ) - 1 AS rank
 FROM documents
 """
+
+
+# --------------------------------- DSIR importance weights (data selection)
+
+_DSIR_BUCKETS = 4096
+_DSIR_SCALE = 1_000_000  # micro-units for the integer log-ratio weights
+DSIR_TARGET_SOURCES = ("src0", "src1", "src2", "src3")
+
+
+def _dsir_bucket_flat(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Hashed unigram+bigram feature buckets, batch-flat: (flat bucket
+    ids, per-doc gram counts).  crc32 so the bucketing is stable across
+    processes (Python ``hash`` is salted)."""
+    flat: list[int] = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    for i, text in enumerate(texts):
+        words = text.split()
+        n0 = len(flat)
+        flat.extend(zlib.crc32(w.encode()) % _DSIR_BUCKETS for w in words)
+        flat.extend(
+            zlib.crc32(f"{a} {b}".encode()) % _DSIR_BUCKETS
+            for a, b in zip(words, words[1:])
+        )
+        counts[i] = len(flat) - n0
+    return np.asarray(flat, dtype=np.int64), counts
+
+
+def dsir_bucket_weights(n_tgt: np.ndarray, n_raw: np.ndarray) -> np.ndarray:
+    """Per-bucket integer importance weight: rint(SCALE * log(p/q)) with
+    Laplace smoothing, p = target gram distribution, q = raw corpus.
+
+    Computed ONCE on the driver from exact integer counts, so the weight
+    table is identical under any partitioning; numerator/denominator are
+    formed as exact integer products before the single float divide."""
+    st, sr = int(n_tgt.sum()), int(n_raw.sum())
+    num = (n_tgt.astype(np.int64) + 1) * np.int64(sr + _DSIR_BUCKETS)
+    den = (n_raw.astype(np.int64) + 1) * np.int64(st + _DSIR_BUCKETS)
+    return np.rint(_DSIR_SCALE * np.log(num / den)).astype(np.int64)
+
+
+def q_dsir_weights(sf_dir: str, target_sources=DSIR_TARGET_SOURCES):
+    """DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169)
+    re-expressed Ray-Data-first: score every document by how much its
+    hashed n-gram profile resembles a target domain vs the raw corpus —
+    the data-selection step before pretraining-corpus sampling.
+
+    Plan shape:
+
+    1. **distribution pass** (combiner): per batch, bincount feature
+       buckets over ALL rows (raw distribution q) and over target-source
+       rows (target distribution p) — each partial is ``B`` rows, so the
+       exchange carries O(B) per batch, never grams; one bucket groupby
+       sums them into a B-row table on the driver.
+    2. driver derives the integer log-ratio weight table
+       (``dsir_bucket_weights``) — a ~32 KB broadcast.
+    3. **scoring pass** (map-only): ``dsir_score = Σ_grams w[bucket]``
+       as an exact int64 ``np.add.reduceat`` over batch-flat lookups.
+
+    At 100 TB the two scans stream; nothing materializes but the B-row
+    count table.  Output: (doc_id, dsir_score, n_grams) — resampling is
+    then a threshold/top-k over ``dsir_score`` (compose with
+    ``shuffle_rank`` / ``q_sample_mixture``).
+    """
+    docs = _read_documents(sf_dir, ["doc_id", "text", "source"])
+    tgt_set = pa.array(list(target_sources), pa.string())
+
+    def partials(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        flat, counts = _dsir_bucket_flat(texts)
+        is_tgt = pc.is_in(t.column("source"), value_set=tgt_set).to_numpy(
+            zero_copy_only=False
+        )
+        row = np.repeat(np.arange(len(texts)), counts)
+        n_raw = np.bincount(flat, minlength=_DSIR_BUCKETS)
+        n_tgt = (
+            np.bincount(flat[is_tgt[row]], minlength=_DSIR_BUCKETS)
+            if len(flat)
+            else np.zeros(_DSIR_BUCKETS, np.int64)
+        )
+        return pa.Table.from_pydict(
+            {
+                "bucket": pa.array(np.arange(_DSIR_BUCKETS, dtype=np.int64)),
+                "n_raw": pa.array(n_raw.astype(np.int64), pa.int64()),
+                "n_tgt": pa.array(n_tgt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        docs.map_batches(partials, batch_format="pyarrow", batch_size=65536)
+        .groupby("bucket", num_partitions=4)
+        .sum(["n_raw", "n_tgt"])
+        .to_pandas()
+    )
+    n_raw = np.zeros(_DSIR_BUCKETS, np.int64)
+    n_tgt = np.zeros(_DSIR_BUCKETS, np.int64)
+    if len(agg):
+        n_raw[agg["bucket"].to_numpy()] = agg["sum(n_raw)"].to_numpy()
+        n_tgt[agg["bucket"].to_numpy()] = agg["sum(n_tgt)"].to_numpy()
+    weights = dsir_bucket_weights(n_tgt, n_raw)
+
+    def score(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        flat, counts = _dsir_bucket_flat(texts)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+        if len(flat):
+            per_gram = weights[flat]
+            # clip: a trailing empty doc puts len(flat) in starts, which
+            # reduceat rejects; empty slices are zeroed below anyway
+            scores = np.add.reduceat(per_gram, np.minimum(starts, len(flat) - 1))
+            out = np.where(counts > 0, scores, 0)
+        else:
+            out = np.zeros(len(texts), np.int64)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t.column("doc_id"),
+                "dsir_score": pa.array(out.astype(np.int64), pa.int64()),
+                "n_grams": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow", batch_size=65536)

@@ -283,3 +283,33 @@ def test_curation_pipeline_stages(ray_session, tmp_path):
     assert set(out.doc_id) == {11, 41}
     assert out["rank"].tolist() == [0, 1]
     assert (out.lang == "en").all()
+
+
+def test_dsir_weights_semantics(ray_session, tmp_path):
+    """Docs written in the target domain's vocabulary outscore docs in a
+    disjoint vocabulary; empty text scores 0 with 0 grams."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rust_bert_ray.functions.text import q_dsir_weights
+
+    tgt_text = " ".join(f"t{i % 5}" for i in range(30))
+    other_text = " ".join(f"o{i % 5}" for i in range(30))
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            # src0 is in DSIR_TARGET_SOURCES; src9 is not
+            "text": pa.array([tgt_text, tgt_text, other_text, ""]),
+            "source": pa.array(["src0", "src9", "src9", "src9"]),
+            "lang": pa.array(["en"] * 4),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(docs, sf / "documents.parquet")
+
+    out = q_dsir_weights(str(sf)).to_pandas().set_index("doc_id")
+    # doc 2 shares the target vocabulary, doc 3 does not
+    assert out.loc[2, "dsir_score"] > out.loc[3, "dsir_score"]
+    assert out.loc[4, "dsir_score"] == 0 and out.loc[4, "n_grams"] == 0
+    assert out.loc[1, "n_grams"] == 30 + 29  # unigrams + bigrams
