@@ -541,7 +541,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q_events_sessions": relational.q_events_sessions,
         "q_events_cumulative": relational.q_events_cumulative,
-        "q_events_range_join": relational.q_events_range_join,
         # --- text analysis (documents) ---
         "q_sample_mixture": text.q_sample_mixture,
         "q_tfidf_topk": text.q_tfidf_topk,
@@ -552,6 +551,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pack_sequences": text.q_pack_sequences,
         # --- deduplication family ---
         "dedup_exact": dedup.dedup_exact,
+        "dedup_incremental": dedup.dedup_incremental,
         "dedup_contamination": dedup.dedup_contamination,
         "dedup_span_marks": dedup.dedup_span_marks,
         "dedup_jaccard_pairs": dedup.dedup_jaccard_pairs,
@@ -589,6 +589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_segment_order_stats": relational.q_segment_order_stats,
         "q_order_revenue_topk": relational.q_order_revenue_topk,
         "q_customers_without_orders": relational.q_customers_without_orders,
+        "q_events_range_join": relational.q_events_range_join,
         "kg_media_inventory": _kg_media_inventory,
         "dedup_embedding_pairs": dedup.dedup_embedding_pairs,
         "q_doc_quality": text.q_doc_quality,
@@ -695,6 +696,7 @@ GROUP BY s.kind
         "curation_corpus": _curation_sql(),
         "q_quality_quantiles": text.Q_QUALITY_QUANTILES_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
+        "dedup_incremental": dedup.DEDUP_INCREMENTAL_SQL,
         "dedup_contamination": dedup.DEDUP_CONTAMINATION_SQL,
         "dedup_span_marks": dedup_span_marks_sql,
         "q_chunk_docs": text.Q_CHUNK_DOCS_SQL,

@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "q_events_hourly",
     "q_token_counts",
     "dedup_exact",
+    "dedup_incremental",
     "dedup_span_marks",
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",

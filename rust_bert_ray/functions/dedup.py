@@ -1293,3 +1293,125 @@ FROM hits
 GROUP BY doc_id
 HAVING SUM(hit) > 0
 """
+
+
+# ----------------------------------- incremental (cross-snapshot) dedup
+
+_SNAP_MOD, _SNAP_REM = 5, 0  # the "already-ingested" snapshot
+_SEEN_INDEX_ROOT = "/tmp/rbr_seen_index"
+_SEEN_INDEX_VERSION = 1
+
+
+def _seen_digest_index(sf_dir: str) -> str:
+    """Build (once; fingerprint-invalidated) the persisted digest index
+    of the already-ingested snapshot: hive-partitioned parquet of
+    ``(digest, bucket=digest[0]%64)``.  Ingest N+1 never rescans the old
+    corpus — it reads this index; appending a new snapshot is writing
+    its digests into the same bucket dirs (same layout contract as the
+    ANN index in functions/similarity.py)."""
+    import hashlib
+    import json
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    fp = f"{st.st_size}-{int(st.st_mtime)}"
+    sf_tag = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}-"
+        f"{zlib.crc32(os.path.abspath(sf_dir).encode()) & 0xFFFFFFFF:08x}"
+    )
+    base = os.path.join(_SEEN_INDEX_ROOT, sf_tag, f"v{_SEEN_INDEX_VERSION}")
+    meta_path = os.path.join(base, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path, encoding="utf-8") as f:
+            if json.load(f).get("fingerprint") == fp:
+                return base
+
+    def seen_digests(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = ids % _SNAP_MOD == _SNAP_REM
+        texts = t.filter(pa.array(keep)).column("text").to_pylist()
+        dg = [hashlib.blake2b(x.encode(), digest_size=16).digest() for x in texts]
+        return pa.Table.from_pydict(
+            {
+                "digest": pa.array(dg, type=pa.binary()),
+                "bucket": pa.array([d[0] % 64 for d in dg], type=pa.int64()),
+            }
+        )
+
+    tmp = base + f".tmp-{os.getpid()}"
+    if os.path.exists(tmp):
+        import shutil
+
+        shutil.rmtree(tmp)
+    _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        seen_digests, batch_format="pyarrow", batch_size=65536
+    ).write_parquet(os.path.join(tmp, "data"), partition_cols=["bucket"])
+    with open(os.path.join(tmp, "meta.json"), "w", encoding="utf-8") as f:
+        json.dump({"fingerprint": fp}, f)
+    try:
+        if os.path.exists(base):
+            import shutil
+
+            shutil.rmtree(base)
+        os.replace(tmp, base)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)  # concurrent builder won
+    return base
+
+
+def dedup_incremental(sf_dir: str, num_partitions: int = 16):
+    """Incremental ingestion dedup: which arriving documents are genuinely
+    new vs the already-ingested corpus?
+
+    The seen corpus is represented ONLY by its persisted digest index
+    (16 B/doc — at 10^11 seen docs that is ~1.6 TB of parquet, readable
+    partition-parallel, vs rescanning 100 TB of text).  The arriving
+    snapshot digests itself, then a hash-partitioned ``left_anti`` join
+    on digest drops everything already seen.  Within-snapshot duplicates
+    are ``dedup_exact``'s job; this operator is the cross-snapshot step,
+    so a text duplicated inside the arriving batch but absent from the
+    index survives (both copies) — matching the SQL ``NOT EXISTS``.
+    """
+    import glob
+    import hashlib
+
+    base = _seen_digest_index(sf_dir)
+    files = sorted(glob.glob(os.path.join(base, "data", "bucket=*", "*.parquet")))
+    seen = ray.data.read_parquet(files, columns=["digest"])
+
+    def new_digests(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = ids % _SNAP_MOD != _SNAP_REM
+        t = t.filter(pa.array(keep))
+        dg = [
+            hashlib.blake2b(x.encode(), digest_size=16).digest()
+            for x in t.column("text").to_pylist()
+        ]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t.column("doc_id"),
+                "digest": pa.array(dg, type=pa.binary()),
+            }
+        )
+
+    arriving = _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        new_digests, batch_format="pyarrow", batch_size=65536
+    )
+    fresh = arriving.join(
+        seen, "left_anti", num_partitions=num_partitions, on=("digest",)
+    )
+    return fresh.map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow", batch_size=65536
+    )
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+SELECT d.doc_id
+FROM documents d
+WHERE d.doc_id % {_SNAP_MOD} <> {_SNAP_REM}
+  AND NOT EXISTS (SELECT 1 FROM documents s
+                  WHERE s.doc_id % {_SNAP_MOD} = {_SNAP_REM}
+                    AND s.text = d.text)
+"""

@@ -209,3 +209,47 @@ def test_gram_hash_pairs_matches_string_grams(ray_session):
     # the equal grams really did collide (same string, same pair)
     assert grams[0] == grams[5] == grams[8]
     assert h1[0] == h1[5] == h1[8] and h2[0] == h2[5] == h2[8]
+
+
+def test_dedup_incremental_semantics(ray_session, tmp_path):
+    """Arriving docs colliding with the seen snapshot (doc_id % 5 == 0)
+    drop; within-snapshot duplicates both survive (NOT EXISTS
+    semantics); the persisted digest index is reused on a second call."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rust_bert_ray.functions.dedup import (
+        _seen_digest_index,
+        dedup_incremental,
+    )
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([5, 10, 1, 2, 7, 12], pa.int64()),
+            "text": pa.array(
+                [
+                    "seen alpha",  # snapshot
+                    "seen beta",   # snapshot
+                    "seen alpha",  # collides with seen → dropped
+                    "fresh one",   # kept
+                    "fresh twin",  # kept (duplicate only within arriving)
+                    "fresh twin",  # kept too — cross-snapshot op only
+                ]
+            ),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(docs, sf / "documents.parquet")
+
+    out = dedup_incremental(str(sf)).to_pandas()
+    assert sorted(out.doc_id) == [2, 7, 12]
+
+    # index is fingerprint-stable: second call reuses it and agrees
+    base = _seen_digest_index(str(sf))
+    mtime = os.path.getmtime(os.path.join(base, "meta.json"))
+    out2 = dedup_incremental(str(sf)).to_pandas()
+    assert sorted(out2.doc_id) == [2, 7, 12]
+    assert os.path.getmtime(os.path.join(base, "meta.json")) == mtime
