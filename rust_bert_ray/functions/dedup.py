@@ -84,7 +84,7 @@ def dedup_exact(sf_dir: str, broadcast_limit: int = 5_000_000):
         return df.loc[df["doc_id"] != mins, ["doc_id"]]
 
     drop_ds = (
-        docs.map_batches(add_digest, batch_format="pyarrow", batch_size=65536)
+        docs.map_batches(add_digest, batch_format="pyarrow", batch_size=None)
         .groupby("_bucket", num_partitions=16)
         .map_groups(drops_per_bucket, batch_format="pandas")
     )
@@ -342,7 +342,11 @@ def dedup_minhash_pairs(
     banded = docs.map_batches(
         MinHashStage(n_perm=n_perm, n_bands=n_bands),
         batch_format="pyarrow",
-        batch_size=1024,  # small batches → the signature stage actually parallelizes
+        # batch_size=None → one task per input block.  An explicit
+        # batch_size makes this Ray version BUNDLE ~20k rows per task
+        # (5 tasks for 100k docs, 27 idle CPUs); block-as-batch keeps
+        # the signature stage as parallel as the read (64 tasks).
+        batch_size=None,
     )
     return minhash_pairs_from_banded(
         banded, threshold=threshold, n_perm=n_perm, n_bands=n_bands,
@@ -529,7 +533,7 @@ def dedup_simhash_pairs(sf_dir: str, max_hamming: int = 3, bucket_cap: int = 200
     Hamming distance ≤ ``max_hamming`` (4-band pigeonhole covers ≤3 flips)."""
     docs = _read_documents(sf_dir, ["doc_id", "text"])
     banded = docs.map_batches(
-        SimHashStage(), batch_format="pyarrow", batch_size=1024
+        SimHashStage(), batch_format="pyarrow", batch_size=None
     )
 
     n_buckets = 32
@@ -1080,7 +1084,7 @@ def dedup_span_marks(sf_dir: str, n: int = 8, num_partitions: int = 16):
         return out[["doc_id", "span_start", "span_end", "n_words"]]
 
     marked = (
-        docs.map_batches(grams, batch_format="pyarrow", batch_size=8192)
+        docs.map_batches(grams, batch_format="pyarrow", batch_size=None)
         .groupby("_bucket", num_partitions=num_partitions)
         .map_groups(dup_marks, batch_format="pandas")
     )
@@ -1205,7 +1209,7 @@ def dedup_contamination(
         )
 
     bench = docs.map_batches(
-        bench_grams, batch_format="pyarrow", batch_size=65536
+        bench_grams, batch_format="pyarrow", batch_size=None
     ).to_pandas()  # bounded: the benchmark suite, not the corpus
     bh1 = bench["h1"].to_numpy().astype(np.uint64)
     bh2 = bench["h2"].to_numpy().astype(np.uint64)
@@ -1344,7 +1348,7 @@ def _seen_digest_index(sf_dir: str) -> str:
 
         shutil.rmtree(tmp)
     _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        seen_digests, batch_format="pyarrow", batch_size=65536
+        seen_digests, batch_format="pyarrow", batch_size=None
     ).write_parquet(os.path.join(tmp, "data"), partition_cols=["bucket"])
     with open(os.path.join(tmp, "meta.json"), "w", encoding="utf-8") as f:
         json.dump({"fingerprint": fp}, f)
@@ -1396,8 +1400,12 @@ def dedup_incremental(sf_dir: str, num_partitions: int = 16):
             }
         )
 
+    # NB: a stage feeding Dataset.join must declare a batch_size — with
+    # None the joiner materializes schema-less empty partitions and the
+    # Arrow join fails ("No match ... FieldRef.Name(digest)").  4096 keeps
+    # the digest loop parallel (~min-rows-per-task bundling, CLAUDE.md #16).
     arriving = _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        new_digests, batch_format="pyarrow", batch_size=65536
+        new_digests, batch_format="pyarrow", batch_size=4096
     )
     fresh = arriving.join(
         seen, "left_anti", num_partitions=num_partitions, on=("digest",)

@@ -463,7 +463,7 @@ def q_fingerprints(sf_dir: str, shingle: int = 8):
             }
         )
 
-    return docs.map_batches(fn, batch_format="pyarrow", batch_size=65536)
+    return docs.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 class BpeRoundTrip:
@@ -1045,7 +1045,7 @@ def q_dsir_weights(sf_dir: str, target_sources=DSIR_TARGET_SOURCES):
         )
 
     agg = (
-        docs.map_batches(partials, batch_format="pyarrow", batch_size=65536)
+        docs.map_batches(partials, batch_format="pyarrow", batch_size=None)
         .groupby("bucket", num_partitions=4)
         .sum(["n_raw", "n_tgt"])
         .to_pandas()
@@ -1077,4 +1077,4 @@ def q_dsir_weights(sf_dir: str, target_sources=DSIR_TARGET_SOURCES):
             }
         )
 
-    return docs.map_batches(score, batch_format="pyarrow", batch_size=65536)
+    return docs.map_batches(score, batch_format="pyarrow", batch_size=None)

@@ -121,7 +121,7 @@ def curate(sf_dir: str, min_tokens: int = MIN_TOKENS):
         )
 
     dup_drops = (
-        survivors.map_batches(add_digest, batch_format="pyarrow", batch_size=65536)
+        survivors.map_batches(add_digest, batch_format="pyarrow", batch_size=None)
         .groupby("_bucket", num_partitions=16)
         .map_groups(drops_per_bucket, batch_format="pandas")
         .to_pandas()  # duplicate minority; see module docstring for the join path

@@ -74,7 +74,7 @@ def run_dedup_pipeline(
     n_perm: int = 64,
     n_bands: int = 16,
     n_groups: int = 4,
-    batch_size: int = 1024,
+    batch_size: int | None = None,  # None → one task per block (an explicit size becomes a min-rows-per-task bundle and throttles parallelism)
     resume: bool = True,
 ) -> dict:
     """Run (or resume) the dedup keep-list pipeline; returns summary."""
