@@ -493,8 +493,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     relational/map-only queries that were driver-green in round 2
     (their semantics have dedicated native-SQL oracles and have not
     changed), freeing window slots for the round-3 additions (ANN /
-    cluster / tokenizer round-trips / span marks / chunk / pack) the
-    round-2 verdict asked to see driver-gated.  Every entry, gated or
+    cluster / tokenizer round-trips / span marks / chunk / pack /
+    gopher-quality / pii / ngram-stats / kmv-sketch) the round-2
+    verdict asked to see driver-gated.  q_sentiment / q_zero_shot /
+    q_events_sessions / q_events_cumulative rotated to the tail this
+    session (driver-green in r1+r2, native SQL unchanged).  Every entry, gated or
     not, is verified by the local mirror (tools/check_oracles.py)
     against the same oracles each round.
     """
@@ -502,6 +505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         clustering,
         dedup,
         graph,
+        quality,
         relational,
         similarity,
         text,
@@ -509,13 +513,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # --- reference NLP pipelines over documents/corpus ---
-        "q_sentiment": _q_sentiment,
         "q_generate": _q_generate,
         "q_translate": _q_translate,
         "q_pos_tags": _q_pos,
         "q_embed_docs": _q_embed,
         "q_embed_dense": _q_embed_dense,
-        "q_zero_shot": _q_zero_shot,
         "q_keywords": _q_keywords,
         "q_masked_lm": _q_masked_lm,
         "q_lm_scores": _q_lm_scores,
@@ -524,6 +526,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- end-to-end training-data curation (composition flagship) ---
         "curation_corpus": _curation_corpus,
         "q_dsir_weights": text.q_dsir_weights,
+        "q_gopher_quality": quality.q_gopher_quality,
+        "q_pii_scan": quality.q_pii_scan,
+        "q_ngram_stats": quality.q_ngram_stats,
+        "q_distinct_sketch": quality.q_distinct_sketch,
         # --- KG construction (interleaved corpus; north rule) ---
         "kg_triples": _kg_triples,
         "kg_nodes": _kg_nodes,
@@ -539,8 +545,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": graph.kg_pagerank,
         # --- relational plumbing (TPC-H-ish tables) ---
         "q1_pricing_summary": relational.q1_pricing_summary,
-        "q_events_sessions": relational.q_events_sessions,
-        "q_events_cumulative": relational.q_events_cumulative,
         # --- text analysis (documents) ---
         "q_sample_mixture": text.q_sample_mixture,
         "q_tfidf_topk": text.q_tfidf_topk,
@@ -574,6 +578,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_media_resize": _kg_media_resize,
         "q_zero_shot_multi": _q_zero_shot_multi,
         "q_multilabel": _q_multilabel,
+        "q_sentiment": _q_sentiment,
+        "q_zero_shot": _q_zero_shot,
+        "q_events_sessions": relational.q_events_sessions,
+        "q_events_cumulative": relational.q_events_cumulative,
         "q_events_hourly": relational.q_events_hourly,
         "q_events_asof": relational.q_events_asof,
         "q_events_sliding": relational.q_events_sliding,
@@ -603,7 +611,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # ---------------------------------------------------------- oracle SQL ----
 
 def oracle_sql() -> dict[str, str]:
-    from rust_bert_ray.functions import dedup, graph, relational, similarity, text
+    from rust_bert_ray.functions import (
+        dedup,
+        graph,
+        quality,
+        relational,
+        similarity,
+        text,
+    )
 
     dedup_span_marks_sql = dedup.DEDUP_SPAN_MARKS_SQL
 
@@ -691,6 +706,10 @@ GROUP BY s.kind
         "q_vocab_stats": text.Q_VOCAB_STATS_SQL,
         "q_split_assign": text.Q_SPLIT_ASSIGN_SQL,
         "q_sample_mixture": text.Q_SAMPLE_MIXTURE_SQL,
+        "q_gopher_quality": quality.Q_GOPHER_QUALITY_SQL,
+        "q_pii_scan": quality.Q_PII_SCAN_SQL,
+        "q_ngram_stats": quality.Q_NGRAM_STATS_SQL,
+        "q_distinct_sketch": quality.Q_DISTINCT_SKETCH_SQL,
         "q_tfidf_topk": text.Q_TFIDF_TOPK_SQL,
         "q_shuffle_rank": text.Q_SHUFFLE_RANK_SQL,
         "curation_corpus": _curation_sql(),
