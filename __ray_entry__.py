@@ -517,8 +517,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_translate": _q_translate,
         "q_pos_tags": _q_pos,
         "q_embed_docs": _q_embed,
-        "q_embed_dense": _q_embed_dense,
-        "q_keywords": _q_keywords,
         "q_masked_lm": _q_masked_lm,
         "q_lm_scores": _q_lm_scores,
         "qa_answers": _q_qa,
@@ -543,6 +541,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triangles": graph.kg_triangles,
         "kg_influence": graph.kg_influence,
         "kg_pagerank": graph.kg_pagerank,
+        "kg_similar_nodes": graph.kg_similar_nodes,
+        "kg_kcore": graph.kg_kcore,
         # --- relational plumbing (TPC-H-ish tables) ---
         "q1_pricing_summary": relational.q1_pricing_summary,
         # --- text analysis (documents) ---
@@ -580,6 +580,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_multilabel": _q_multilabel,
         "q_sentiment": _q_sentiment,
         "q_zero_shot": _q_zero_shot,
+        "q_embed_dense": _q_embed_dense,
+        "q_keywords": _q_keywords,
         "q_events_sessions": relational.q_events_sessions,
         "q_events_cumulative": relational.q_events_cumulative,
         "q_events_hourly": relational.q_events_hourly,
@@ -636,6 +638,9 @@ def oracle_sql() -> dict[str, str]:
     kg_pagerank_sql = graph.KG_PAGERANK_SQL_TEMPLATE.format(edges=_exp_edges)
     kg_triangles_sql = graph.KG_TRIANGLES_SQL_TEMPLATE.format(edges=_exp_edges)
     kg_influence_sql = graph.KG_INFLUENCE_SQL_TEMPLATE.format(edges=_exp_edges)
+    kg_similar_nodes_sql = graph.KG_SIMILAR_NODES_SQL_TEMPLATE.format(
+        edges=_exp_edges, min_common=2
+    )
 
     kg_triples_sql = f"""
 SELECT doc_id, subj, pred, obj
@@ -666,7 +671,7 @@ GROUP BY s.kind
             "dedup_embedding_lsh_pairs", "dedup_clusters_minhash",
             "ann_lsh_topk", "ann_ivf_topk",
             "q_embed_clusters", "dedup_semantic", "q_lm_scores",
-            "q_dsir_weights",
+            "q_dsir_weights", "kg_kcore",
         )
     }
 
@@ -681,6 +686,7 @@ GROUP BY s.kind
         "kg_triangles": kg_triangles_sql,
         "kg_influence": kg_influence_sql,
         "kg_pagerank": kg_pagerank_sql,
+        "kg_similar_nodes": kg_similar_nodes_sql,
         "q_sentiment": classify.SENTIMENT_SQL,
         "q_zero_shot": classify.ZERO_SHOT_SQL,
         "q_zero_shot_multi": classify.ZERO_SHOT_MULTI_SQL,

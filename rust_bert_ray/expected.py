@@ -33,7 +33,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 EXPECTED_ROOT = "/tmp/rbr_expected"
-VERSION = 23  # bump whenever any builder's semantics change
+VERSION = 24  # bump whenever any builder's semantics change
 
 
 # ------------------------------------------------------------ input helpers
@@ -1628,6 +1628,40 @@ def q_dsir_weights(sf_dir: str, corpus_root: str) -> pa.Table:
     )
 
 
+# ----------------------------------------- k-core (independent peel) ----
+
+def kg_kcore(sf_dir: str, corpus_root: str, k: int = 3) -> pa.Table:
+    """Sequential reference k-core: classic repeated peel over an
+    adjacency dict — algorithmically independent of the distributed
+    round-based filter in functions/graph.py (only the k-core
+    *definition* is shared).  Emits (node_id, within-core degree)."""
+    e = kg_edges(sf_dir, corpus_root)
+    subj = e.column("subj_id").to_pylist()
+    obj = e.column("obj_id").to_pylist()
+    pairs = {
+        (min(s, o), max(s, o)) for s, o in zip(subj, obj) if s != o
+    }
+    adj: dict[str, set[str]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, nb in adj.items() if len(nb) < k]:
+            for m in adj.pop(n):
+                if m in adj:
+                    adj[m].discard(n)
+            changed = True
+    rows = sorted(adj.items())
+    return pa.Table.from_pydict(
+        {
+            "node_id": pa.array([n for n, _ in rows], pa.string()),
+            "core_deg": pa.array([len(nb) for _, nb in rows], pa.int64()),
+        }
+    )
+
+
 BUILDERS = {
     "q_generate": q_generate,
     "q_summarize": q_summarize,
@@ -1661,6 +1695,7 @@ BUILDERS = {
     "dedup_semantic": dedup_semantic,
     "ann_ivf_topk": ann_ivf_topk,
     "q_dsir_weights": q_dsir_weights,
+    "kg_kcore": kg_kcore,
 }
 
 

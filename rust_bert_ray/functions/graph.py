@@ -986,3 +986,243 @@ r3 AS (
 )
 SELECT node_id, r AS rank_micro FROM r3
 """
+
+
+# --------------------------------------------- neighbor similarity ----
+
+def _undirected_pairs(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Distinct a<b endpoint pairs of the undirected simple graph
+    (same orientation+bucketed-dedup shape as kg_triangles)."""
+
+    def orient(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s, o = t.column("subj_id"), t.column("obj_id")
+        keep = pc.not_equal(s, o)
+        a = pc.if_else(pc.less(s, o), s, o)
+        b = pc.if_else(pc.less(s, o), o, s)
+        return pa.Table.from_pydict({"a": a, "b": b}).filter(keep)
+
+    def dedup_pairs(df):
+        return df.drop_duplicates(["a", "b"])[["a", "b"]]
+
+    return (
+        edges.map_batches(orient, batch_format="pyarrow", batch_size=65536)
+        .groupby("a", num_partitions=8)
+        .map_groups(dedup_pairs, batch_format="pandas")
+    )
+
+
+def kg_similar_nodes(sf_dir: str, min_common: int = 2):
+    """Node-pair Jaccard similarity by shared neighbors.
+
+    For every unordered node pair (a < b) with at least ``min_common``
+    common neighbors on the undirected simple graph: |N(a) ∩ N(b)|,
+    |N(a) ∪ N(b)| and their ratio (the classic link-prediction /
+    entity-merge-candidate score).
+
+    Plan: wedge join of the adjacency list with itself on the middle
+    node (each common neighbor of (x, z) produces exactly one wedge
+    row), bucketed pandas pair-count (same reduce shape as
+    kg_triangles' closing step — hot mids are the skew knob, cap
+    adjacency past ~10^4 degree at scale), then degrees merged in via
+    a driver-side broadcast (the node vocabulary is gazetteer-bounded;
+    see kg_reachability's frontier note for the semi-join swap past
+    that bound).  jaccard is one IEEE divide of two exact ints, so the
+    native-SQL oracle hash-matches bit-for-bit.
+    """
+    import numpy as np
+    import pandas as pd
+
+    edges = edges_dataset(sf_dir)
+    und = _undirected_pairs(edges).materialize()
+
+    adj = und.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "mid": pa.concat_arrays(
+                    [t.column("a").combine_chunks(), t.column("b").combine_chunks()]
+                ),
+                "nbr": pa.concat_arrays(
+                    [t.column("b").combine_chunks(), t.column("a").combine_chunks()]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=4096,  # feeds Dataset.join: batch_size must be declared
+    )
+
+    # node degrees on the undirected simple graph (vocab-bounded)
+    deg_df = (
+        adj.groupby("mid", num_partitions=8).count().to_pandas()
+    )
+    deg = dict(zip(deg_df["mid"], deg_df["count()"].astype(np.int64)))
+    deg_ref = ray.put(deg)
+
+    left = adj.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"mid": t.column("mid"), "x": t.column("nbr")}
+        ),
+        batch_format="pyarrow",
+        batch_size=4096,
+    )
+    right = adj.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"mid_r": t.column("mid"), "z": t.column("nbr")}
+        ),
+        batch_format="pyarrow",
+        batch_size=4096,
+    )
+    wedges = left.join(right, "inner", 8, on=("mid",), right_on=("mid_r",))
+
+    def pair_counts(df: "pd.DataFrame") -> "pd.DataFrame":
+        sub = df.loc[df["x"] < df["z"]]
+        g = sub.groupby(["x", "z"], as_index=False).size()
+        g = g.loc[g["size"] >= min_common]
+        return pd.DataFrame(
+            {
+                "node_a": g["x"],
+                "node_b": g["z"],
+                "n_common": g["size"].astype(np.int64),
+            }
+        )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        d = ray.get(deg_ref)
+        a = t.column("node_a").to_pylist()
+        b = t.column("node_b").to_pylist()
+        common = t.column("n_common").to_numpy(zero_copy_only=False).astype(np.int64)
+        da = np.array([d[x] for x in a], dtype=np.int64)
+        db = np.array([d[x] for x in b], dtype=np.int64)
+        union = da + db - common
+        return pa.Table.from_pydict(
+            {
+                "node_a": pa.array(a, pa.string()),
+                "node_b": pa.array(b, pa.string()),
+                "n_common": pa.array(common, pa.int64()),
+                "n_union": pa.array(union, pa.int64()),
+                "jaccard": pa.array(common.astype(np.float64) / union, pa.float64()),
+            }
+        )
+
+    return (
+        wedges.map_batches(
+            _with_bucket(["x", "z"]), batch_format="pyarrow", batch_size=65536
+        )
+        .groupby("_bucket", num_partitions=8)
+        .map_groups(pair_counts, batch_format="pandas")
+        .map_batches(finalize, batch_format="pyarrow", batch_size=65536)
+    )
+
+
+KG_SIMILAR_NODES_SQL_TEMPLATE = """
+WITH ed AS MATERIALIZED (
+    SELECT DISTINCT LEAST(subj_id, obj_id) AS a, GREATEST(subj_id, obj_id) AS b
+    FROM read_parquet('{edges}') WHERE subj_id <> obj_id
+),
+adj AS MATERIALIZED (
+    SELECT a AS mid, b AS nbr FROM ed UNION ALL SELECT b, a FROM ed
+),
+deg AS MATERIALIZED (
+    SELECT mid AS node, COUNT(*) AS d FROM adj GROUP BY 1
+),
+cnt AS (
+    SELECT a1.nbr AS node_a, a2.nbr AS node_b, COUNT(*) AS n_common
+    FROM adj a1 JOIN adj a2 ON a1.mid = a2.mid AND a1.nbr < a2.nbr
+    GROUP BY ALL HAVING COUNT(*) >= {min_common}
+)
+SELECT c.node_a, c.node_b,
+       CAST(c.n_common AS BIGINT) AS n_common,
+       CAST(da.d + db.d - c.n_common AS BIGINT) AS n_union,
+       CAST(c.n_common AS DOUBLE) / (da.d + db.d - c.n_common) AS jaccard
+FROM cnt c
+JOIN deg da ON da.node = c.node_a
+JOIN deg db ON db.node = c.node_b
+"""
+
+
+# ------------------------------------------------- k-core extraction ----
+
+def kg_kcore(sf_dir: str, k: int = 3, max_rounds: int = 64):
+    """Nodes of the k-core of the undirected simple graph with their
+    within-core degree.
+
+    Distributed peel: each round recomputes degrees with one
+    vocab-sized grouped count, broadcasts the surviving-node set
+    (gazetteer-bounded, like kg_reachability's frontier) and filters
+    the edge list; stops at the fixpoint.  The driver only ever holds
+    node-vocab-sized degree tables and one edge count per round.
+    Oracle: independent sequential peel in rust_bert_ray.expected
+    (expected-table), built from the independently-derived expected
+    edges — not from these stages.
+    """
+    import numpy as np
+
+    edges = edges_dataset(sf_dir)
+    und = _undirected_pairs(edges).materialize()
+    n_edges = und.count()
+
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        deg_df = (
+            und.map_batches(
+                lambda t: pa.Table.from_pydict(
+                    {
+                        "node": pa.concat_arrays(
+                            [
+                                t.column("a").combine_chunks(),
+                                t.column("b").combine_chunks(),
+                            ]
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+                batch_size=65536,
+            )
+            .groupby("node", num_partitions=8)
+            .count()
+            .to_pandas()
+        )
+        keep = set(deg_df.loc[deg_df["count()"] >= k, "node"])
+        if len(keep) == len(deg_df):
+            break  # fixpoint: every remaining node has degree >= k
+        keep_ref = ray.put(keep)
+
+        def peel(t: pa.Table, _ref=keep_ref) -> pa.Table:
+            import pyarrow.compute as pc
+
+            kept = pa.array(sorted(ray.get(_ref)), pa.string())
+            mask = pc.and_(
+                pc.is_in(t.column("a"), value_set=kept),
+                pc.is_in(t.column("b"), value_set=kept),
+            )
+            return t.filter(mask)
+
+        und = und.map_batches(
+            peel, batch_format="pyarrow", batch_size=65536
+        ).materialize()
+        n_edges = und.count()
+
+    def core_deg(t: pa.Table) -> pa.Table:
+        nodes = pa.concat_arrays(
+            [t.column("a").combine_chunks(), t.column("b").combine_chunks()]
+        )
+        return pa.Table.from_pydict({"node_id": nodes})
+
+    out = (
+        und.map_batches(core_deg, batch_format="pyarrow", batch_size=65536)
+        .groupby("node_id", num_partitions=8)
+        .count()
+    )
+    return out.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "node_id": pa.array(t.column("node_id").to_pylist(), pa.string()),
+                "core_deg": pa.array(
+                    np.asarray(t.column("count()"), dtype=np.int64), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -148,3 +148,87 @@ def test_influence_walk_counts(tiny_edges):
     ).df()
     want = _sorted_df(want)[got.columns.tolist()]
     assert got.astype(str).equals(want.astype(str))
+
+
+def test_similar_nodes_matches_duckdb(tiny_edges):
+    # undirected: a-b, a-c, b-c, d-b.  Common-neighbor pairs with >=1
+    # shared: (a,c) via b, (a,d) via b, (c,d) via b, (b,c) via a, ...
+    got = _sorted_df(graph.kg_similar_nodes("unused", min_common=1))
+    want = _sorted_df(
+        duckdb.sql(
+            graph.KG_SIMILAR_NODES_SQL_TEMPLATE.format(
+                edges="{edges}", min_common=1
+            ).replace("read_parquet('{edges}')", "_EDGES")
+        ).df()
+    )
+    assert got.shape == want.shape
+    assert got.equals(want.astype(got.dtypes.to_dict()))
+
+
+def test_similar_nodes_jaccard_hand_value(tiny_edges):
+    out = _sorted_df(graph.kg_similar_nodes("unused", min_common=1))
+    row = out[(out.node_a == "a") & (out.node_b == "d")].iloc[0]
+    # N(a)={b,c}, N(d)={b}: common {b}=1, union {b,c}=2
+    assert row.n_common == 1 and row.n_union == 2 and row.jaccard == 0.5
+
+
+def test_kcore_peels_to_triangle(tiny_edges):
+    # 2-core of {a-b, a-c, b-c, d-b} is the a/b/c triangle (d is pendant)
+    out = _sorted_df(graph.kg_kcore("unused", k=2))
+    assert out.node_id.tolist() == ["a", "b", "c"]
+    assert out.core_deg.tolist() == [2, 2, 2]
+
+
+def test_kcore_k4_plus_pendant(monkeypatch):
+    nodes = ["p", "q", "r", "s"]
+    subj, obj = [], []
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1:]:
+            subj.append(u)
+            obj.append(v)
+    subj.append("s")
+    obj.append("t")  # pendant keeps t out of the 3-core
+    t = pa.table(
+        {
+            "subj_id": subj,
+            "pred": ["r"] * len(subj),
+            "obj_id": obj,
+            "n_obs": pa.array([1] * len(subj), type=pa.int64()),
+        }
+    )
+    monkeypatch.setattr(
+        graph, "edges_dataset", lambda sf_dir: ray.data.from_arrow(t)
+    )
+    out = _sorted_df(graph.kg_kcore("unused", k=3))
+    assert out.node_id.tolist() == ["p", "q", "r", "s"]
+    assert out.core_deg.tolist() == [3, 3, 3, 3]
+
+
+def test_kcore_empty_when_overpeeled(tiny_edges):
+    # k=3 on the triangle+pendant graph removes everything
+    out = graph.kg_kcore("unused", k=3).to_pandas()
+    assert len(out) == 0
+
+
+def test_expected_kcore_independent_peel_agrees():
+    """The sequential expected-builder peel and the distributed peel
+    agree on the tiny graph (same definition, different algorithms)."""
+    from rust_bert_ray import expected
+
+    nodes = ["p", "q", "r", "s"]
+    subj, obj = [], []
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1:]:
+            subj.append(u)
+            obj.append(v)
+    subj.append("s")
+    obj.append("t")
+    fake_edges = pa.table({"subj_id": subj, "obj_id": obj})
+    orig = expected.kg_edges
+    try:
+        expected.kg_edges = lambda sf_dir, corpus_root: fake_edges
+        out = expected.kg_kcore("x", "y", k=3).to_pandas()
+    finally:
+        expected.kg_edges = orig
+    assert out.node_id.tolist() == ["p", "q", "r", "s"]
+    assert out.core_deg.tolist() == [3, 3, 3, 3]
