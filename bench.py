@@ -44,6 +44,10 @@ BENCH_QUERIES = [
     "dedup_contamination",
     "curation_corpus",
     "q_dsir_weights",
+    "q_gopher_quality",
+    "q_pii_scan",
+    "q_ngram_stats",
+    "q_distinct_sketch",
     "q_tfidf_topk",
     "ann_topk",
     "ann_lsh_topk",
@@ -54,6 +58,8 @@ BENCH_QUERIES = [
     # flagship), so these time the graph operator alone
     "kg_degree_stats",
     "kg_triangles",
+    "kg_similar_nodes",
+    "kg_kcore",
 ]
 
 

@@ -148,7 +148,13 @@ def _banned_ngram_tokens(tokens: list[str], n: int) -> set[str]:
 class GenerateOptions:
     """Per-call overrides (generation_utils.rs:1633-1703 analog)."""
 
-    max_length: int = 20
+    # max_length bounds GENERATED tokens here (the encoder-decoder
+    # convention: cur_len starts at 1, generation_utils.rs:2016-2021).
+    # None defers to max_new_tokens, then to the default of 20 — when
+    # both are given max_length wins, mirroring the reference's rule
+    # (generation_utils.rs:1639-1640, 2099-2102).
+    max_length: Optional[int] = None
+    max_new_tokens: Optional[int] = None
     min_length: int = 0
     num_beams: int = 1
     do_sample: bool = False
@@ -172,6 +178,38 @@ class GenerateOptions:
     # Forced decoder BOS (translation_pipeline.rs:1239-1263): the FIRST
     # generated token is pinned (MBart/M2M100/NLLB target-language token).
     forced_bos_token: Optional[str] = None
+    # Banned token sequences (generation_utils.rs:674-800,884-900): a
+    # length-1 entry is banned at every step (static mask); for longer
+    # entries the LAST token is banned whenever the sequence so far ends
+    # with the entry's prefix (tokens_match suffix rule, :706-714).
+    bad_words: Optional[list[list[str]]] = None
+    # Number of sequences returned per prompt (generate_full):
+    # independent samples when do_sample, the top-n finished hypotheses
+    # under beam search (must be <= num_beams, :208), and exactly 1 for
+    # greedy (:204) — generation_utils.rs:1470-1530 semantics.
+    num_return_sequences: int = 1
+    # Attach a score to each returned sequence: beam = the hypothesis
+    # score logp/len^length_penalty; greedy/sampling = sum of the chosen
+    # tokens' log-softmax (of the PROCESSED logits, :965-973) divided by
+    # emitted length^length_penalty (:1029-1037).
+    output_scores: bool = False
+
+    def budget(self) -> int:
+        """Effective generated-token budget (max_length > max_new_tokens > 20)."""
+        if self.max_length is not None:
+            return self.max_length
+        if self.max_new_tokens is not None:
+            return self.max_new_tokens
+        return 20
+
+
+@dataclass
+class GeneratedTextOutput:
+    """generation_utils.rs:1606-1611 analog (score None unless
+    ``output_scores``)."""
+
+    text: str
+    score: Optional[float] = None
 
 
 @dataclass
@@ -260,6 +298,23 @@ class Generator:
                     if logits[i] < 0
                     else logits[i] / opts.repetition_penalty
                 )
+        if opts.bad_words:
+            vocab_index = self._vocab_index()
+            for bw in opts.bad_words:
+                if not bw:
+                    continue
+                if len(bw) == 1:
+                    i = vocab_index.get(bw[0])
+                    if i is not None:
+                        logits[i] = -np.inf
+                else:
+                    pre = bw[:-1]
+                    # tokens_match (generation_utils.rs:706-714): ban the
+                    # final token when the sequence ends with the prefix
+                    if len(pre) <= len(tokens) and tokens[len(tokens) - len(pre):] == pre:
+                        i = vocab_index.get(bw[-1])
+                        if i is not None:
+                            logits[i] = -np.inf
         if opts.min_length and len(tokens) < opts.min_length:
             logits[self.lm.eos_id] = -np.inf
         if opts.no_repeat_ngram_size:
@@ -282,8 +337,47 @@ class Generator:
         elif opts.num_beams > 1:
             out = self._beam(prompt_tokens, opts)
         else:
-            out = self._greedy_or_sample(prompt_tokens, opts)
+            out, _ = self._greedy_or_sample(prompt_tokens, opts)
         return " ".join(out)
+
+    def generate_full(
+        self, prompt: str, opts: GenerateOptions | None = None
+    ) -> list[GeneratedTextOutput]:
+        """num_return_sequences × (text, score) per prompt — the
+        reference's generate() → Vec<GeneratedTextOutput> surface
+        (generation_utils.rs:1774-1793, selection :1470-1530)."""
+        opts = opts or GenerateOptions()
+        prompt_tokens = prompt.split() if prompt else []
+        n = opts.num_return_sequences
+        if opts.num_beams > 1:
+            if n > opts.num_beams:
+                raise ValueError(
+                    "num_return_sequences must be lower than the number of beams"
+                )
+            hyps = (
+                self._beam_grouped_all(prompt_tokens, opts)
+                if opts.num_beam_groups > 1
+                else self._beam_all(prompt_tokens, opts)
+            )
+            return [
+                GeneratedTextOutput(
+                    " ".join(toks), score if opts.output_scores else None
+                )
+                for score, toks in hyps[:n]
+            ]
+        if opts.do_sample:
+            rng = np.random.default_rng(opts.seed)
+            outs = []
+            for _ in range(n):
+                toks, score = self._greedy_or_sample(prompt_tokens, opts, rng=rng)
+                outs.append(GeneratedTextOutput(" ".join(toks), score))
+            return outs
+        if n != 1:
+            raise ValueError(
+                "num_return_sequences must be set to 1 for greedy decoding"
+            )
+        toks, score = self._greedy_or_sample(prompt_tokens, opts)
+        return [GeneratedTextOutput(" ".join(toks), score)]
 
     def _prefill(self, tokens: list[str]):
         if hasattr(self.lm, "prefill"):
@@ -295,11 +389,17 @@ class Generator:
             return self.lm.step(state, token)
         return None
 
-    def _greedy_or_sample(self, prompt: list[str], opts: GenerateOptions) -> list[str]:
-        rng = np.random.default_rng(opts.seed)
+    def _greedy_or_sample(
+        self,
+        prompt: list[str],
+        opts: GenerateOptions,
+        rng: np.random.Generator | None = None,
+    ) -> tuple[list[str], Optional[float]]:
+        rng = rng if rng is not None else np.random.default_rng(opts.seed)
         tokens = list(prompt)
         state = self._prefill(tokens)
-        for step in range(opts.max_length):
+        total_lp, n_emitted = 0.0, 0
+        for step in range(opts.budget()):
             logits = self._step_logits(tokens, opts, n_generated=step, state=state)
             if opts.do_sample:
                 logits = top_k_top_p_filter(
@@ -311,17 +411,29 @@ class Generator:
                 idx = int(rng.choice(len(probs), p=probs))
             else:
                 idx = int(np.argmax(logits))
+            if opts.output_scores:
+                # log-softmax of the PROCESSED logits at the chosen token
+                # (generation_utils.rs:965-973); the terminating EOS is
+                # scored and counted like any emitted token
+                m = float(np.max(logits))
+                total_lp += float(logits[idx]) - m - float(
+                    np.log(np.exp(logits - m).sum())
+                )
+                n_emitted += 1
             tok = self.lm.vocab[idx]
             if tok == EOS:
                 break
             tokens.append(tok)
             state = self._advance(state, tok)
-        return tokens[len(prompt) :]
+        score = None
+        if opts.output_scores:
+            score = total_lp / max(1, n_emitted) ** opts.length_penalty
+        return tokens[len(prompt) :], score
 
     def _beam(self, prompt: list[str], opts: GenerateOptions) -> list[str]:
         beams: list[_Hyp] = [_Hyp(list(prompt), 0.0, state=self._prefill(prompt))]
         done = BeamHypotheses(opts.num_beams, opts.length_penalty, opts.early_stopping)
-        for _step in range(opts.max_length):
+        for _step in range(opts.budget()):
             candidates: list[_Hyp] = []
             for h in beams:
                 logits = self._step_logits(
@@ -357,8 +469,28 @@ class Generator:
                 break
         for h in beams:
             done.add(h)
+        self._last_beam_hyps = done
         best = done.hyps[0][1]
         return best.tokens[len(prompt) :]
+
+    def _beam_all(
+        self, prompt: list[str], opts: GenerateOptions
+    ) -> list[tuple[float, list[str]]]:
+        """All finished hypotheses, best first (the reference's sorted
+        pop loop, generation_utils.rs:1494-1504)."""
+        self._beam(prompt, opts)
+        done: BeamHypotheses = self._last_beam_hyps
+        return [(s, h.tokens[len(prompt):]) for s, h in done.hyps]
+
+    def _beam_grouped_all(
+        self, prompt: list[str], opts: GenerateOptions
+    ) -> list[tuple[float, list[str]]]:
+        self._beam_grouped(prompt, opts)
+        groups: list[BeamHypotheses] = self._last_group_hyps
+        merged = sorted(
+            (t for d in groups for t in d.hyps), key=lambda t: -t[0]
+        )
+        return [(s, h.tokens[len(prompt):]) for s, h in merged]
 
     def _beam_grouped(self, prompt: list[str], opts: GenerateOptions) -> list[str]:
         """Diverse beam search (generation_utils.rs:615-648 semantics):
@@ -383,7 +515,7 @@ class Generator:
             BeamHypotheses(group_size, opts.length_penalty, opts.early_stopping)
             for _ in range(n_groups)
         ]
-        for _step in range(opts.max_length):
+        for _step in range(opts.budget()):
             step_counts: dict[str, int] = {}
             any_alive = False
             for gi in range(n_groups):
@@ -438,6 +570,7 @@ class Generator:
         for gi in range(n_groups):
             for h in groups[gi]:
                 done[gi].add(h)
+        self._last_group_hyps = done
         finished = [d.hyps[0] for d in done if d.hyps]
         best = max(finished, key=lambda t: t[0])[1]
         return best.tokens[len(prompt) :]

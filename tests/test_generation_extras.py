@@ -269,3 +269,100 @@ def test_kv_cache_states_immutable_across_beams():
     # diverging beams never alias state
     assert lm.step(s1, "z").last2 == ("x", "z")
     assert s1.last2 == ("c", "x")
+
+
+# ----------------------------------------------- bad words / returns / scores
+
+def test_bad_words_single_token_never_generated():
+    gen = Generator()
+    base = gen.generate("data table", GenerateOptions(max_length=12))
+    assert base  # something is generated without the ban
+    banned_tok = base.split()[0]
+    out = gen.generate(
+        "data table",
+        GenerateOptions(max_length=12, bad_words=[[banned_tok]]),
+    )
+    assert banned_tok not in out.split()
+
+
+def test_bad_words_sequence_bans_only_the_continuation():
+    gen = Generator()
+    base = gen.generate("data table", GenerateOptions(max_length=12)).split()
+    # ban the first generated bigram as a SEQUENCE: the pair must vanish,
+    # though each token may still appear separately
+    a, b = base[0], base[1]
+    out = gen.generate(
+        "data table",
+        GenerateOptions(max_length=12, bad_words=[[a, b]]),
+    ).split()
+    assert (a, b) not in set(zip(out, out[1:]))
+
+
+def test_max_new_tokens_budget_and_max_length_priority():
+    gen = Generator()
+    long = gen.generate("data", GenerateOptions(max_length=12))
+    viaa = gen.generate("data", GenerateOptions(max_new_tokens=12))
+    assert viaa == long  # same budget path
+    short = gen.generate("data", GenerateOptions(max_new_tokens=3))
+    assert len(short.split()) <= 3
+    # both given: max_length wins (generation_utils.rs:1639-1640)
+    both = gen.generate("data", GenerateOptions(max_length=12, max_new_tokens=3))
+    assert both == long
+
+
+def test_num_return_sequences_sampling_deterministic():
+    gen = Generator()
+    opts = GenerateOptions(
+        max_length=8, do_sample=True, top_k=5, seed=11, num_return_sequences=3
+    )
+    outs1 = gen.generate_full("data table", opts)
+    outs2 = gen.generate_full("data table", opts)
+    assert [o.text for o in outs1] == [o.text for o in outs2]
+    assert len(outs1) == 3
+    assert len({o.text for o in outs1}) > 1  # independent draws differ
+
+
+def test_num_return_sequences_beam_topn_scores_descending():
+    gen = Generator()
+    opts = GenerateOptions(
+        max_length=8, num_beams=4, num_return_sequences=3, output_scores=True
+    )
+    outs = gen.generate_full("data table", opts)
+    assert len(outs) == 3
+    scores = [o.score for o in outs]
+    assert all(s is not None for s in scores)
+    assert scores == sorted(scores, reverse=True)
+    # best hypothesis == the plain generate() answer
+    assert outs[0].text == gen.generate("data table", GenerateOptions(max_length=8, num_beams=4))
+
+
+def test_num_return_sequences_validation():
+    gen = Generator()
+    with pytest.raises(ValueError, match="lower than the number of beams"):
+        gen.generate_full(
+            "x", GenerateOptions(num_beams=2, num_return_sequences=3)
+        )
+    with pytest.raises(ValueError, match="greedy"):
+        gen.generate_full("x", GenerateOptions(num_return_sequences=2))
+
+
+def test_output_scores_greedy_length_penalty_algebra():
+    gen = Generator()
+    s0 = gen.generate_full(
+        "data table",
+        GenerateOptions(max_length=8, output_scores=True, length_penalty=0.0),
+    )[0].score
+    s1 = gen.generate_full(
+        "data table",
+        GenerateOptions(max_length=8, output_scores=True, length_penalty=1.0),
+    )[0].score
+    s2 = gen.generate_full(
+        "data table",
+        GenerateOptions(max_length=8, output_scores=True, length_penalty=2.0),
+    )[0].score
+    assert s0 is not None and s0 < 0  # sum of log-probs
+    n = s0 / s1  # emitted length
+    assert abs(n - round(n)) < 1e-9 and n >= 1
+    assert abs(s2 - s0 / n**2) < 1e-12
+    # scores off by default
+    assert gen.generate_full("data table", GenerateOptions(max_length=8))[0].score is None
