@@ -155,6 +155,17 @@ def _kg_media_inventory(sf_dir: str):
     return media_inventory(docs)
 
 
+def _kg_media_transitions(sf_dir: str):
+    """Interleaving profile: adjacent (kind → kind) span transitions."""
+    import ray.data
+
+    from rust_bert_ray.stages.multimodal import media_transitions
+
+    _, docs_dir = corpus_for(sf_dir)
+    docs = ray.data.read_parquet(docs_dir, columns=["doc_id", "spans"])
+    return media_transitions(docs)
+
+
 def _kg_media_features(sf_dir: str):
     import numpy as np
     import pyarrow as pa
@@ -533,18 +544,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes": _kg_nodes,
         "kg_edges": _kg_edges,
         "kg_media_features": _kg_media_features,
+        "kg_media_transitions": _kg_media_transitions,
         # --- KG graph analytics (over the materialized edges table) ---
         "kg_degree_stats": graph.kg_degree_stats,
-        "kg_paths_2hop": graph.kg_paths_2hop,
-        "kg_reachability": graph.kg_reachability,
         "kg_components": graph.kg_components,
         "kg_triangles": graph.kg_triangles,
-        "kg_influence": graph.kg_influence,
         "kg_pagerank": graph.kg_pagerank,
         "kg_similar_nodes": graph.kg_similar_nodes,
         "kg_kcore": graph.kg_kcore,
         # --- relational plumbing (TPC-H-ish tables) ---
         "q1_pricing_summary": relational.q1_pricing_summary,
+        "q_events_funnel": relational.q_events_funnel,
+        "q_events_retention": relational.q_events_retention,
         # --- text analysis (documents) ---
         "q_sample_mixture": text.q_sample_mixture,
         "q_tfidf_topk": text.q_tfidf_topk,
@@ -584,6 +595,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_keywords": _q_keywords,
         "q_events_sessions": relational.q_events_sessions,
         "q_events_cumulative": relational.q_events_cumulative,
+        "kg_paths_2hop": graph.kg_paths_2hop,
+        "kg_reachability": graph.kg_reachability,
+        "kg_influence": graph.kg_influence,
         "q_events_hourly": relational.q_events_hourly,
         "q_events_asof": relational.q_events_asof,
         "q_events_sliding": relational.q_events_sliding,
@@ -652,6 +666,16 @@ FROM (SELECT UNNEST(spans) AS s
       FROM read_parquet('{_ORACLE_CORPUS}/docs/*.parquet'))
 GROUP BY s.kind
 """
+    kg_media_transitions_sql = f"""
+WITH sp AS (
+  SELECT doc_id, s.kind AS kind, s."offset" AS off
+  FROM (SELECT doc_id, UNNEST(spans) AS s
+        FROM read_parquet('{_ORACLE_CORPUS}/docs/*.parquet'))
+)
+SELECT a.kind AS kind_a, b.kind AS kind_b, COUNT(*) AS n
+FROM sp a JOIN sp b ON a.doc_id = b.doc_id AND b.off = a.off + 1
+GROUP BY 1, 2
+"""
     from rust_bert_ray.stages import classify
 
     # Expected-table oracles: the single-process reference run (see
@@ -679,6 +703,7 @@ GROUP BY s.kind
         **expected_backed,
         "kg_triples": kg_triples_sql,
         "kg_media_inventory": kg_media_inventory_sql,
+        "kg_media_transitions": kg_media_transitions_sql,
         "kg_degree_stats": kg_degree_stats_sql,
         "kg_paths_2hop": kg_paths_2hop_sql,
         "kg_reachability": kg_reachability_sql,
@@ -700,6 +725,8 @@ GROUP BY s.kind
         "q_events_hourly": relational.Q_EVENTS_HOURLY_SQL,
         "q_join_shuffle": relational.Q_JOIN_SHUFFLE_SQL,
         "q_events_sessions": relational.Q_EVENTS_SESSIONS_SQL,
+        "q_events_funnel": relational.Q_EVENTS_FUNNEL_SQL,
+        "q_events_retention": relational.Q_EVENTS_RETENTION_SQL,
         "q_events_cumulative": relational.Q_EVENTS_CUMULATIVE_SQL,
         "q_events_asof": relational.Q_EVENTS_ASOF_SQL,
         "q_events_range_join": relational.Q_EVENTS_RANGE_JOIN_SQL,

@@ -32,6 +32,8 @@ BENCH_QUERIES = [
     "q_order_revenue_topk",
     "q_segment_order_stats",
     "q_events_hourly",
+    "q_events_funnel",
+    "q_events_retention",
     "q_token_counts",
     "dedup_exact",
     "dedup_incremental",

@@ -755,3 +755,204 @@ SELECT event_type,
 FROM events, (SELECT UNNEST([INTERVAL 0 MINUTE, INTERVAL 30 MINUTE]) AS o) offs
 GROUP BY event_type, window_start
 """
+
+
+# --------------------------------------------------- funnel analysis ----
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_events_funnel(sf_dir: str, steps: tuple[str, ...] = FUNNEL_STEPS):
+    """Ordered-sequence funnel: users reaching each step, where step k
+    requires an event of type ``steps[k]`` STRICTLY after the user's
+    earliest completion of step k-1 (the classic product-analytics
+    funnel; the "after" rule is a pure ts predicate so both engines
+    agree without tie-breaks).
+
+    Plan: hash-bucket users, ONE vectorized pandas pass per bucket
+    (sorted merges, no per-user Python), then a tiny grouped sum of the
+    per-bucket partial counts — the only shuffle carries (step,
+    event_type, count) partials bounded by buckets × steps.
+    """
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_bucket",
+            pc.cast(
+                pc.bit_wise_and(t.column("user_id"), pa.scalar(15, pa.int64())),
+                pa.int64(),
+            ),
+        )
+
+    def per_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        cur = (
+            df.loc[df["event_type"] == steps[0]]
+            .groupby("user_id", as_index=False)["ts"]
+            .min()
+        )
+        counts = [len(cur)]
+        for sname in steps[1:]:
+            nxt = df.loc[df["event_type"] == sname].merge(
+                cur.rename(columns={"ts": "prev"}), on="user_id"
+            )
+            cur = (
+                nxt.loc[nxt["ts"] > nxt["prev"], ["user_id", "ts"]]
+                .groupby("user_id", as_index=False)["ts"]
+                .min()
+            )
+            counts.append(len(cur))
+        return pd.DataFrame(
+            {
+                "step": np.arange(1, len(steps) + 1, dtype=np.int64),
+                "event_type": list(steps),
+                "p_users": np.array(counts, dtype=np.int64),
+            }
+        )
+
+    agg = (
+        ev.map_batches(bucketed, batch_format="pyarrow", batch_size=65536)
+        .groupby("_bucket", num_partitions=4)
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby(["step", "event_type"], num_partitions=4)
+        .aggregate(Sum("p_users", alias_name="n_users"))
+    )
+    return agg.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "step": t.column("step"),
+                "event_type": t.column("event_type"),
+                "n_users": pc.cast(t.column("n_users"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+Q_EVENTS_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t
+  GROUP BY e.user_id
+)
+SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type, COUNT(*) AS n_users FROM s1
+UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
+UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3
+"""
+
+
+# --------------------------------------------------- cohort retention ----
+
+_DAY_US = 86_400_000_000
+
+
+def q_events_retention(sf_dir: str):
+    """Classic cohort retention: users grouped by first-activity day,
+    distinct active users per (cohort_day, day_offset).
+
+    Plan: per-user first-event time via a grouped min over int64
+    microseconds (user-bounded exchange), hash-partitioned
+    ``Dataset.join`` back onto the event stream (both-sides-large
+    shape), per-batch distinct (cohort, offset, user) projection, then
+    a grouped distinct-count.  No driver-side materialization of users.
+    """
+    import numpy as np
+    import pandas as pd
+
+    ev = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "user_id": t.column("user_id"),
+                "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            }
+        )
+
+    us = ev.map_batches(to_us, batch_format="pyarrow", batch_size=4096)
+    first = (
+        us.groupby("user_id", num_partitions=8)
+        .min("ts_us")
+        .map_batches(
+            lambda t: pa.Table.from_pydict(
+                {
+                    "u_r": t.column("user_id"),
+                    # cohort day floor in exact integer microseconds
+                    "d0_us": pc.multiply(
+                        pc.divide(t.column("min(ts_us)"), pa.scalar(_DAY_US, pa.int64())),
+                        pa.scalar(_DAY_US, pa.int64()),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+            batch_size=4096,  # feeds Dataset.join: declare a batch_size
+        )
+    )
+    joined = us.join(first, "inner", 8, on=("user_id",), right_on=("u_r",))
+
+    def project(t: pa.Table) -> "pd.DataFrame":
+        df = t.to_pandas()
+        day = df["ts_us"].to_numpy() // _DAY_US * _DAY_US
+        df2 = pd.DataFrame(
+            {
+                "cohort_us": df["d0_us"].to_numpy(),
+                "day_offset": ((day - df["d0_us"].to_numpy()) // _DAY_US).astype(
+                    np.int64
+                ),
+                "user_id": df["user_id"],
+            }
+        ).drop_duplicates()
+        return df2
+
+    def count_users(df: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "cohort_us": df["cohort_us"].iloc[:1],
+                "day_offset": df["day_offset"].iloc[:1],
+                "n_users": np.array([df["user_id"].nunique()], dtype=np.int64),
+            }
+        )
+
+    out = (
+        joined.map_batches(project, batch_format="pyarrow", batch_size=65536)
+        .groupby(["cohort_us", "day_offset"], num_partitions=8)
+        .map_groups(count_users, batch_format="pandas")
+    )
+    return out.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "cohort_day": pc.cast(t.column("cohort_us"), pa.timestamp("us")),
+                "day_offset": t.column("day_offset"),
+                "n_users": t.column("n_users"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+Q_EVENTS_RETENTION_SQL = """
+WITH f AS (
+  SELECT user_id, date_trunc('day', MIN(ts)) AS d0
+  FROM events GROUP BY user_id
+)
+SELECT f.d0 AS cohort_day,
+       date_diff('day', f.d0, date_trunc('day', e.ts)) AS day_offset,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM events e JOIN f USING (user_id)
+GROUP BY 1, 2
+"""

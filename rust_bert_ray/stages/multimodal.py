@@ -228,3 +228,62 @@ def media_inventory(docs_ds, concurrency: int = 2):
     partials = docs_ds.map_batches(count_kinds, batch_format="pyarrow", batch_size=8192)
     agg = partials.groupby("kind", num_partitions=4).aggregate(Sum("p_n", alias_name="n_spans"))
     return agg
+
+
+def media_transitions(docs_ds):
+    """Interleaving profile: (kind → next kind) transition counts.
+
+    Within each document, spans are ordered by their ``offset`` field
+    and every adjacent pair contributes one (kind_a, kind_b) count —
+    the layout statistic a mixed-modality chunker/packer keys on.
+    Vectorized: the spans ListArray is flattened once per batch; pair
+    keys are integer-encoded and counted with ``np.unique``.  Only the
+    per-batch combined (kind_a, kind_b, n) partials are shuffled.
+    """
+    import numpy as np
+
+    def count_transitions(batch: pa.Table) -> pa.Table:
+        col = batch.column("spans")
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        flat = arr.flatten()
+        offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_spans = np.diff(offsets)
+        kinds = np.asarray(flat.field("kind").to_pylist(), dtype=object)
+        span_off = flat.field("offset").to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(n_spans)), n_spans)
+        # order within doc by the span's own offset (robust to list order)
+        order = np.lexsort((span_off, doc_idx))
+        kinds, doc_idx = kinds[order], doc_idx[order]
+
+        uniq, inv = np.unique(kinds, return_inverse=True)
+        V = max(len(uniq), 1)
+        same = doc_idx[:-1] == doc_idx[1:] if len(doc_idx) > 1 else np.zeros(0, bool)
+        code = inv[:-1][same] * V + inv[1:][same]
+        ucode, counts = np.unique(code, return_counts=True)
+        return pa.Table.from_pydict(
+            {
+                "kind_a": pa.array([uniq[c // V] for c in ucode], pa.string()),
+                "kind_b": pa.array([uniq[c % V] for c in ucode], pa.string()),
+                "p_n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    partials = docs_ds.map_batches(
+        count_transitions, batch_format="pyarrow", batch_size=8192
+    )
+    return (
+        partials.groupby(["kind_a", "kind_b"], num_partitions=4)
+        .aggregate(Sum("p_n", alias_name="n"))
+        .map_batches(
+            lambda t: pa.Table.from_pydict(
+                {
+                    "kind_a": t.column("kind_a"),
+                    "kind_b": t.column("kind_b"),
+                    "n": t.column("n"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )

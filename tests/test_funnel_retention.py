@@ -1,0 +1,124 @@
+"""Funnel + cohort-retention semantics on a hand-built events table."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from rust_bert_ray.functions import relational
+
+
+def _write_events(tmp_path, rows):
+    ts, uid, etype = zip(*rows)
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array(pd.to_datetime(list(ts)), pa.timestamp("us")),
+            "user_id": pa.array(uid, pa.int64()),
+            "event_type": pa.array(etype, pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(t, sf / "events.parquet")
+    return str(sf), t
+
+
+ROWS = [
+    # user 1 completes the whole funnel in order
+    ("2024-01-01 10:00", 1, "view"),
+    ("2024-01-01 11:00", 1, "click"),
+    ("2024-01-02 09:00", 1, "purchase"),
+    # user 2: click BEFORE the first view — stops at step 1
+    ("2024-01-01 08:00", 2, "click"),
+    ("2024-01-01 09:00", 2, "view"),
+    ("2024-01-01 09:30", 2, "error"),
+    # user 3: view then purchase but never clicks — stops at step 1
+    ("2024-01-03 10:00", 3, "view"),
+    ("2024-01-03 11:00", 3, "purchase"),
+    # user 4: never views — counted nowhere
+    ("2024-01-01 12:00", 4, "click"),
+    ("2024-01-04 12:00", 4, "purchase"),
+    # user 5: full funnel, with a later second view (ignored: earliest wins)
+    ("2024-01-02 10:00", 5, "view"),
+    ("2024-01-02 10:05", 5, "click"),
+    ("2024-01-02 10:10", 5, "purchase"),
+    ("2024-01-03 10:00", 5, "view"),
+]
+
+
+def test_funnel_hand_counts(ray_session, tmp_path):
+    sf, _ = _write_events(tmp_path, ROWS)
+    out = (
+        relational.q_events_funnel(sf)
+        .to_pandas()
+        .sort_values("step")
+        .reset_index(drop=True)
+    )
+    assert out.step.tolist() == [1, 2, 3]
+    assert out.event_type.tolist() == ["view", "click", "purchase"]
+    # views: users 1,2,3,5; clicks after view: 1,5; purchases after: 1,5
+    assert out.n_users.tolist() == [4, 2, 2]
+
+
+def test_funnel_matches_duckdb(ray_session, tmp_path):
+    sf, t = _write_events(tmp_path, ROWS)
+    got = (
+        relational.q_events_funnel(sf)
+        .to_pandas()
+        .sort_values("step")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", t)
+    want = (
+        con.execute(relational.Q_EVENTS_FUNNEL_SQL)
+        .df()
+        .sort_values("step")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want.astype(got.dtypes.to_dict()))
+
+
+def test_retention_hand_counts(ray_session, tmp_path):
+    sf, t = _write_events(tmp_path, ROWS)
+    out = relational.q_events_retention(sf).to_pandas()
+    got = {
+        (r.cohort_day.strftime("%Y-%m-%d"), int(r.day_offset)): int(r.n_users)
+        for r in out.itertuples()
+    }
+    # Jan-1 cohort = users 1,2,4; day0 all 3 active; day1: users 1 (purchase)
+    # -> 1; day3: user 4 -> 1.  Jan-2 cohort = user 5 (day0, day1).
+    # Jan-3 cohort = user 3 (day0).
+    assert got == {
+        ("2024-01-01", 0): 3,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 3): 1,
+        ("2024-01-02", 0): 1,
+        ("2024-01-02", 1): 1,
+        ("2024-01-03", 0): 1,
+    }
+
+
+def test_retention_matches_duckdb(ray_session, tmp_path):
+    sf, t = _write_events(tmp_path, ROWS)
+    cols = ["cohort_day", "day_offset", "n_users"]
+    got = (
+        relational.q_events_retention(sf)
+        .to_pandas()[cols]
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", t)
+    want = (
+        con.execute(relational.Q_EVENTS_RETENTION_SQL)
+        .df()[cols]
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    assert got.shape == want.shape
+    assert got.equals(want.astype(got.dtypes.to_dict()))

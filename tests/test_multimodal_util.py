@@ -157,3 +157,28 @@ def test_media_resize_fit_in_box():
             assert abs(src_ar - dst_ar) / src_ar < 0.05
     with pytest.raises(NotImplementedError):
         MediaResizeStage(strict=True)(docs)
+
+
+def test_media_transitions_offset_ordered(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from rust_bert_ray.stages.multimodal import media_transitions
+
+    def span(kind, off):
+        return {"kind": kind, "text": "", "media_ref": "", "offset": off}
+
+    # doc A: text -> image -> text (listed OUT of offset order on purpose)
+    # doc B: image -> image
+    docs = pa.table(
+        {
+            "doc_id": ["a", "b"],
+            "spans": [
+                [span("image", 1), span("text", 0), span("text", 2)],
+                [span("image", 0), span("image", 1)],
+            ],
+        }
+    )
+    out = media_transitions(ray.data.from_arrow(docs)).to_pandas()
+    got = {(r.kind_a, r.kind_b): r.n for r in out.itertuples()}
+    assert got == {("text", "image"): 1, ("image", "text"): 1, ("image", "image"): 1}
