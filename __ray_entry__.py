@@ -547,7 +547,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_media_transitions": _kg_media_transitions,
         # --- KG graph analytics (over the materialized edges table) ---
         "kg_degree_stats": graph.kg_degree_stats,
-        "kg_components": graph.kg_components,
         "kg_triangles": graph.kg_triangles,
         "kg_pagerank": graph.kg_pagerank,
         "kg_similar_nodes": graph.kg_similar_nodes,
@@ -577,6 +576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters_minhash": dedup.dedup_clusters_minhash,
         # --- similarity search / clustering (embeddings) ---
         "ann_topk": similarity.ann_topk,
+        "ann_filtered_topk": similarity.ann_filtered_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "q_embed_clusters": clustering.q_embed_clusters,
@@ -598,6 +598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_paths_2hop": graph.kg_paths_2hop,
         "kg_reachability": graph.kg_reachability,
         "kg_influence": graph.kg_influence,
+        "kg_components": graph.kg_components,
         "q_events_hourly": relational.q_events_hourly,
         "q_events_asof": relational.q_events_asof,
         "q_events_sliding": relational.q_events_sliding,
@@ -756,4 +757,5 @@ GROUP BY 1, 2
         "dedup_embedding_pairs": dedup.DEDUP_EMBEDDING_SQL,
         "dedup_clusters": dedup.DEDUP_CLUSTERS_SQL,
         "ann_topk": similarity.ANN_TOPK_SQL,
+        "ann_filtered_topk": similarity.ANN_FILTERED_TOPK_SQL,
     }

@@ -100,6 +100,44 @@ def ann_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10):
     return topk(scored, ["cos", "vec_id"], [True, False], k)
 
 
+def ann_filtered_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10, label: int = 3):
+    """Hybrid (filtered) search: exact cosine top-k restricted to a
+    metadata predicate (``label``), with the predicate pushed into the
+    Parquet scan (`filter=` → row-group statistics pruning) — vectors
+    failing the filter never enter the object store.  Scoring kernel and
+    top-k identical to :func:`ann_topk`."""
+    import pyarrow.dataset as pads
+
+    q = _query_vector(sf_dir, query_vec_id)
+    q_ref = ray.put(q)
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filter=(pads.field("label") == label),
+    )
+    scored = emb.map_batches(
+        CosineScore,
+        fn_constructor_kwargs={"q_ref": q_ref, "exclude_id": query_vec_id},
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=2,
+    )
+    from rust_bert_ray.functions.util import topk
+
+    return topk(scored, ["cos", "vec_id"], [True, False], k)
+
+
+ANN_FILTERED_TOPK_SQL = """
+SELECT b.vec_id AS vec_id,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 5) AS cos
+FROM embeddings a, embeddings b
+WHERE a.vec_id = 0 AND b.vec_id != 0 AND b.label = 3
+ORDER BY cos DESC, b.vec_id
+LIMIT 10
+"""
+
+
 ANN_TOPK_SQL = """
 SELECT b.vec_id AS vec_id,
        ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

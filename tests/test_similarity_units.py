@@ -95,3 +95,19 @@ def test_ann_index_fingerprint_invalidation(ray_session, tmp_path):
     base2, meta2 = S.ensure_lsh_index(str(sf))
     assert meta2["total_rows"] == 32 and meta2 != meta1
     shutil.rmtree(base2, ignore_errors=True)
+
+
+def test_ann_filtered_topk_respects_predicate(ray_session):
+    import pyarrow.parquet as pq
+
+    from rust_bert_ray.functions.similarity import ann_filtered_topk, ann_topk
+
+    sf = "/root/testdata/sf0.001"
+    out = ann_filtered_topk(sf, label=3).to_pandas()
+    lab = pq.read_table(sf + "/embeddings.parquet", columns=["vec_id", "label"]).to_pandas()
+    allowed = set(lab.loc[lab.label == 3, "vec_id"])
+    assert len(out) > 0 and set(out.vec_id) <= allowed
+    # scores agree with the unfiltered scorer on the shared kernel
+    full = ann_topk(sf, k=10_000).to_pandas().set_index("vec_id")["cos"]
+    for r in out.itertuples():
+        assert full.loc[r.vec_id] == r.cos
