@@ -525,8 +525,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- reference NLP pipelines over documents/corpus ---
         "q_generate": _q_generate,
-        "q_translate": _q_translate,
-        "q_pos_tags": _q_pos,
         "q_embed_docs": _q_embed,
         "q_masked_lm": _q_masked_lm,
         "q_lm_scores": _q_lm_scores,
@@ -555,6 +553,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q_events_funnel": relational.q_events_funnel,
         "q_events_retention": relational.q_events_retention,
+        "q_events_funnel_latency": relational.q_events_funnel_latency,
+        "q_top_docs_per_source": quality.q_top_docs_per_source,
         # --- text analysis (documents) ---
         "q_sample_mixture": text.q_sample_mixture,
         "q_tfidf_topk": text.q_tfidf_topk,
@@ -591,6 +591,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_multilabel": _q_multilabel,
         "q_sentiment": _q_sentiment,
         "q_zero_shot": _q_zero_shot,
+        "q_translate": _q_translate,
+        "q_pos_tags": _q_pos,
         "q_embed_dense": _q_embed_dense,
         "q_keywords": _q_keywords,
         "q_events_sessions": relational.q_events_sessions,
@@ -728,6 +730,8 @@ GROUP BY 1, 2
         "q_events_sessions": relational.Q_EVENTS_SESSIONS_SQL,
         "q_events_funnel": relational.Q_EVENTS_FUNNEL_SQL,
         "q_events_retention": relational.Q_EVENTS_RETENTION_SQL,
+        "q_events_funnel_latency": relational.Q_EVENTS_FUNNEL_LATENCY_SQL,
+        "q_top_docs_per_source": quality.Q_TOP_DOCS_PER_SOURCE_SQL,
         "q_events_cumulative": relational.Q_EVENTS_CUMULATIVE_SQL,
         "q_events_asof": relational.Q_EVENTS_ASOF_SQL,
         "q_events_range_join": relational.Q_EVENTS_RANGE_JOIN_SQL,

@@ -451,3 +451,51 @@ SELECT source,
 FROM rk
 WHERE rk = {KMV_K} OR (nd < {KMV_K} AND rk = 1)
 """
+
+
+# ------------------------------------------------- per-group top-k ----
+
+def q_top_docs_per_source(sf_dir: str, k: int = 3):
+    """Top-k longest documents per source (per-GROUP top-k — the window
+    function ROW_NUMBER() OVER (PARTITION BY ...) shape).
+
+    Plan: per-batch prune to the local top-k per source (a batch can
+    only contribute k rows per source) → hash-partitioned groupby on
+    source → exact top-k per group.  The shuffle carries at most
+    k × sources × batches rows, never the corpus.  Tie-break
+    (n_chars desc, doc_id asc) is total, so both engines agree.
+    """
+    import pandas as pd
+
+    docs = _read_documents(sf_dir, ["doc_id", "source", "n_chars"])
+
+    def local_topk(t: pa.Table) -> "pd.DataFrame":
+        df = t.to_pandas()
+        df = df.sort_values(
+            ["source", "n_chars", "doc_id"], ascending=[True, False, True]
+        )
+        return df.groupby("source", as_index=False).head(k)
+
+    def group_topk(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(k)
+        out = df.reset_index(drop=True)
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out[["source", "rank", "doc_id", "n_chars"]]
+
+    return (
+        docs.map_batches(local_topk, batch_format="pyarrow", batch_size=65536)
+        .groupby("source", num_partitions=4)
+        .map_groups(group_topk, batch_format="pandas")
+    )
+
+
+Q_TOP_DOCS_PER_SOURCE_SQL = """
+SELECT source, rank, doc_id, n_chars
+FROM (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rank
+  FROM documents
+)
+WHERE rank <= 3
+"""

@@ -956,3 +956,137 @@ SELECT f.d0 AS cohort_day,
 FROM events e JOIN f USING (user_id)
 GROUP BY 1, 2
 """
+
+
+# ------------------------------------------- funnel conversion latency ----
+
+def q_events_funnel_latency(sf_dir: str, steps: tuple[str, ...] = FUNNEL_STEPS):
+    """Exact conversion-latency aggregates per funnel transition:
+    for users reaching step k, the time from their earliest step k-1
+    completion to their earliest qualifying step-k event — n, min, max,
+    sum and floor-mean in integer microseconds (exact algebra, so the
+    SQL oracle hash-matches without float-order traps)."""
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Max, Min, Sum
+
+    ev = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "user_id": t.column("user_id"),
+                "event_type": t.column("event_type"),
+                "ts_us": pc.cast(t.column("ts"), pa.int64()),
+                "_bucket": pc.cast(
+                    pc.bit_wise_and(t.column("user_id"), pa.scalar(15, pa.int64())),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def per_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        cur = (
+            df.loc[df["event_type"] == steps[0]]
+            .groupby("user_id", as_index=False)["ts_us"]
+            .min()
+        )
+        rows = []
+        for si, sname in enumerate(steps[1:], start=2):
+            nxt = df.loc[df["event_type"] == sname].merge(
+                cur.rename(columns={"ts_us": "prev"}), on="user_id"
+            )
+            cur = (
+                nxt.loc[nxt["ts_us"] > nxt["prev"], ["user_id", "ts_us", "prev"]]
+                .groupby("user_id", as_index=False)
+                .agg(ts_us=("ts_us", "min"), prev=("prev", "first"))
+            )
+            lat = cur["ts_us"].to_numpy() - cur["prev"].to_numpy()
+            if len(lat):
+                rows.append(
+                    (si, sname, len(lat), int(lat.min()), int(lat.max()), int(lat.sum()))
+                )
+            cur = cur[["user_id", "ts_us"]]
+        if not rows:
+            return pd.DataFrame(
+                {
+                    "step": pd.Series([], dtype=np.int64),
+                    "event_type": pd.Series([], dtype=object),
+                    "p_n": pd.Series([], dtype=np.int64),
+                    "p_min": pd.Series([], dtype=np.int64),
+                    "p_max": pd.Series([], dtype=np.int64),
+                    "p_sum": pd.Series([], dtype=np.int64),
+                }
+            )
+        step, et, n, lo, hi, tot = zip(*rows)
+        return pd.DataFrame(
+            {
+                "step": np.array(step, dtype=np.int64),
+                "event_type": list(et),
+                "p_n": np.array(n, dtype=np.int64),
+                "p_min": np.array(lo, dtype=np.int64),
+                "p_max": np.array(hi, dtype=np.int64),
+                "p_sum": np.array(tot, dtype=np.int64),
+            }
+        )
+
+    agg = (
+        ev.map_batches(bucketed, batch_format="pyarrow", batch_size=65536)
+        .groupby("_bucket", num_partitions=4)
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby(["step", "event_type"], num_partitions=4)
+        .aggregate(
+            Sum("p_n", alias_name="n_users"),
+            Min("p_min", alias_name="min_us"),
+            Max("p_max", alias_name="max_us"),
+            Sum("p_sum", alias_name="sum_us"),
+        )
+    )
+    return agg.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "step": t.column("step"),
+                "event_type": t.column("event_type"),
+                "n_users": pc.cast(t.column("n_users"), pa.int64()),
+                "min_us": pc.cast(t.column("min_us"), pa.int64()),
+                "max_us": pc.cast(t.column("max_us"), pa.int64()),
+                "sum_us": pc.cast(t.column("sum_us"), pa.int64()),
+                "mean_us": pc.cast(
+                    pc.divide(t.column("sum_us"), t.column("n_users")), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+Q_EVENTS_FUNNEL_LATENCY_SQL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t, ANY_VALUE(s1.t) AS prev
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t, ANY_VALUE(s2.t) AS prev
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t
+  GROUP BY e.user_id
+),
+lat AS (
+  SELECT 2 AS step, 'click' AS event_type,
+         epoch_us(t) - epoch_us(prev) AS us FROM s2
+  UNION ALL
+  SELECT 3, 'purchase', epoch_us(t) - epoch_us(prev) FROM s3
+)
+SELECT CAST(step AS BIGINT) AS step, event_type,
+       COUNT(*) AS n_users,
+       MIN(us) AS min_us, MAX(us) AS max_us,
+       CAST(SUM(us) AS BIGINT) AS sum_us,
+       CAST(SUM(us) // COUNT(*) AS BIGINT) AS mean_us
+FROM lat GROUP BY 1, 2
+"""

@@ -122,3 +122,70 @@ def test_retention_matches_duckdb(ray_session, tmp_path):
     )
     assert got.shape == want.shape
     assert got.equals(want.astype(got.dtypes.to_dict()))
+
+
+def test_funnel_latency_hand_values(ray_session, tmp_path):
+    sf, t = _write_events(tmp_path, ROWS)
+    out = (
+        relational.q_events_funnel_latency(sf)
+        .to_pandas()
+        .sort_values("step")
+        .reset_index(drop=True)
+    )
+    # step 2 (click after first view): u1 3600s, u5 300s
+    # step 3 (purchase after qualifying click): u1 79200s, u5 300s
+    assert out.step.tolist() == [2, 3]
+    assert out.n_users.tolist() == [2, 2]
+    assert out[out.step == 2].min_us.iloc[0] == 300 * 1_000_000
+    assert out[out.step == 2].max_us.iloc[0] == 3600 * 1_000_000
+    assert out[out.step == 3].max_us.iloc[0] == 79200 * 1_000_000
+    s2 = out[out.step == 2].iloc[0]
+    assert s2.sum_us == (3600 + 300) * 1_000_000
+    assert s2.mean_us == s2.sum_us // s2.n_users
+
+
+def test_funnel_latency_matches_duckdb(ray_session, tmp_path):
+    sf, t = _write_events(tmp_path, ROWS)
+    cols = ["step", "event_type", "n_users", "min_us", "max_us", "sum_us", "mean_us"]
+    got = (
+        relational.q_events_funnel_latency(sf)
+        .to_pandas()[cols]
+        .sort_values("step")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", t)
+    want = (
+        con.execute(relational.Q_EVENTS_FUNNEL_LATENCY_SQL)
+        .df()[cols]
+        .sort_values("step")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want.astype(got.dtypes.to_dict()))
+
+
+def test_top_docs_per_source_ties(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from rust_bert_ray.functions import quality
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([5, 1, 2, 3, 4, 6], pa.int64()),
+            "source": ["a", "a", "a", "a", "b", "b"],
+            "n_chars": pa.array([10, 10, 10, 7, 3, 3], pa.int64()),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(t, sf / "documents.parquet")
+    out = (
+        quality.q_top_docs_per_source(str(sf), k=3)
+        .to_pandas()
+        .sort_values(["source", "rank"])
+        .reset_index(drop=True)
+    )
+    # ties on n_chars break by doc_id asc: a -> 1,2,5 ; b -> 4,6
+    assert out[out.source == "a"].doc_id.tolist() == [1, 2, 5]
+    assert out[out.source == "b"].doc_id.tolist() == [4, 6]
+    assert out.loc[out.source == "b", "rank"].tolist() == [1, 2]
