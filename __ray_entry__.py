@@ -525,7 +525,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- reference NLP pipelines over documents/corpus ---
         "q_generate": _q_generate,
-        "q_embed_docs": _q_embed,
         "q_masked_lm": _q_masked_lm,
         "q_lm_scores": _q_lm_scores,
         "qa_answers": _q_qa,
@@ -554,6 +553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_funnel": relational.q_events_funnel,
         "q_events_retention": relational.q_events_retention,
         "q_events_funnel_latency": relational.q_events_funnel_latency,
+        "q_events_anomaly": relational.q_events_anomaly,
         "q_top_docs_per_source": quality.q_top_docs_per_source,
         # --- text analysis (documents) ---
         "q_sample_mixture": text.q_sample_mixture,
@@ -593,6 +593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_zero_shot": _q_zero_shot,
         "q_translate": _q_translate,
         "q_pos_tags": _q_pos,
+        "q_embed_docs": _q_embed,
         "q_embed_dense": _q_embed_dense,
         "q_keywords": _q_keywords,
         "q_events_sessions": relational.q_events_sessions,
@@ -731,6 +732,7 @@ GROUP BY 1, 2
         "q_events_funnel": relational.Q_EVENTS_FUNNEL_SQL,
         "q_events_retention": relational.Q_EVENTS_RETENTION_SQL,
         "q_events_funnel_latency": relational.Q_EVENTS_FUNNEL_LATENCY_SQL,
+        "q_events_anomaly": relational.Q_EVENTS_ANOMALY_SQL,
         "q_top_docs_per_source": quality.Q_TOP_DOCS_PER_SOURCE_SQL,
         "q_events_cumulative": relational.Q_EVENTS_CUMULATIVE_SQL,
         "q_events_asof": relational.Q_EVENTS_ASOF_SQL,

@@ -1090,3 +1090,76 @@ SELECT CAST(step AS BIGINT) AS step, event_type,
        CAST(SUM(us) // COUNT(*) AS BIGINT) AS mean_us
 FROM lat GROUP BY 1, 2
 """
+
+
+# ------------------------------------------------- rate anomaly flags ----
+
+def q_events_anomaly(sf_dir: str, window: int = 3, factor: int = 2):
+    """Per-type hourly rate anomalies against a trailing window — with
+    ALL-INTEGER algebra (``n·n_trail > factor·trail_sum`` instead of a
+    float z-score) so the SQL window-function oracle hash-matches.
+
+    The trailing window is the previous up-to-``window`` OBSERVED hours
+    (ROWS semantics, identical on both engines).  Plan: hourly counts
+    via combiner + grouped sum (the hours × types table is bounded by
+    the time range, not the event volume), then one vectorized pandas
+    pass per event type.
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["hour"] = df["ts"].dt.floor("h")
+        g = df.groupby(["event_type", "hour"], as_index=False).size()
+        g["p_n"] = g["size"].astype("int64")
+        return pa.Table.from_pandas(g[["event_type", "hour", "p_n"]], preserve_index=False)
+
+    hourly = (
+        ev.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["event_type", "hour"], num_partitions=4)
+        .aggregate(Sum("p_n", alias_name="n_events"))
+    )
+
+    def flag(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values("hour").reset_index(drop=True)
+        n = df["n_events"].to_numpy().astype(np.int64)
+        cum = np.concatenate([[0], np.cumsum(n)])
+        i = np.arange(len(n))
+        lo = np.maximum(i - window, 0)
+        trail_sum = cum[i] - cum[lo]
+        n_trail = (i - lo).astype(np.int64)
+        anomaly = (n_trail > 0) & (n * n_trail > factor * trail_sum)
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "hour": df["hour"],
+                "n_events": n,
+                "trail_sum": trail_sum.astype(np.int64),
+                "n_trail": n_trail,
+                "anomaly": anomaly.astype(np.int64),
+            }
+        )
+
+    return hourly.groupby("event_type", num_partitions=4).map_groups(
+        flag, batch_format="pandas"
+    )
+
+
+Q_EVENTS_ANOMALY_SQL = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, hour, n_events,
+       CAST(COALESCE(SUM(n_events) OVER w, 0) AS BIGINT) AS trail_sum,
+       CAST(COUNT(n_events) OVER w AS BIGINT) AS n_trail,
+       CAST(COUNT(n_events) OVER w > 0
+            AND n_events * COUNT(n_events) OVER w
+                > 2 * COALESCE(SUM(n_events) OVER w, 0) AS BIGINT) AS anomaly
+FROM h
+WINDOW w AS (PARTITION BY event_type ORDER BY hour
+             ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+"""

@@ -189,3 +189,35 @@ def test_top_docs_per_source_ties(ray_session, tmp_path):
     assert out[out.source == "a"].doc_id.tolist() == [1, 2, 5]
     assert out[out.source == "b"].doc_id.tolist() == [4, 6]
     assert out.loc[out.source == "b", "rank"].tolist() == [1, 2]
+
+
+def test_events_anomaly_hand_case(ray_session, tmp_path):
+    # one event type, hourly counts 2,2,2,20,2: hour 3 is anomalous
+    # (20*3 > 2*(2+2+2)); hour 4 is not (2*3 < 2*(2+2+20)).
+    rows = []
+    counts = [2, 2, 2, 20, 2]
+    for h, c in enumerate(counts):
+        for i in range(c):
+            rows.append((f"2024-01-01 {h:02d}:{i:02d}", 1, "view"))
+    sf, t = _write_events(tmp_path, rows)
+    out = (
+        relational.q_events_anomaly(sf)
+        .to_pandas()
+        .sort_values("hour")
+        .reset_index(drop=True)
+    )
+    assert out.n_events.tolist() == counts
+    assert out.anomaly.tolist() == [0, 0, 0, 1, 0]
+    assert out.trail_sum.tolist() == [0, 2, 4, 6, 24]
+    assert out.n_trail.tolist() == [0, 1, 2, 3, 3]
+    # cross-check the full frame against DuckDB's window-function oracle
+    con = duckdb.connect()
+    con.register("events", t)
+    cols = ["event_type", "hour", "n_events", "trail_sum", "n_trail", "anomaly"]
+    want = (
+        con.execute(relational.Q_EVENTS_ANOMALY_SQL)
+        .df()[cols]
+        .sort_values("hour")
+        .reset_index(drop=True)
+    )
+    assert out[cols].equals(want.astype(out[cols].dtypes.to_dict()))
