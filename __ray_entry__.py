@@ -532,7 +532,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- reference NLP pipelines over documents/corpus ---
         "q_generate": _q_generate,
-        "q_masked_lm": _q_masked_lm,
         "q_lm_scores": _q_lm_scores,
         "qa_answers": _q_qa,
         "q_conversation": _q_conversation,
@@ -557,6 +556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kcore": graph.kg_kcore,
         # --- relational plumbing (TPC-H-ish tables) ---
         "q1_pricing_summary": relational.q1_pricing_summary,
+        "q_brand_revenue_share": relational.q_brand_revenue_share,
         "q_events_funnel": relational.q_events_funnel,
         "q_events_retention": relational.q_events_retention,
         "q_events_funnel_latency": relational.q_events_funnel_latency,
@@ -601,6 +601,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_translate": _q_translate,
         "q_pos_tags": _q_pos,
         "q_embed_docs": _q_embed,
+        "q_masked_lm": _q_masked_lm,
         "q_embed_dense": _q_embed_dense,
         "q_keywords": _q_keywords,
         "q_events_sessions": relational.q_events_sessions,
@@ -728,6 +729,7 @@ GROUP BY 1, 2
         "q_zero_shot_multi": classify.ZERO_SHOT_MULTI_SQL,
         "q_multilabel": classify.MULTILABEL_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
+        "q_brand_revenue_share": relational.Q_BRAND_REVENUE_SHARE_SQL,
         "q_order_revenue_topk": relational.Q_ORDER_REVENUE_TOPK_SQL,
         "q_segment_order_stats": relational.Q_SEGMENT_ORDER_STATS_SQL,
         "q_region_acctbal": relational.Q_REGION_ACCTBAL_SQL,

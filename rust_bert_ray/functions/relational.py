@@ -1163,3 +1163,80 @@ FROM h
 WINDOW w AS (PARTITION BY event_type ORDER BY hour
              ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
 """
+
+
+# ------------------------------------------------ brand revenue share ----
+
+def q_brand_revenue_share(sf_dir: str):
+    """Revenue share per part brand (TPC-H Q14-flavored lineitem ⨝ part).
+
+    Plan: the part table is the broadcast side (``ray.put`` once, probed
+    per lineitem batch — no shuffle join); per-batch combiner emits one
+    (brand, n, rev) partial per brand; a brand-bounded grouped sum
+    finishes.  The share denominator is an exact INTEGER-CENTS sum over
+    the rounded per-brand revenues (order-free on both engines), so
+    each share is one IEEE divide of exact ints — no float-summation-
+    order trap in the window aggregate.
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    brand_map = dict(zip(part["p_partkey"], part["p_brand"]))
+    brand_ref = ray.put(brand_map)
+
+    class BrandJoin:
+        def __init__(self, ref):
+            self.brand = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df["p_brand"] = df["l_partkey"].map(self.brand)
+            df["rev"] = df["l_extendedprice"] * (1 - df["l_discount"])
+            g = df.groupby("p_brand", as_index=False).agg(
+                p_n=("l_orderkey", "count"), p_rev=("rev", "sum")
+            )
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_extendedprice", "l_discount"]
+    )
+    agg = (
+        li.map_batches(
+            BrandJoin,
+            fn_constructor_kwargs={"ref": brand_ref},
+            batch_format="pyarrow",
+            batch_size=65536,
+            concurrency=2,
+        )
+        .groupby("p_brand", num_partitions=4)
+        .aggregate(Sum("p_n", alias_name="n_items"), Sum("p_rev", alias_name="raw_rev"))
+        .to_pandas()  # brand-bounded (tens of rows): the share needs the total
+    )
+    cents = round_ha(agg["raw_rev"].to_numpy() * 100.0, 0).astype(np.int64)
+    total = int(cents.sum())
+    return pd.DataFrame(
+        {
+            "p_brand": agg["p_brand"],
+            "n_items": agg["n_items"].astype(np.int64),
+            "revenue": cents.astype(np.float64) / 100.0,
+            "share": round_ha(cents.astype(np.float64) / total, 6),
+        }
+    )
+
+
+Q_BRAND_REVENUE_SHARE_SQL = """
+WITH b AS (
+  SELECT p.p_brand,
+         COUNT(*) AS n_items,
+         CAST(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) * 100, 0)
+              AS BIGINT) AS cents
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1
+)
+SELECT p_brand,
+       CAST(n_items AS BIGINT) AS n_items,
+       CAST(cents AS DOUBLE) / 100.0 AS revenue,
+       ROUND(CAST(cents AS DOUBLE) / CAST(SUM(cents) OVER () AS BIGINT), 6) AS share
+FROM b
+"""

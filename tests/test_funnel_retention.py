@@ -221,3 +221,14 @@ def test_events_anomaly_hand_case(ray_session, tmp_path):
         .reset_index(drop=True)
     )
     assert out[cols].equals(want.astype(out[cols].dtypes.to_dict()))
+
+
+def test_brand_revenue_share_sums_to_one(ray_session):
+    out = relational.q_brand_revenue_share("/root/testdata/sf0.001")
+    assert len(out) > 1
+    # shares are positive and the unrounded-cents construction sums to ~1
+    assert (out["share"] > 0).all()
+    assert abs(out["share"].sum() - 1.0) < 1e-4
+    # revenue is exact cents
+    cents = out["revenue"] * 100
+    assert (abs(cents - cents.round()) < 1e-3).all()  # fp repr at ~1e9 cents
