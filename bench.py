@@ -29,6 +29,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 BENCH_QUERIES = [
     "q1_pricing_summary",
+    "q_brand_revenue_share",
     "q_order_revenue_topk",
     "q_segment_order_stats",
     "q_events_hourly",
