@@ -155,6 +155,14 @@ def _kg_media_inventory(sf_dir: str):
     return media_inventory(docs)
 
 
+def _rag_search(sf_dir: str):
+    """RAG semantic search: chunk → embed → bucket-partitioned index →
+    partition-pruned cosine top-k (pipelines/rag.py)."""
+    from rust_bert_ray.pipelines.rag import rag_search
+
+    return rag_search(sf_dir)
+
+
 def _kg_media_transitions(sf_dir: str):
     """Interleaving profile: adjacent (kind → kind) span transitions."""
     import ray.data
@@ -534,9 +542,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_generate": _q_generate,
         "q_lm_scores": _q_lm_scores,
         "qa_answers": _q_qa,
-        "q_conversation": _q_conversation,
         # --- end-to-end training-data curation (composition flagship) ---
         "curation_corpus": _curation_corpus,
+        "rag_search": _rag_search,
         "q_dsir_weights": text.q_dsir_weights,
         "q_gopher_quality": quality.q_gopher_quality,
         "q_pii_scan": quality.q_pii_scan,
@@ -602,6 +610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pos_tags": _q_pos,
         "q_embed_docs": _q_embed,
         "q_masked_lm": _q_masked_lm,
+        "q_conversation": _q_conversation,
         "q_embed_dense": _q_embed_dense,
         "q_keywords": _q_keywords,
         "q_events_sessions": relational.q_events_sessions,
@@ -707,7 +716,7 @@ GROUP BY 1, 2
             "dedup_embedding_lsh_pairs", "dedup_clusters_minhash",
             "ann_lsh_topk", "ann_ivf_topk",
             "q_embed_clusters", "dedup_semantic", "q_lm_scores",
-            "q_dsir_weights", "kg_kcore",
+            "q_dsir_weights", "kg_kcore", "rag_search",
         )
     }
 

@@ -140,9 +140,11 @@ def run_bench() -> dict:
     for name in bench_queries:
         t = time.time()
         ds = qs[name](SF_DIR)
-        # consume the stream without materializing to the driver
-        for _ in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
-            pass
+        # consume the stream without materializing to the driver;
+        # some queries return an already-bounded pandas DataFrame
+        if hasattr(ds, "iter_batches"):
+            for _ in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+                pass
         query_times[name] = round(time.time() - t, 3)
 
     ray.shutdown()

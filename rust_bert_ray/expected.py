@@ -33,7 +33,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 EXPECTED_ROOT = "/tmp/rbr_expected"
-VERSION = 24  # bump whenever any builder's semantics change
+VERSION = 25  # bump whenever any builder's semantics change
 
 
 # ------------------------------------------------------------ input helpers
@@ -1628,6 +1628,68 @@ def q_dsir_weights(sf_dir: str, corpus_root: str) -> pa.Table:
     )
 
 
+# ------------------------------------ RAG search (independent rerun) ----
+
+def rag_search(sf_dir: str, corpus_root: str, k: int = 10) -> pa.Table:
+    """Straight-line reimplementation of pipelines/rag.rag_search:
+    plain-loop chunking, inline SRP sign-hash (same seeded planes
+    constant), full cosine scan filtered to the probed buckets.  Shares
+    ONLY the embedder floats (the documented embedding-parity helper
+    pattern) — chunk/window/hash/score/tie-break logic is re-derived."""
+    from rust_bert_ray.functions.util import round_ha
+    from rust_bert_ray.pipelines.rag import RAG_N_BITS, RAG_QUERY, _embedder
+
+    chunk_words, overlap = 32, 8
+    step = chunk_words - overlap
+    emb = _embedder()
+    t = _documents(sf_dir)
+    rows = []  # (doc_id, chunk_idx, text, vec)
+    for doc_id, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        words = text.split(" ")
+        n = len(words)
+        start, ci = 0, 0
+        while True:
+            end = min(start + chunk_words, n)
+            ct = " ".join(words[start:end])
+            rows.append((doc_id, ci, ct, emb.embed(ct).astype(np.float32)))
+            ci += 1
+            start += step
+            if end == n or start >= max(n - overlap, 1):
+                break
+    planes = np.random.default_rng(11).standard_normal((RAG_N_BITS, emb.out_dim))
+    A = np.stack([r[3] for r in rows]).astype(np.float64)
+    bits = (A @ planes.T) > 0
+    buckets = np.zeros(len(A), dtype=np.int64)
+    for b in range(RAG_N_BITS):
+        buckets |= bits[:, b].astype(np.int64) << b
+
+    qv = emb.embed(RAG_QUERY).astype(np.float64)
+    qbits = (qv[None, :] @ planes.T) > 0
+    q_bucket = 0
+    for b in range(RAG_N_BITS):
+        q_bucket |= int(qbits[0, b]) << b
+    near = {q_bucket} | {q_bucket ^ (1 << b) for b in range(RAG_N_BITS)}
+
+    qhat = qv / max(np.linalg.norm(qv), 1e-300)
+    norms = np.maximum(np.linalg.norm(A, axis=1), 1e-300)
+    cos = round_ha((A @ qhat) / norms, 5)
+    cand = [
+        (float(cos[i]), rows[i][0], rows[i][1], rows[i][2])
+        for i in range(len(rows))
+        if int(buckets[i]) in near
+    ]
+    cand.sort(key=lambda r: (-r[0], r[1], r[2]))
+    cand = cand[:k]
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([c[1] for c in cand], pa.int64()),
+            "chunk_idx": pa.array([c[2] for c in cand], pa.int64()),
+            "cos": pa.array([c[0] for c in cand], pa.float64()),
+            "chunk_text": pa.array([c[3] for c in cand], pa.string()),
+        }
+    )
+
+
 # ----------------------------------------- k-core (independent peel) ----
 
 def kg_kcore(sf_dir: str, corpus_root: str, k: int = 3) -> pa.Table:
@@ -1696,6 +1758,7 @@ BUILDERS = {
     "ann_ivf_topk": ann_ivf_topk,
     "q_dsir_weights": q_dsir_weights,
     "kg_kcore": kg_kcore,
+    "rag_search": rag_search,
 }
 
 

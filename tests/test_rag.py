@@ -1,0 +1,41 @@
+"""RAG ingest + search: index layout, pruning, idempotence, parity."""
+
+import glob
+import os
+
+
+def test_rag_search_topk_and_pruning(ray_session):
+    from rust_bert_ray.pipelines.rag import RAG_N_BITS, ensure_rag_index, rag_search
+
+    sf = "/root/testdata/sf0.001"
+    out = rag_search(sf, k=5).to_pandas()
+    assert len(out) == 5
+    assert out.cos.tolist() == sorted(out.cos.tolist(), reverse=True)
+    assert set(out.columns) == {"doc_id", "chunk_idx", "cos", "chunk_text"}
+
+    # the index is hive-partitioned and search probes <= n_bits+1 buckets
+    base = ensure_rag_index(sf)
+    parts = glob.glob(os.path.join(base, "data", "bucket=*"))
+    assert len(parts) > RAG_N_BITS + 1  # more partitions exist than are probed
+
+
+def test_rag_index_idempotent(ray_session):
+    from rust_bert_ray.pipelines.rag import ensure_rag_index
+
+    sf = "/root/testdata/sf0.001"
+    base1 = ensure_rag_index(sf)
+    mtime = os.path.getmtime(os.path.join(base1, "meta.json"))
+    base2 = ensure_rag_index(sf)  # second call: fingerprint hit, no rebuild
+    assert base1 == base2
+    assert os.path.getmtime(os.path.join(base2, "meta.json")) == mtime
+
+
+def test_rag_matches_expected_builder(ray_session):
+    """Distributed result == the straight-line expected reimplementation."""
+    from rust_bert_ray import expected
+    from rust_bert_ray.pipelines.rag import rag_search
+
+    sf = "/root/testdata/sf0.001"
+    got = rag_search(sf).to_pandas().reset_index(drop=True)
+    want = expected.rag_search(sf, "unused").to_pandas()
+    assert got.equals(want[got.columns.tolist()].astype(got.dtypes.to_dict()))
