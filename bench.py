@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "q_tfidf_topk",
     "ann_topk",
     "ann_lsh_topk",
+    "rag_search",
     "q_embed_clusters",
     "dedup_semantic",
     # graph analytics over the materialized KG edges table; the edge
@@ -190,9 +191,22 @@ def run_scaling() -> dict:
     # started immediately after another Ray session exits pays a ~20s
     # penalty (object-store/page-cache teardown) that would otherwise
     # land entirely on the second leg.
-    hi = run(32)
-    time.sleep(15)
-    lo = run(8)
+    #
+    # RBR_SCALING_RUNS=N (default 1) interleaves N pairs of legs and
+    # takes the per-leg MINIMUM: on a host with external contention
+    # windows (see BASELINE.md round-3 table: identical code swung
+    # 50-123 s on the 32-CPU leg) a single pair measures the co-tenant,
+    # not the code.
+    n_pairs = max(1, int(os.environ.get("RBR_SCALING_RUNS", "1")))
+    his, los = [], []
+    for i in range(n_pairs):
+        his.append(run(32))
+        time.sleep(15)
+        los.append(run(8))
+        if i + 1 < n_pairs:
+            time.sleep(15)
+    hi = min(his, key=lambda r: r["value"])
+    lo = min(los, key=lambda r: r["value"])
     eff = (lo["value"] / hi["value"]) / (32 / 8)
     return {
         "metric": "kg_scaling_efficiency",
@@ -200,6 +214,8 @@ def run_scaling() -> dict:
         "unit": "ratio",
         "sec_8cpu": lo["value"],
         "sec_32cpu": hi["value"],
+        "runs_8cpu": [r["value"] for r in los],
+        "runs_32cpu": [r["value"] for r in his],
         "records_per_sec_8cpu": lo["records_per_sec"],
         "records_per_sec_32cpu": hi["records_per_sec"],
         "sf": lo["sf"],
