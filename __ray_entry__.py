@@ -539,7 +539,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # --- reference NLP pipelines over documents/corpus ---
-        "q_generate": _q_generate,
         "q_lm_scores": _q_lm_scores,
         "qa_answers": _q_qa,
         # --- end-to-end training-data curation (composition flagship) ---
@@ -564,6 +563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kcore": graph.kg_kcore,
         # --- relational plumbing (TPC-H-ish tables) ---
         "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_shipping_priority": relational.q3_shipping_priority,
         "q_brand_revenue_share": relational.q_brand_revenue_share,
         "q_events_funnel": relational.q_events_funnel,
         "q_events_retention": relational.q_events_retention,
@@ -610,6 +610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pos_tags": _q_pos,
         "q_embed_docs": _q_embed,
         "q_masked_lm": _q_masked_lm,
+        "q_generate": _q_generate,
         "q_conversation": _q_conversation,
         "q_embed_dense": _q_embed_dense,
         "q_keywords": _q_keywords,
@@ -738,6 +739,7 @@ GROUP BY 1, 2
         "q_zero_shot_multi": classify.ZERO_SHOT_MULTI_SQL,
         "q_multilabel": classify.MULTILABEL_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
+        "q3_shipping_priority": relational.Q3_SHIPPING_PRIORITY_SQL,
         "q_brand_revenue_share": relational.Q_BRAND_REVENUE_SHARE_SQL,
         "q_order_revenue_topk": relational.Q_ORDER_REVENUE_TOPK_SQL,
         "q_segment_order_stats": relational.Q_SEGMENT_ORDER_STATS_SQL,

@@ -1240,3 +1240,98 @@ SELECT p_brand,
        ROUND(CAST(cents AS DOUBLE) / CAST(SUM(cents) OVER () AS BIGINT), 6) AS share
 FROM b
 """
+
+
+# --------------------------------------------- Q3 shipping priority ----
+
+def q3_shipping_priority(
+    sf_dir: str, segment: str = "BUILDING", cutoff: str = "1998-06-01", k: int = 10
+):
+    """TPC-H Q3-ish: top-k unshipped-revenue orders for one segment.
+
+    Plan shape: the segment's customer keys are a BROADCAST semi-join
+    filter on the orders scan (small side shipped once via ``ray.put``);
+    lineitem pre-aggregates per-order revenue partials inside the batch
+    (combiner) so the hash-partitioned ``Dataset.join`` on the order key
+    exchanges one partial row per (order, batch), not raw lineitems;
+    grouped merge + streaming top-k finish.  Dates flow as strings in
+    the output (date32-vs-DATE dtype parity)."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    cut = pd.Timestamp(cutoff)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    keys = set(cust.loc[cust["c_mktsegment"] == segment, "c_custkey"].tolist())
+    keys_ref = ray.put(keys)
+
+    class OrderFilter:
+        def __init__(self, ref):
+            self.keys = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            m = df["o_custkey"].isin(self.keys) & (df["o_orderdate"] < cut)
+            out = df.loc[m, ["o_orderkey", "o_orderdate", "o_orderpriority"]].copy()
+            out["o_orderdate"] = out["o_orderdate"].dt.strftime("%Y-%m-%d")
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+    orders_f = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(
+        OrderFilter(keys_ref),
+        batch_format="pyarrow",
+        batch_size=4096,  # feeds Dataset.join: declare a batch_size
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.loc[df["l_shipdate"] > cut]
+        df["rev"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = df.groupby("l_orderkey", as_index=False).agg(p_rev=("rev", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li_f = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(li_partial, batch_format="pyarrow", batch_size=4096)
+
+    joined = li_f.join(orders_f, "inner", 8, on=("l_orderkey",), right_on=("o_orderkey",))
+    agg = joined.groupby(
+        ["l_orderkey", "o_orderdate", "o_orderpriority"], num_partitions=8
+    ).aggregate(Sum("p_rev", alias_name="raw_rev"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "revenue": pc_round_ha(t.column("raw_rev"), 2),
+                "o_orderdate": t.column("o_orderdate"),
+                "o_orderpriority": t.column("o_orderpriority"),
+            }
+        )
+
+    from rust_bert_ray.functions.util import topk
+
+    return topk(
+        agg.map_batches(finalize, batch_format="pyarrow"),
+        ["revenue", "o_orderdate", "l_orderkey"],
+        [True, False, False],
+        k,
+    )
+
+
+Q3_SHIPPING_PRIORITY_SQL = """
+SELECT l.l_orderkey,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < DATE '1998-06-01'
+  AND l.l_shipdate > DATE '1998-06-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""

@@ -232,3 +232,12 @@ def test_brand_revenue_share_sums_to_one(ray_session):
     # revenue is exact cents
     cents = out["revenue"] * 100
     assert (abs(cents - cents.round()) < 1e-3).all()  # fp repr at ~1e9 cents
+
+
+def test_q3_shipping_priority_semantics(ray_session):
+    out = relational.q3_shipping_priority("/root/testdata/sf0.001").to_pandas()
+    assert 0 < len(out) <= 10
+    assert (out["revenue"] > 0).all()
+    # every order predates the cutoff; revenue sorted desc
+    assert (out["o_orderdate"] < "1998-06-01").all()
+    assert out["revenue"].tolist() == sorted(out["revenue"], reverse=True)
