@@ -195,3 +195,57 @@ def test_range_join_matches_bruteforce(ray_session):
         want, columns=["event_id", "user_id", "n_nearby_clicks"]
     ).sort_values("event_id", ignore_index=True)
     pd.testing.assert_frame_equal(got, want_df, check_dtype=False)
+
+
+# ------------------------------------------- gopher algebra vs DuckDB ----
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(texts, min_size=1, max_size=6))
+def test_gopher_metrics_match_duckdb_on_random_corpora(doc_texts):
+    import duckdb
+    import pyarrow as pa
+
+    from rust_bert_ray.functions.quality import (
+        Q_GOPHER_QUALITY_SQL,
+        gopher_metrics_batch,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(doc_texts)), pa.int64()),
+            "text": pa.array(doc_texts, pa.string()),
+        }
+    )
+    got = gopher_metrics_batch(t).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = (
+        con.execute(Q_GOPHER_QUALITY_SQL)
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want[got.columns.tolist()].astype(got.dtypes.to_dict()))
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(texts, min_size=1, max_size=6))
+def test_pii_scan_matches_duckdb_on_random_corpora(doc_texts):
+    import duckdb
+    import pyarrow as pa
+
+    from rust_bert_ray.functions.quality import Q_PII_SCAN_SQL, pii_scan_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(doc_texts)), pa.int64()),
+            "text": pa.array(doc_texts, pa.string()),
+        }
+    )
+    got = pii_scan_batch(t).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = (
+        con.execute(Q_PII_SCAN_SQL).df().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got.equals(want[got.columns.tolist()].astype(got.dtypes.to_dict()))
