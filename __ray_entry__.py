@@ -549,6 +549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pii_scan": quality.q_pii_scan,
         "q_ngram_stats": quality.q_ngram_stats,
         "q_distinct_sketch": quality.q_distinct_sketch,
+        "q_source_similarity": quality.q_source_similarity,
         # --- KG construction (interleaved corpus; north rule) ---
         "kg_triples": _kg_triples,
         "kg_nodes": _kg_nodes,
@@ -562,7 +563,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_similar_nodes": graph.kg_similar_nodes,
         "kg_kcore": graph.kg_kcore,
         # --- relational plumbing (TPC-H-ish tables) ---
-        "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q_brand_revenue_share": relational.q_brand_revenue_share,
         "q_events_funnel": relational.q_events_funnel,
@@ -612,6 +612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_masked_lm": _q_masked_lm,
         "q_generate": _q_generate,
         "q_conversation": _q_conversation,
+        "q1_pricing_summary": relational.q1_pricing_summary,
         "q_embed_dense": _q_embed_dense,
         "q_keywords": _q_keywords,
         "q_events_sessions": relational.q_events_sessions,
@@ -766,6 +767,7 @@ GROUP BY 1, 2
         "q_vocab_stats": text.Q_VOCAB_STATS_SQL,
         "q_split_assign": text.Q_SPLIT_ASSIGN_SQL,
         "q_sample_mixture": text.Q_SAMPLE_MIXTURE_SQL,
+        "q_source_similarity": quality.Q_SOURCE_SIMILARITY_SQL,
         "q_gopher_quality": quality.Q_GOPHER_QUALITY_SQL,
         "q_pii_scan": quality.Q_PII_SCAN_SQL,
         "q_ngram_stats": quality.Q_NGRAM_STATS_SQL,

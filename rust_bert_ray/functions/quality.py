@@ -499,3 +499,68 @@ FROM (
 )
 WHERE rank <= 3
 """
+
+
+# -------------------------------------------- source vocab similarity ----
+
+def q_source_similarity(sf_dir: str):
+    """Pairwise vocabulary Jaccard between sources (corpus-mixture
+    diagnostics: which sources are near-duplicates of each other).
+
+    Plan: the per-batch distinct (source, word) projection from the KMV
+    sketch is reused — the shuffle is vocabulary-bounded, never corpus
+    rows; a global distinct pass reduces to ≤ |vocab|·|sources| pairs,
+    which finish on the driver (bounded by construction, like the KMV
+    final).  jaccard = one IEEE divide of exact ints.
+    """
+    docs = _read_documents(sf_dir, ["source", "text"])
+    parts = docs.map_batches(_kmv_partials, batch_format="pyarrow", batch_size=65536)
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["source", "w"])[["source", "w"]]
+
+    pairs = (
+        parts.groupby("source", num_partitions=4)
+        .map_groups(dedup, batch_format="pandas")
+        .to_pandas()  # <= |vocab| x |sources| rows by construction
+    )
+    sets = {s: set(g["w"]) for s, g in pairs.groupby("source")}
+    names = sorted(sets)
+    rows = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            common = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            rows.append((a, b, common, union))
+    return pd.DataFrame(
+        {
+            "source_a": [r[0] for r in rows],
+            "source_b": [r[1] for r in rows],
+            "n_common": np.array([r[2] for r in rows], dtype=np.int64),
+            "n_union": np.array([r[3] for r in rows], dtype=np.int64),
+            "jaccard": np.array([r[2] for r in rows], dtype=np.float64)
+            / np.array([r[3] for r in rows], dtype=np.int64),
+        }
+    )
+
+
+Q_SOURCE_SIMILARITY_SQL = """
+WITH v AS (
+  SELECT DISTINCT source, w
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+),
+d AS (SELECT source, COUNT(*) AS nd FROM v GROUP BY source),
+c AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+  FROM v a JOIN v b ON a.w = b.w AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT da.source AS source_a, db.source AS source_b,
+       CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+       CAST(da.nd + db.nd - COALESCE(c.n_common, 0) AS BIGINT) AS n_union,
+       CAST(COALESCE(c.n_common, 0) AS DOUBLE)
+         / (da.nd + db.nd - COALESCE(c.n_common, 0)) AS jaccard
+FROM d da
+JOIN d db ON da.source < db.source
+LEFT JOIN c ON c.source_a = da.source AND c.source_b = db.source
+"""

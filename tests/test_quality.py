@@ -153,3 +153,29 @@ class TestKmv:
         assert r.exact_distinct == len(distinct)
         assert r.est_distinct == kmv_estimate(hv[KMV_K - 1])
         assert r.kth_hash == format(hv[KMV_K - 1], f"0{_KMV_HEX}x")
+
+
+class TestSourceSimilarity:
+    def test_pairwise_jaccard_hand_case(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from rust_bert_ray.functions.quality import q_source_similarity
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "source": ["a", "b", "c"],
+                "text": ["x y z", "y z w", "q r"],
+            }
+        )
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        pq.write_table(t, sf / "documents.parquet")
+        out = q_source_similarity(str(sf))
+        got = {
+            (r.source_a, r.source_b): (r.n_common, r.n_union, r.jaccard)
+            for r in out.itertuples()
+        }
+        assert got[("a", "b")] == (2, 4, 0.5)
+        assert got[("a", "c")] == (0, 5, 0.0)
+        assert got[("b", "c")] == (0, 5, 0.0)
