@@ -130,6 +130,17 @@ def rag_search(sf_dir: str, query: str = RAG_QUERY, k: int = 10):
     q_bucket = int(_srp_hash(planes, qv[None, :])[0])
     near = {q_bucket} | {q_bucket ^ (1 << b) for b in range(RAG_N_BITS)}
     dirs = _probed_partitions(os.path.join(base), near)
+    if not dirs:  # no probed bucket materialized on disk (tiny corpus)
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "chunk_idx": pa.array([], pa.int64()),
+                    "cos": pa.array([], pa.float64()),
+                    "chunk_text": pa.array([], pa.string()),
+                }
+            )
+        )
     qhat = qv / max(np.linalg.norm(qv), 1e-300)
 
     def score(t: pa.Table) -> pa.Table:

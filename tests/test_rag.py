@@ -39,3 +39,15 @@ def test_rag_matches_expected_builder(ray_session):
     got = rag_search(sf).to_pandas().reset_index(drop=True)
     want = expected.rag_search(sf, "unused").to_pandas()
     assert got.equals(want[got.columns.tolist()].astype(got.dtypes.to_dict()))
+
+
+def test_rag_search_unmaterialized_buckets_empty_result(ray_session, monkeypatch):
+    """A query whose probed buckets have no on-disk partitions returns an
+    empty (schema-stable) dataset instead of raising."""
+    from rust_bert_ray.functions import similarity
+    from rust_bert_ray.pipelines import rag
+
+    monkeypatch.setattr(similarity, "_probed_partitions", lambda base, near: [])
+    ds = rag.rag_search("/root/testdata/sf0.001")
+    assert ds.count() == 0
+    assert ds.schema().names == ["doc_id", "chunk_idx", "cos", "chunk_text"]
