@@ -540,7 +540,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- reference NLP pipelines over documents/corpus ---
         "q_lm_scores": _q_lm_scores,
-        "qa_answers": _q_qa,
         # --- end-to-end training-data curation (composition flagship) ---
         "curation_corpus": _curation_corpus,
         "rag_search": _rag_search,
@@ -550,6 +549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ngram_stats": quality.q_ngram_stats,
         "q_distinct_sketch": quality.q_distinct_sketch,
         "q_source_similarity": quality.q_source_similarity,
+        "q_lang_confusion": text.q_lang_confusion,
         # --- KG construction (interleaved corpus; north rule) ---
         "kg_triples": _kg_triples,
         "kg_nodes": _kg_nodes,
@@ -613,6 +613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_generate": _q_generate,
         "q_conversation": _q_conversation,
         "q1_pricing_summary": relational.q1_pricing_summary,
+        "qa_answers": _q_qa,
         "q_embed_dense": _q_embed_dense,
         "q_keywords": _q_keywords,
         "q_events_sessions": relational.q_events_sessions,
@@ -768,6 +769,9 @@ GROUP BY 1, 2
         "q_split_assign": text.Q_SPLIT_ASSIGN_SQL,
         "q_sample_mixture": text.Q_SAMPLE_MIXTURE_SQL,
         "q_source_similarity": quality.Q_SOURCE_SIMILARITY_SQL,
+        "q_lang_confusion": text.Q_LANG_CONFUSION_SQL_TEMPLATE.format(
+            expected_lang_id=f"{_EXPECTED_DIR}/q_lang_id.parquet"
+        ),
         "q_gopher_quality": quality.Q_GOPHER_QUALITY_SQL,
         "q_pii_scan": quality.Q_PII_SCAN_SQL,
         "q_ngram_stats": quality.Q_NGRAM_STATS_SQL,

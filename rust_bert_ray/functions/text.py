@@ -1078,3 +1078,64 @@ def q_dsir_weights(sf_dir: str, target_sources=DSIR_TARGET_SOURCES):
         )
 
     return docs.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+def q_lang_confusion(sf_dir: str):
+    """Language-ID evaluation: confusion matrix of labeled vs predicted
+    language (classifier-quality diagnostics for the curation gate).
+
+    Plan: the LangIdStage prediction pass (map-only) carries the label
+    column through; a language-pair-bounded grouped count finishes —
+    the shuffle moves one (lang, lang_pred, n) partial per pair per
+    batch.  Oracle: native SQL joining the table against the
+    INDEPENDENTLY-built expected q_lang_id predictions (the same
+    cross-check pattern as the graph analytics over expected edges).
+    """
+    from ray.data.aggregate import Sum
+
+    docs = _read_documents(sf_dir, ["doc_id", "text", "lang"])
+    stage = LangIdStage()
+
+    def predict_with_label(t: pa.Table) -> pa.Table:
+        out = stage(pa.Table.from_pydict(
+            {"doc_id": t.column("doc_id"), "text": t.column("text")}
+        ))
+        return pa.Table.from_pydict(
+            {
+                "lang": t.column("lang"),
+                "lang_pred": out.column("lang_pred"),
+            }
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby(["lang", "lang_pred"], as_index=False).size()
+        g["p_n"] = g["size"].astype("int64")
+        return pa.Table.from_pandas(
+            g[["lang", "lang_pred", "p_n"]], preserve_index=False
+        )
+
+    agg = (
+        docs.map_batches(predict_with_label, batch_format="pyarrow", batch_size=65536)
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["lang", "lang_pred"], num_partitions=4)
+        .aggregate(Sum("p_n", alias_name="n"))
+    )
+    return agg.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "lang": t.column("lang"),
+                "lang_pred": t.column("lang_pred"),
+                "n": pc.cast(t.column("n"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+Q_LANG_CONFUSION_SQL_TEMPLATE = """
+SELECT d.lang, e.lang_pred, COUNT(*) AS n
+FROM documents d
+JOIN read_parquet('{expected_lang_id}') e USING (doc_id)
+GROUP BY 1, 2
+"""
