@@ -18,19 +18,23 @@ Scale shape at 100 TB (each stage documented at its home operator):
   predicates; decontamination probes a broadcast benchmark gram set);
 - stage 3's exchange carries (16-B digest, doc_id) only;
 - stage 5 is the histogram-prefix rank (one bucketed groupby);
-- the contaminated-id and duplicate-id drop lists are collected once
-  (both are structurally small: eval-overlap hits and duplicate
-  majority-minority); above ``broadcast_limit`` swap the broadcast
-  filter for the hash-partitioned ``left_anti`` join exactly as
-  ``dedup_exact`` does — same adaptive rule;
-- text is projected away before the two rank passes, so multi-pass
-  consumption re-streams only (doc_id, lang); the production variant
-  checkpoints each stage boundary to parquet like
-  pipelines/dedup_pipeline.py (same manifest contract) for resume.
+- the contaminated-id drop list is collected once (structurally small:
+  eval-overlap hits); the duplicate-id drop list is applied
+  ADAPTIVELY exactly as ``dedup_exact`` does: ``≤ broadcast_limit``
+  drops → driver collects once + ``ray.put`` broadcast filter;
+  above it the list never touches the driver — a hash-partitioned
+  ``left_anti`` join removes it with per-partition memory only
+  (web corpora can be duplicate-MAJORITY);
+- the curated (doc_id, lang) set is CHECKPOINTED to partitioned
+  parquet (atomic tmp+rename, pipelines/checkpoint contract) and the
+  two shuffle-rank passes re-STREAM it from disk — nothing is pinned
+  in the object store between passes (at the north rule's 10^12 docs
+  a materialized manifest would be ~16 TB of object store).
 """
 
 from __future__ import annotations
 
+import glob
 import hashlib
 import os
 
@@ -59,10 +63,24 @@ from rust_bert_ray.functions.text import (
 
 MIN_TOKENS = 15
 BENCH_MOD, BENCH_REM = 10, 3  # must match dedup_contamination defaults
+CKPT_ROOT = "/tmp/rbr_curation_ckpt"
 
 
-def curate(sf_dir: str, min_tokens: int = MIN_TOKENS):
-    """→ Dataset of (doc_id, lang, rank) for the curated corpus."""
+def curate(
+    sf_dir: str,
+    min_tokens: int = MIN_TOKENS,
+    broadcast_limit: int = 5_000_000,
+    checkpoint_dir: str | None = None,
+):
+    """→ Dataset of (doc_id, lang, rank) for the curated corpus.
+
+    ``broadcast_limit``: duplicate drop-lists above this row count are
+    removed with a hash-partitioned ``left_anti`` join instead of a
+    driver-collected broadcast (same adaptive rule as
+    functions/dedup.dedup_exact — tests force the join path with 0).
+    ``checkpoint_dir``: where the curated (doc_id, lang) boundary is
+    checkpointed; defaults to a path keyed on (sf_dir, params).
+    """
     docs = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text", "lang"],
@@ -71,7 +89,12 @@ def curate(sf_dir: str, min_tokens: int = MIN_TOKENS):
     # ---- stage 2 prep: contaminated train-doc ids (reuses the
     # standalone operator — same bench split, same 8-gram rule)
     contam = dedup_contamination(sf_dir).to_pandas()  # eval-overlap hits: tiny
-    contam_ref = ray.put(np.sort(contam["doc_id"].to_numpy(np.int64)))
+    contam_ids = (
+        contam["doc_id"].to_numpy(np.int64)
+        if "doc_id" in contam.columns  # zero hits → column-less empty frame
+        else np.empty(0, np.int64)
+    )
+    contam_ref = ray.put(np.sort(contam_ids))
 
     # ---- stages 1+2: quality + bench-split + decontamination (map-only).
     # Task pool, not actor pool: the only state is a broadcast id array
@@ -120,25 +143,40 @@ def curate(sf_dir: str, min_tokens: int = MIN_TOKENS):
             df.loc[df["doc_id"] != mins, ["doc_id"]], preserve_index=False
         )
 
-    dup_drops = (
+    drops = (
         survivors.map_batches(add_digest, batch_format="pyarrow", batch_size=None)
         .groupby("_bucket", num_partitions=16)
         .map_groups(drops_per_bucket, batch_format="pandas")
-        .to_pandas()  # duplicate minority; see module docstring for the join path
+        .materialize()  # (doc_id)-only rows; stays in the object store
     )
-    dup_ids = (
-        dup_drops["doc_id"].to_numpy(np.int64)
-        if "doc_id" in dup_drops.columns
-        else np.empty(0, np.int64)
-    )
-    dup_ref = ray.put(np.sort(dup_ids))
 
-    # ---- stage 4: drop duplicates + mixture sampling, project away text
+    # Adaptive drop-list application (mirrors functions/dedup.dedup_exact):
+    # duplicate-MAJORITY corpora must never collect the list to the driver.
+    if drops.count() > broadcast_limit:
+        dup_ref = None
+        deduped = survivors.join(
+            drops, "left_anti", num_partitions=16, on=("doc_id",)
+        )
+    else:
+        dup_df = drops.to_pandas()  # small side (duplicates minority)
+        dup_ids = (
+            dup_df["doc_id"].to_numpy(np.int64)
+            if "doc_id" in dup_df.columns
+            else np.empty(0, np.int64)
+        )
+        dup_ref = ray.put(np.sort(dup_ids))
+        deduped = survivors
+
+    # ---- stage 4: drop duplicates (broadcast path) + mixture sampling,
+    # project away text
     def mixture_filter(t: pa.Table) -> pa.Table:
-        dup = ray.get(dup_ref)
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        pos = np.minimum(np.searchsorted(dup, ids), max(len(dup) - 1, 0))
-        is_dup = (dup[pos] == ids) if len(dup) else np.zeros(len(ids), bool)
+        if dup_ref is not None:
+            dup = ray.get(dup_ref)
+            pos = np.minimum(np.searchsorted(dup, ids), max(len(dup) - 1, 0))
+            is_dup = (dup[pos] == ids) if len(dup) else np.zeros(len(ids), bool)
+        else:  # join path already removed duplicates
+            is_dup = np.zeros(len(ids), bool)
         h = (
             (ids.astype(np.uint64) % np.uint64(_MIX_MOD))
             * np.uint64(_MIX_MULT)
@@ -153,9 +191,25 @@ def curate(sf_dir: str, min_tokens: int = MIN_TOKENS):
         )
         return t.filter(pa.array(~is_dup & (h < thr))).select(["doc_id", "lang"])
 
-    sampled = survivors.map_batches(
+    sampled = deduped.map_batches(
         mixture_filter, batch_format="pyarrow", batch_size=65536
-    ).materialize()  # 2 tiny columns; consumed twice by the rank stages
+    )
+
+    # ---- checkpoint boundary: the curated (doc_id, lang) set is written
+    # to parquet (atomic tmp+rename) and RE-STREAMED by shuffle_rank's two
+    # passes — never pinned in the object store (at 10^12 docs a
+    # materialized manifest is ~16 TB).  16 B/row on disk; a resumable
+    # production run keys this dir per input partition (checkpoint.py).
+    from rust_bert_ray.pipelines.checkpoint import atomic_write_parquet, digest
+
+    ckpt_dir = checkpoint_dir or os.path.join(
+        CKPT_ROOT, digest(os.path.abspath(sf_dir), min_tokens, "v1"), "curated"
+    )
+    atomic_write_parquet(sampled, ckpt_dir)
+    if glob.glob(os.path.join(ckpt_dir, "*.parquet")):
+        sampled = ray.data.read_parquet(ckpt_dir)
+    # (empty curated set ⇒ zero-file dir; fall through with the in-memory
+    # empty dataset — nothing to re-stream)
 
     # ---- stage 5: global shuffle rank over the curated set
     return shuffle_rank(sampled)

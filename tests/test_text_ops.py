@@ -285,6 +285,51 @@ def test_curation_pipeline_stages(ray_session, tmp_path):
     assert (out.lang == "en").all()
 
 
+def test_curation_forced_join_parity(ray_session, tmp_path):
+    """broadcast_limit=0 forces the hash-partitioned left_anti drop-list
+    path (the duplicate-majority branch); results must be identical to
+    the broadcast path, and the checkpoint boundary must exist on disk."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rust_bert_ray.pipelines.curation import curate
+
+    texts = [" ".join(f"w{i}_{j}" for j in range(20)) for i in range(6)]
+    dupe = " ".join(f"d{j}" for j in range(20))
+    bench = " ".join(f"b{j}" for j in range(20))  # doc 3 = bench split
+    docs = pa.table(
+        {
+            "doc_id": pa.array([3, 1, 2, 4, 11, 41, 51, 61, 71], pa.int64()),
+            "text": pa.array([bench] + texts + [dupe, dupe]),
+            "lang": pa.array(["en"] * 9),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(docs, sf / "documents.parquet")
+
+    ck_b = str(tmp_path / "ck_broadcast")
+    ck_j = str(tmp_path / "ck_join")
+    broad = (
+        curate(str(sf), checkpoint_dir=ck_b)
+        .to_pandas()
+        .sort_values("rank", ignore_index=True)
+    )
+    joined = (
+        curate(str(sf), broadcast_limit=0, checkpoint_dir=ck_j)
+        .to_pandas()
+        .sort_values("rank", ignore_index=True)
+    )
+    assert len(broad) > 0  # the fixture must actually curate something
+    assert broad[["doc_id", "lang", "rank"]].equals(
+        joined[["doc_id", "lang", "rank"]]
+    )
+    # the (doc_id, lang) boundary is checkpointed, not materialized
+    assert any(f.endswith(".parquet") for f in os.listdir(ck_j))
+
+
 def test_dsir_weights_semantics(ray_session, tmp_path):
     """Docs written in the target domain's vocabulary outscore docs in a
     disjoint vocabulary; empty text scores 0 with 0 grams."""
