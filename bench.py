@@ -152,7 +152,7 @@ def run_bench() -> dict:
             docs_dir,
             out_dir,
             n_groups=1,
-            batch_size=512,
+            batch_size=None,
             write_enriched=True,
             resume=False,
         )

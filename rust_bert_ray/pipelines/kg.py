@@ -58,13 +58,8 @@ def default_alias_index() -> AliasIndex:
     return AliasIndex(entities)
 
 
-def _pool_sizes(concurrency: int | None) -> tuple[int, int, int]:
-    """Split the CPU budget across the three actor pools.
-
-    NER dominates wall time → ~60% of the budget; relation and linking are
-    cheap per row → ~20% each.  Sized so Σ(pool × num_cpus=1) ≈ node CPUs
-    and no stage starves the read/write stages.
-    """
+def _sum_pool_budget(concurrency: int | None) -> int:
+    """CPU budget available to actor pools (total − read/write reserve)."""
     if concurrency is None:
         try:
             total = int(ray.cluster_resources().get("CPU", 8))
@@ -72,11 +67,22 @@ def _pool_sizes(concurrency: int | None) -> tuple[int, int, int]:
             total = 8
     else:
         total = concurrency
-    # Leave ≥2 CPUs for the task-based read/write stages: an actor-pool sum
-    # equal to the node's CPUs starves ReadParquet and the pipeline
-    # deadlocks (observed; also the guide's "pool that reserves every CPU"
-    # pitfall).
-    budget = max(3, total - 2)
+    return max(3, total - 2)
+
+
+def _pool_sizes(concurrency: int | None) -> tuple[int, int, int]:
+    """Split the CPU budget across the three actor pools.
+
+    NER dominates wall time → ~60% of the budget; relation and linking are
+    cheap per row → ~20% each.  Sized so Σ(pool × num_cpus=1) ≈ node CPUs
+    and no stage starves the read/write stages.
+
+    (Leaving ≥2 CPUs for the task-based read/write stages is load-bearing:
+    an actor-pool sum equal to the node's CPUs starves ReadParquet and the
+    pipeline deadlocks — observed; also the guide's "pool that reserves
+    every CPU" pitfall.)
+    """
+    budget = _sum_pool_budget(concurrency)
     ner = max(1, (budget * 6) // 10)
     rel = max(1, (budget * 2) // 10)
     link = max(1, budget - ner - rel)
@@ -88,7 +94,7 @@ def extract_and_link(
     *,
     gazetteer: dict[str, str] | None = None,
     index_ref=None,
-    batch_size: int = 256,
+    batch_size: int | None = None,
     concurrency: int | None = None,
     ner_ray_remote_args: dict | None = None,
 ) -> "ray.data.Dataset":
@@ -104,7 +110,15 @@ def extract_and_link(
     gaz = gazetteer if gazetteer is not None else GAZETTEER
     if index_ref is None:
         index_ref = ray.put(default_alias_index())
-    ner_c, rel_c, link_c = _pool_sizes(concurrency)
+    # Only NER is an actor pool (stateful: compiled gazetteer, memo, and
+    # the GPU seam).  Relation + linking are CHEAP vectorized passes with
+    # trivial state (fact: per-task overhead, not UDF time, dominated
+    # them as actor pools) — as task-pool INSTANCES they float over
+    # whatever CPUs NER isn't using, so no static split can starve the
+    # read/write stages at any cluster size.  NER gets ~2/3 of the
+    # budget: its UDF time ≈ 60% of the stream's total CPU (measured
+    # 99 / 165 CPU·s at 800k docs).
+    ner_c = max(1, (_sum_pool_budget(concurrency) * 2) // 3)
     enriched = docs.map_batches(
         NerStage,
         fn_constructor_kwargs={"gazetteer": gaz},
@@ -114,17 +128,14 @@ def extract_and_link(
         **(ner_ray_remote_args or {}),
     )
     triples = enriched.map_batches(
-        RelationStage,
+        RelationStage(),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=rel_c,
     )
     linked = triples.map_batches(
-        LinkingStage,
-        fn_constructor_kwargs={"index_ref": index_ref},
+        LinkingStage(index_ref),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=link_c,
     )
     return linked
 
@@ -133,7 +144,7 @@ def enrich_docs(
     docs: "ray.data.Dataset",
     *,
     gazetteer: dict[str, str] | None = None,
-    batch_size: int = 256,
+    batch_size: int | None = None,
     concurrency: int | None = None,
 ) -> "ray.data.Dataset":
     """docs → docs + entities (spans untouched) — the invariant-bearing output."""
@@ -165,7 +176,7 @@ def run_kg_pipeline(
     *,
     gazetteer: dict[str, str] | None = None,
     alias_index: AliasIndex | None = None,
-    batch_size: int = 256,
+    batch_size: int | None = None,
     concurrency: int | None = None,
     n_groups: int = 4,
     salt: int = 8,
@@ -189,59 +200,71 @@ def run_kg_pipeline(
                 continue
             summary.setdefault("invalidated", []).append(part)
         tp = time.time()
-        docs = ray.data.read_parquet(files, columns=["doc_id", "spans"])
-        ner_c, rel_c, link_c = _pool_sizes(concurrency)
-        if write_enriched:
-            # In checkpointed mode the three pools never coexist: NER owns
-            # the enrich dataset; relations+linking own the derive
-            # dataset.  The 60/20/20 split would idle 40% of the budget in
-            # the first dataset and 60% in the second — give each dataset
-            # the full budget instead (read/write reserve unchanged).
-            budget = ner_c + rel_c + link_c
-            # the enrich dataset also WRITES the enriched parquet: a pool
-            # taking the whole budget starves the write tasks (measured
-            # 37 s → 102 s at 800k docs/32 CPUs); ~2/3 for NER keeps the
-            # writer fed
-            ner_c = max(1, (budget * 2) // 3)
-            rel_c = max(1, budget // 2)
-            link_c = max(1, budget - budget // 2)
+        # One block per input file unless the NER pool needs more for
+        # balance: Ray's default parallelism heuristic splits each file
+        # in two (≥200 blocks), and the extra per-block task round-trips
+        # through 4 downstream operators cost ~15% wall at 800k docs.
+        ner_c = max(1, (_sum_pool_budget(concurrency) * 2) // 3)
+        docs = ray.data.read_parquet(
+            files,
+            columns=["doc_id", "spans"],
+            override_num_blocks=max(len(files), 2 * ner_c),
+        )
         lineage = []
         out_rows: dict[str, int] = {}
         if write_enriched:
-            # Run NER ONCE: write the enriched docs (spans untouched +
-            # entities), then derive triples from the written output —
-            # no second NER pass, and the extraction output itself is
-            # checkpointed.
+            # FUSED single streaming execution (one NER pass, one ramp):
+            #   NER → per-block side-write of the enriched docs (spans
+            #   untouched + entities) → relations → linking → triples.
+            # Running enrich-write and triple-derive as two sequential
+            # datasets paid a second fill/drain ramp and serialized NER
+            # against rel+link (21.7 s → fused ~14 s at 800k/32 CPUs).
+            # The side-writer spills each NER output BLOCK into the
+            # checkpoint tmp dir with a deterministic name (blocks hold
+            # disjoint doc ranges → first doc_id identifies the block;
+            # a retried task overwrites its own file, so the write is
+            # exactly-once); the dir is renamed into place only after
+            # the fused pipeline — triples included — finishes.
+            docs_dir = ckpt.partition_dir(out_dir, "docs_enriched", part)
+            tmp_dir = docs_dir + ".tmp"
+            if os.path.exists(tmp_dir):
+                import shutil
+
+                shutil.rmtree(tmp_dir)
+            os.makedirs(tmp_dir, exist_ok=True)
+
+            def spill_enriched(t):
+                import pyarrow.parquet as pq
+
+                if t.num_rows:
+                    name = f"blk-{t.column('doc_id')[0].as_py()}-{t.num_rows}"
+                    pq.write_table(t, os.path.join(tmp_dir, name + ".parquet"))
+                return t
+
+            # Same stage topology as extract_and_link: NER is the only
+            # actor pool (~2/3 budget — its UDF time is ~60% of the
+            # stream's CPU); spill + relation + linking run as task-pool
+            # stages that Ray fuses into one operator and schedules onto
+            # whatever CPUs NER isn't using.  Static 3-pool splits were
+            # measured 40-70% slower at 800k docs/32 CPUs and starve
+            # worse at small CPU counts (the 8-CPU scaling leg).
             enriched = docs.map_batches(
                 NerStage,
                 fn_constructor_kwargs={"gazetteer": gazetteer or GAZETTEER},
                 batch_format="pyarrow",
                 batch_size=batch_size,
                 concurrency=ner_c,
+            ).map_batches(
+                spill_enriched, batch_format="pyarrow", batch_size=None
             )
-            docs_dir = ckpt.partition_dir(out_dir, "docs_enriched", part)
-            ckpt.atomic_write_parquet(enriched, docs_dir)
-            input_rows = _pq_rows(docs_dir)
-            enriched_ds = ray.data.read_parquet(docs_dir)
-            out_rows["docs_enriched"] = input_rows
-            lineage.append(
-                {
-                    "stage": "enrich_docs",
-                    "input_digest": ckpt.digest(*files, input_rows),
-                    "output_digest": ckpt.digest(docs_dir, input_rows),
-                }
-            )
-            downstream = enriched_ds.map_batches(
-                RelationStage,
+            downstream = enriched.map_batches(
+                RelationStage(),
                 batch_format="pyarrow",
                 batch_size=batch_size,
-                concurrency=rel_c,
             ).map_batches(
-                LinkingStage,
-                fn_constructor_kwargs={"index_ref": index_ref},
+                LinkingStage(index_ref),
                 batch_format="pyarrow",
                 batch_size=4096,
-                concurrency=link_c,
             )
         else:
             input_rows = docs.count()
@@ -254,6 +277,23 @@ def run_kg_pipeline(
             )
         triples_dir = ckpt.partition_dir(out_dir, "triples", part)
         ckpt.atomic_write_parquet(downstream, triples_dir)
+        if write_enriched:
+            # promote the side-written enriched blocks (upstream of the
+            # finished triples write ⇒ all spills are complete)
+            import shutil
+
+            if os.path.exists(docs_dir):
+                shutil.rmtree(docs_dir)
+            os.replace(tmp_dir, docs_dir)
+            input_rows = _pq_rows(docs_dir)
+            out_rows["docs_enriched"] = input_rows
+            lineage.append(
+                {
+                    "stage": "enrich_docs",
+                    "input_digest": ckpt.digest(*files, input_rows),
+                    "output_digest": ckpt.digest(docs_dir, input_rows),
+                }
+            )
         out_rows["triples"] = _pq_rows(triples_dir)
         lineage.append(
             {

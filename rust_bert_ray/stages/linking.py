@@ -112,13 +112,28 @@ class LinkingStage:
     """
 
     def __init__(self, index_ref, threshold: float = 0.6):
-        import ray
-
-        self.index: AliasIndex = (
-            ray.get(index_ref) if isinstance(index_ref, ray.ObjectRef) else index_ref
-        )
+        # Index resolution is LAZY so the stage works both as an actor
+        # pool (resolve once per actor) and as a task-pool instance: the
+        # instance ships with only the ObjectRef and each task's first
+        # batch does a zero-copy ray.get from the LOCAL object store —
+        # an eager get here would pickle the whole index into the task
+        # closure instead.
+        self._index_ref = index_ref
+        self._index: AliasIndex | None = None
         self.threshold = threshold
         self.cache: dict[tuple[str, str], tuple[str, str, float]] = {}
+
+    @property
+    def index(self) -> AliasIndex:
+        if self._index is None:
+            import ray
+
+            self._index = (
+                ray.get(self._index_ref)
+                if isinstance(self._index_ref, ray.ObjectRef)
+                else self._index_ref
+            )
+        return self._index
 
     def _resolve(self, surface: str, label: str) -> tuple[str, str, str, float]:
         """→ (surface_key, node_id, canonical, link_score)."""
