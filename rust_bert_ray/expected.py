@@ -32,6 +32,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from rust_bert_ray.functions.util import embedding_matrix
+
 EXPECTED_ROOT = "/tmp/rbr_expected"
 VERSION = 25  # bump whenever any builder's semantics change
 
@@ -1327,7 +1329,7 @@ def dedup_embedding_lsh_pairs(
 
     t = _embeddings(sf_dir)
     ids = t.column("vec_id").to_numpy(zero_copy_only=False)
-    M = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    M = embedding_matrix(t.column("embedding"))
     Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
     pairs: dict[tuple[int, int], float] = {}
     for tab in range(n_tables):
@@ -1362,7 +1364,7 @@ def dedup_embedding_lsh_pairs(
 def _ann_common(sf_dir: str, query_vec_id: int = 0):
     t = _embeddings(sf_dir)
     ids = t.column("vec_id").to_numpy(zero_copy_only=False)
-    M = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    M = embedding_matrix(t.column("embedding"))
     qi = int(np.nonzero(ids == query_vec_id)[0][0])
     q = M[qi]
     return ids, M, q
@@ -1498,7 +1500,7 @@ def q_lm_scores(sf_dir: str, corpus_root: str) -> pa.Table:
 def _quant_embeddings(sf_dir: str):
     t = _embeddings(sf_dir)
     ids = t.column("vec_id").to_numpy(zero_copy_only=False)
-    x = np.stack(t.column("embedding").to_pylist()).astype(np.float64) * 1e6
+    x = embedding_matrix(t.column("embedding")) * 1e6
     return ids, np.copysign(np.floor(np.abs(x) + 0.5), x)
 
 

@@ -41,7 +41,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from rust_bert_ray.functions.util import round_ha
+from rust_bert_ray.functions.util import embedding_matrix, round_ha
 
 QUANT_SCALE = 1_000_000  # micro-units
 KMEANS_K = 8
@@ -61,8 +61,7 @@ def _quantize_batch(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     """float32 embeddings → exact integer micro-units held in float64
     (half away from zero, matching util.round_ha / DuckDB ROUND)."""
     ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-    mat = np.stack(batch.column("embedding").to_pylist())
-    x = np.asarray(mat, dtype=np.float64) * QUANT_SCALE
+    x = embedding_matrix(batch.column("embedding")) * QUANT_SCALE
     xq = np.copysign(np.floor(np.abs(x) + 0.5), x)  # ints as float64, exact
     return ids, xq
 

@@ -32,7 +32,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from rust_bert_ray.functions.util import round_ha
+from rust_bert_ray.functions.util import embedding_matrix, round_ha
 
 
 def _read_documents(sf_dir: str, columns: list[str] | None = None):
@@ -135,14 +135,26 @@ def _token_sets(texts: list[str]) -> list[set[str]]:
     return [set(t.split(" ")) for t in texts]
 
 
-def dedup_jaccard_pairs(sf_dir: str, threshold: float = 0.9):
+def dedup_jaccard_pairs(sf_dir: str, threshold: float = 0.9, max_rows: int = 200_000):
     """All document pairs with token-set Jaccard ≥ threshold (exact).
 
     The right side is broadcast as a binary token-incidence matrix; each
     batch computes intersections with one matmul.  Exact (verifies every
     pair) — use the MinHash variant when neither side fits in memory.
+
+    GUARDED exact baseline: O(N²) compare + driver broadcast.  Above
+    ``max_rows`` the N×V incidence matrix would silently OOM a worker,
+    so the call fails fast and names ``dedup_minhash_pairs`` as the
+    scale path (VERDICT r3 item 6) instead of degrading.
     """
     docs = _read_documents(sf_dir, ["doc_id", "text"])
+    n = docs.count()
+    if n > max_rows:
+        raise ValueError(
+            f"dedup_jaccard_pairs is the bounded exact baseline "
+            f"({n} rows > max_rows={max_rows}); use dedup_minhash_pairs "
+            f"(banded LSH) at corpus scale"
+        )
     ref_tbl = docs.to_pandas()  # broadcast side (bounded corpus by contract)
     ref_ids = ref_tbl["doc_id"].to_numpy()
     ref_sets = _token_sets(ref_tbl["text"].tolist())
@@ -831,11 +843,24 @@ FROM reach GROUP BY u
 
 # ------------------------------------------------------ embedding near-dup
 
-def dedup_embedding_pairs(sf_dir: str, threshold: float = 0.35):
-    """Vector pairs with cosine ≥ threshold (exact, broadcast matmul)."""
+def dedup_embedding_pairs(sf_dir: str, threshold: float = 0.35, max_rows: int = 500_000):
+    """Vector pairs with cosine ≥ threshold (exact, broadcast matmul).
+
+    GUARDED exact baseline like ``dedup_jaccard_pairs``: O(N²) with a
+    driver-materialized broadcast matrix.  Above ``max_rows`` it fails
+    fast and names ``dedup_embedding_lsh_pairs`` as the scale path.
+    """
+    # 64-dim float64 broadcast ≈ 256 MB at the default bound
     emb = ray.data.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
+    n = emb.count()
+    if n > max_rows:
+        raise ValueError(
+            f"dedup_embedding_pairs is the bounded exact baseline "
+            f"({n} rows > max_rows={max_rows}); use "
+            f"dedup_embedding_lsh_pairs (SRP-bucketed) at corpus scale"
+        )
     ref_df = emb.to_pandas()
     ids = ref_df["vec_id"].to_numpy()
     M = np.stack(ref_df["embedding"].to_numpy()).astype(np.float64)
@@ -851,7 +876,7 @@ def dedup_embedding_pairs(sf_dir: str, threshold: float = 0.35):
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-            A = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+            A = embedding_matrix(batch.column("embedding"))
             a_norms = np.linalg.norm(A, axis=1)
             cos = round_ha(
                 (A @ self.M.T) / np.maximum(np.outer(a_norms, self.norms), 1e-300), 5
@@ -934,7 +959,7 @@ def dedup_embedding_lsh_pairs(
     ]
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        A = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+        A = embedding_matrix(t.column("embedding"))
         n = len(A)
         tabs, srps = [], []
         for tab in range(n_tables):

@@ -32,7 +32,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from rust_bert_ray.functions.util import round_ha
+from rust_bert_ray.functions.util import embedding_matrix, round_ha
 
 INDEX_ROOT = "/tmp/rbr_ann_index"
 # bump whenever the hashing/centroid algebra changes — a stale persisted
@@ -71,7 +71,7 @@ class CosineScore:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        A = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+        A = embedding_matrix(batch.column("embedding"))
         norms = np.maximum(np.linalg.norm(A, axis=1), 1e-300)
         cos = round_ha((A @ self.q) / norms, 5)
         mask = ids != self.exclude_id
@@ -265,7 +265,7 @@ def ensure_lsh_index(sf_dir: str, n_bits: int = 8) -> tuple[str, dict]:
     planes = _srp_planes(dim, n_bits)
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        A = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+        A = embedding_matrix(t.column("embedding"))
         return t.append_column(
             "bucket", pa.array(_srp_hash(planes, A), type=pa.int64())
         )
@@ -364,7 +364,7 @@ def ensure_ivf_index(
     C = _ivf_centroids(sf_dir, n_centroids, sample_rows)
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        A = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+        A = embedding_matrix(t.column("embedding"))
         norms = np.maximum(np.linalg.norm(A, axis=1), 1e-300)
         assign = ((A / norms[:, None]) @ C.T).argmax(axis=1)
         return t.append_column("bucket", pa.array(assign, type=pa.int64()))

@@ -4,7 +4,31 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pyarrow.compute as pc
+
+
+def embedding_matrix(col, dtype=np.float64) -> np.ndarray:
+    """``list<float>`` column → ``(n, dim)`` matrix WITHOUT per-row
+    Python objects.
+
+    ``to_pylist()`` + ``np.stack`` materializes one Python list + n·dim
+    PyFloat objects per batch — measured ~30× slower than flattening the
+    Arrow child array (``pc.list_flatten`` respects offsets/slices, the
+    ``to_numpy`` on the flat float child is zero-copy).  Values are
+    bit-identical to the old path: float32 → float64 widening is exact
+    either way.  Used by every ANN / dedup / clustering hot loop AND by
+    the expected-oracle builders (same floats on both sides — the
+    expected-table contract).
+    """
+    flat = pc.list_flatten(col)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype)
+    v = flat.to_numpy(zero_copy_only=False)
+    return np.ascontiguousarray(v.reshape(n, len(v) // n).astype(dtype, copy=False))
 
 
 def round_ha(a, digits: int):

@@ -33,6 +33,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from rust_bert_ray.functions.util import embedding_matrix
+
 RAG_INDEX_ROOT = "/tmp/rbr_rag_index"
 RAG_VERSION = 1
 RAG_N_BITS = 6
@@ -58,7 +60,8 @@ class _ChunkEmbedStage:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         texts = t.column("chunk_text").to_pylist()
-        V = np.stack([self.embedder.embed(x) for x in texts]).astype(np.float32)
+        # batch-in/batch-out: a real embedder does ONE forward pass here
+        V = self.embedder.embed_batch(texts)
         buckets = self._hash(self.planes, V.astype(np.float64))
         return pa.Table.from_pydict(
             {
@@ -144,7 +147,7 @@ def rag_search(sf_dir: str, query: str = RAG_QUERY, k: int = 10):
     qhat = qv / max(np.linalg.norm(qv), 1e-300)
 
     def score(t: pa.Table) -> pa.Table:
-        A = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+        A = embedding_matrix(t.column("embedding"))
         norms = np.maximum(np.linalg.norm(A, axis=1), 1e-300)
         cos = round_ha((A @ qhat) / norms, 5)
         return pa.Table.from_pydict(

@@ -222,13 +222,21 @@ class HashEmbedder:
         self.dim = dim
         self.pooling = pooling
         self.dense = dense
+        # word-vector memo: _word_vec is deterministic, so caching across
+        # texts/batches changes nothing but wall time (Zipfian words)
+        self._word_cache: dict[str, np.ndarray] = {}
 
     def _word_vec(self, word: str) -> np.ndarray:
+        v = self._word_cache.get(word)
+        if v is not None:
+            return v
         v = np.zeros(self.dim, dtype=np.float64)
         padded = f"#{word.lower()}#"
         for i in range(max(1, len(padded) - 2)):
             g = padded[i : i + 3]
             v[_crc(g) % self.dim] += 1.0
+        if len(self._word_cache) < 200_000:
+            self._word_cache[word] = v
         return v
 
     @property
@@ -245,6 +253,20 @@ class HashEmbedder:
         if self.dense is not None:
             pooled = self.dense(pooled)
         return l2_normalize(pooled[None, :])[0].astype(np.float32)
+
+    def embed_batch(self, texts: list[str]) -> np.ndarray:
+        """Batch-in/batch-out seam → ``(n, out_dim)`` float32.
+
+        A real model (torch/ONNX) replaces this with ONE padded forward
+        pass per batch; stages must call THIS, never a per-row loop, so
+        the swap is a drop-in (VERDICT r3 item 5).  Floats are identical
+        to ``[embed(t) for t in texts]`` — the word-vector memo is the
+        only sharing and it is value-transparent.
+        """
+        out = np.zeros((len(texts), self.out_dim), dtype=np.float32)
+        for i, text in enumerate(texts):
+            out[i] = self.embed(text)
+        return out
 
     def embed_batch(self, texts: list[str]) -> np.ndarray:
         if not texts:

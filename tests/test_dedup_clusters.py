@@ -253,3 +253,16 @@ def test_dedup_incremental_semantics(ray_session, tmp_path):
     out2 = dedup_incremental(str(sf)).to_pandas()
     assert sorted(out2.doc_id) == [2, 7, 12]
     assert os.path.getmtime(os.path.join(base, "meta.json")) == mtime
+
+
+def test_exact_allpairs_guards_trip(ray_session):
+    """The O(N²) exact baselines fail fast above their documented bounds
+    (pointing at the LSH scale paths) instead of OOMing a worker."""
+    import pytest
+
+    from rust_bert_ray.functions import dedup as d
+
+    with pytest.raises(ValueError, match="dedup_minhash_pairs"):
+        d.dedup_jaccard_pairs(SF, max_rows=1)
+    with pytest.raises(ValueError, match="dedup_embedding_lsh_pairs"):
+        d.dedup_embedding_pairs(SF, max_rows=1)
