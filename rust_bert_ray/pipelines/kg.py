@@ -97,8 +97,14 @@ def extract_and_link(
     batch_size: int | None = None,
     concurrency: int | None = None,
     ner_ray_remote_args: dict | None = None,
+    ner_stage_kwargs: dict | None = None,
 ) -> "ray.data.Dataset":
     """docs → linked triple candidates (no shuffle anywhere).
+
+    ``ner_stage_kwargs`` merges into NerStage's constructor — the
+    backend-swap hook (e.g. ``{"scorer": TensorTagScorer(gaz)}`` for the
+    batched-tensor/GPU path; the reference's ModelResource::ONNX slot,
+    token_classification.rs:355-361).
 
     ``ner_ray_remote_args`` flows to the NER actor pool's scheduling —
     a GPU-backed scorer uses ``ner_ray_remote_args={"num_gpus": 1}``
@@ -121,7 +127,7 @@ def extract_and_link(
     ner_c = max(1, (_sum_pool_budget(concurrency) * 2) // 3)
     enriched = docs.map_batches(
         NerStage,
-        fn_constructor_kwargs={"gazetteer": gaz},
+        fn_constructor_kwargs={"gazetteer": gaz, **(ner_stage_kwargs or {})},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=ner_c,

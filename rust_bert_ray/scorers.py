@@ -268,10 +268,46 @@ class HashEmbedder:
             out[i] = self.embed(text)
         return out
 
-    def embed_batch(self, texts: list[str]) -> np.ndarray:
-        if not texts:
-            return np.zeros((0, self.out_dim), dtype=np.float32)
-        return np.stack([self.embed(t) for t in texts])
+
+class TensorTagScorer(DeterministicTagScorer):
+    """Batched-tensor token-classification backend (torch/ONNX stand-in).
+
+    Exercises the one boundary a GPU model needs that the per-text
+    deterministic path never did: the stage collects every window of a
+    ``map_batches`` call, pads ``input_ids`` to the LONGEST window in
+    the batch (dynamic per-batch padding — reference
+    token_classification.rs:1044-1090, common.rs:2250-2297) and makes
+    ONE ``forward(input_ids, attention_mask, tag_ids)`` call returning
+    ``[B, T, n_labels]`` logits.  This numpy "model" reproduces the
+    deterministic weights' algebra exactly (one positive logit
+    ``BASE_LOGIT + jitter(piece_id)`` at the tag column), so every
+    downstream float is bit-identical to the per-text reference path —
+    backend-invariance is asserted by tests/test_tensor_backend.py.
+
+    A real torch/ONNX backend implements the same ``forward`` signature
+    from its own weights (ignoring ``tag_ids``, which stands in for
+    what a trained model computes from ``input_ids``); swap it in via
+    ``NerStage(scorer=...)`` + ``ner_ray_remote_args={"num_gpus": 1}``.
+    """
+
+    def forward(
+        self,
+        input_ids: np.ndarray,
+        attention_mask: np.ndarray,
+        tag_ids: np.ndarray,
+    ) -> np.ndarray:
+        """``int64[B,T] × bool[B,T] × int8[B,T] → float64[B,T,L]``."""
+        B, T = input_ids.shape
+        logits = np.zeros((B, T, len(NER_LABELS)), dtype=np.float64)
+        b_idx, t_idx = np.nonzero(attention_mask)
+        ids = input_ids[b_idx, t_idx]
+        jit = np.fromiter(
+            (self.jitter_for(int(p)) for p in ids),
+            dtype=np.float64,
+            count=len(ids),
+        )
+        logits[b_idx, t_idx, tag_ids[b_idx, t_idx]] = self.BASE_LOGIT + jit
+        return logits
 
 
 class HeuristicTagScorer:

@@ -41,6 +41,7 @@ from rust_bert_ray.decode.consolidate import (
 from rust_bert_ray.decode.featurize import generate_features
 from rust_bert_ray.decode.vector import BatchWordSplitter, bio_runs
 from rust_bert_ray.scorers import (
+    NER_LABEL_INDEX,
     NER_LABELS,
     DeterministicRelationScorer,
     DeterministicTagScorer,
@@ -223,6 +224,11 @@ class NerStage:
         if self._fast:
             self._splitter = BatchWordSplitter()
             self._pieces = _PieceCache(self.tokenizer, self.scorer)
+        # Batched-tensor backend (torch/ONNX boundary): a scorer exposing
+        # ``forward(input_ids, attention_mask, tag_ids)`` gets ONE padded
+        # call per map_batches invocation (pad-to-max-in-batch) instead
+        # of per-feature logits_for_pieces.
+        self._tensor = hasattr(self.scorer, "forward")
 
     def _entities_for_text(self, text: str) -> list[Entity]:
         cached = self.memo.get(text)
@@ -391,6 +397,8 @@ class NerStage:
             sub: list[list[Entity] | None] = [None] * len(todo_texts)
             if self._fast:
                 self._decode_texts_fast(todo_texts, sub)
+            elif self._tensor:
+                self._decode_texts_tensor(todo_texts, sub)
             for j, ents in enumerate(sub):
                 if ents is None:
                     ents = self._entities_for_text(todo_texts[j])
@@ -399,6 +407,76 @@ class NerStage:
                         memo[todo_texts[j]] = ents
                 out[todo_idx[j]] = ents
         return out  # type: ignore[return-value]
+
+    # ------------------------------------------- batched-tensor backend
+
+    def _decode_texts_tensor(
+        self, texts: list[str], results: list[list[Entity] | None]
+    ) -> None:
+        """One padded forward pass for ALL windows of the batch.
+
+        Dynamic per-batch padding (reference token_classification.rs:
+        1044-1090): T = longest window in this batch, not a fixed
+        max_length — short batches cost short tensors.  Per-row softmax
+        is independent of padding rows, so floats are bit-identical to
+        ``_entities_for_text``; tests/test_tensor_backend.py asserts
+        field-level equality against the reference path.
+        """
+        feats: list[tuple[int, object, list[str]]] = []
+        for i, text in enumerate(texts):
+            enc = self.tokenizer.encode(text)
+            word_tags = self.scorer.tag_words(enc.words or [])
+            if all(t == "O" for t in word_tags):
+                results[i] = []  # same all-O shortcut as the reference path
+                continue
+            for f in generate_features(
+                enc, example_index=0, max_length=self.max_length
+            ):
+                feats.append((i, f, word_tags))
+        if not feats:
+            return
+        B = len(feats)
+        T = max(len(f.input_ids) for _, f, _ in feats)
+        input_ids = np.zeros((B, T), dtype=np.int64)
+        attention = np.zeros((B, T), dtype=bool)
+        tag_ids = np.zeros((B, T), dtype=np.int8)
+        for r, (_, f, wt) in enumerate(feats):
+            n = len(f.input_ids)
+            input_ids[r, :n] = f.input_ids
+            attention[r, :n] = True
+            for pos, w in enumerate(f.word_indices):
+                tag_ids[r, pos] = NER_LABEL_INDEX[wt[w] if w >= 0 else "O"]
+
+        logits = self.scorer.forward(input_ids, attention, tag_ids)
+
+        tokens_of: dict[int, list[Token]] = {}
+        for r, (i, f, _) in enumerate(feats):
+            n = len(f.input_ids)
+            probs = softmax(logits[r, :n], axis=-1)
+            label_ids = probs.argmax(axis=-1)
+            toks = tokens_of.setdefault(i, [])
+            text = texts[i]
+            for pos in range(n):
+                if f.masks[pos] == MASK_SPECIAL or not f.reference_feature[pos]:
+                    continue
+                li = int(label_ids[pos])
+                b, e = f.offsets[pos]
+                toks.append(
+                    Token(
+                        text=text[b:e],
+                        score=float(probs[pos, li]),
+                        label=NER_LABELS[li],
+                        label_index=li,
+                        sentence=0,
+                        index=pos,
+                        word_index=f.word_indices[pos],
+                        offset=(b, e),
+                        mask=f.masks[pos],
+                    )
+                )
+        for i, toks in tokens_of.items():
+            merged = consolidate_tokens(toks, self.label_aggregation)
+            results[i] = consolidate_entities(merged)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         spans_col = batch.column("spans")

@@ -1,0 +1,116 @@
+"""Second scorer backend: batched-tensor forward with per-batch dynamic
+padding (the torch/ONNX boundary — reference token_classification.rs:
+1044-1090 pad-to-max, common.rs:2250-2297 tensor batching).
+
+The deterministic algebra must be BACKEND-INVARIANT: every entity field
+(word, label, score float, offsets) from TensorTagScorer's one padded
+forward pass must equal the per-text reference path bit-for-bit, and
+the flagship triple extraction must be unchanged under the swap.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from rust_bert_ray.corpus import GAZETTEER
+from rust_bert_ray.scorers import NER_LABELS, TensorTagScorer
+from rust_bert_ray.stages.ner import NerStage
+
+TEXTS = [
+    "Anna Schmidt works for Apex Corp in Berlin",
+    "nothing notable here at all",
+    "",
+    "Apex Corp is headquartered in Berlin and Anna Schmidt visited "
+    "Munich after a long journey across the region with many words "
+    "padding this sentence beyond one window " * 3,
+    "Berlin",
+]
+
+
+def _spans_batch(texts):
+    return pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(len(texts))]),
+            "spans": pa.array(
+                [
+                    [
+                        {
+                            "kind": "text",
+                            "text": t,
+                            "media_ref": "",
+                            "offset": 0,
+                        }
+                    ]
+                    for t in texts
+                ],
+                type=pa.list_(
+                    pa.struct(
+                        [
+                            ("kind", pa.string()),
+                            ("text", pa.string()),
+                            ("media_ref", pa.string()),
+                            ("offset", pa.int32()),
+                        ]
+                    )
+                ),
+            ),
+        }
+    )
+
+
+def test_tensor_forward_shapes_and_padding():
+    sc = TensorTagScorer(GAZETTEER)
+    B, T = 3, 7
+    input_ids = np.arange(B * T, dtype=np.int64).reshape(B, T)
+    att = np.zeros((B, T), dtype=bool)
+    att[0, :7] = True  # full row
+    att[1, :3] = True  # padded row
+    # row 2: all padding
+    tag_ids = np.ones((B, T), dtype=np.int8)
+    out = sc.forward(input_ids, att, tag_ids)
+    assert out.shape == (B, T, len(NER_LABELS))
+    # padding rows carry no signal
+    assert np.all(out[1, 3:] == 0.0) and np.all(out[2] == 0.0)
+    # attended rows: exactly one positive logit at the tag column
+    assert out[0, 0, 1] > 0 and np.count_nonzero(out[0, 0]) == 1
+
+
+def test_tensor_backend_bit_equals_reference_path():
+    ref = NerStage(GAZETTEER)
+    # injected scorer ⇒ NerStage uses the batched-tensor path
+    alt = NerStage(GAZETTEER, scorer=TensorTagScorer(GAZETTEER))
+    assert alt._tensor and not alt._fast
+
+    ref_out = ref(_spans_batch(TEXTS))
+    alt_out = alt(_spans_batch(TEXTS))
+    assert ref_out.equals(alt_out)  # schema + every value, scores included
+
+
+def test_kg_triples_green_under_tensor_backend(ray_session):
+    """Flagship extraction is unchanged under the backend swap (the
+    VERDICT r3 'done' criterion at sf0.001 corpus scale)."""
+    import ray.data
+
+    from rust_bert_ray.corpus import write_corpus
+    from rust_bert_ray.pipelines.kg import extract_and_link
+
+    docs_dir = write_corpus("/tmp/rbr_corpus/1000", 1000, shard_rows=500)
+    docs = ray.data.read_parquet(docs_dir)
+
+    base = (
+        extract_and_link(docs, batch_size=None)
+        .to_pandas()
+        .sort_values(["doc_id", "subj", "pred", "obj"], ignore_index=True)
+    )
+    swapped = (
+        extract_and_link(
+            docs,
+            batch_size=None,
+            ner_stage_kwargs={"scorer": TensorTagScorer(GAZETTEER)},
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "subj", "pred", "obj"], ignore_index=True)
+    )
+    assert len(base) > 0
+    assert base.equals(swapped)  # P/R 1.0 vs the reference-path triples
