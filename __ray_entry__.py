@@ -575,6 +575,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_tfidf_topk": text.q_tfidf_topk,
         "q_shuffle_rank": text.q_shuffle_rank,
         "q_decode_bpe": text.q_decode_bpe,
+        "q_decode_hf": text.q_decode_hf,
         "q_decode_unigram": text.q_decode_unigram,
         "q_chunk_docs": text.q_chunk_docs,
         "q_pack_sequences": text.q_pack_sequences,
@@ -714,7 +715,7 @@ GROUP BY 1, 2
             "q_embed_docs", "q_embed_dense", "q_keywords", "q_masked_lm",
             "qa_answers", "q_conversation", "kg_media_frames",
             "kg_media_resize",
-            "q_lang_id", "q_decode", "q_decode_bpe", "q_decode_unigram", "q_pack_sequences", "q_fingerprints", "kg_nodes", "kg_edges",
+            "q_lang_id", "q_decode", "q_decode_bpe", "q_decode_hf", "q_decode_unigram", "q_pack_sequences", "q_fingerprints", "kg_nodes", "kg_edges",
             "kg_media_features", "dedup_minhash_pairs", "dedup_simhash_pairs",
             "dedup_embedding_lsh_pairs", "dedup_clusters_minhash",
             "ann_lsh_topk", "ann_ivf_topk",

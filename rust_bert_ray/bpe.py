@@ -158,6 +158,30 @@ class ByteLevelBpeTokenizer:
         self._cache: dict[str, list[str]] = {}
         self._cache_cap = cache_cap
 
+    @classmethod
+    def from_hf(cls, model: dict, cache_cap: int = 500_000):
+        """Construct from a ``tokenizer.json`` ``model`` object
+        (``{"type": "BPE", "vocab": {...}, "merges": [...]}`` — the HF
+        `tokenizers` serialization; reference analog
+        src/pipelines/hf_tokenizers.rs).  Merges accept both the legacy
+        ``"a b"`` string form and the current ``["a", "b"]`` list form.
+        """
+        self = cls.__new__(cls)
+        self.vocab = dict(model["vocab"])
+        self.id_to_unit = {i: u for u, i in self.vocab.items()}
+        self.ranks = {}
+        for m in model.get("merges", []):
+            a, b = m if isinstance(m, (list, tuple)) else m.split(" ")
+            self.ranks[(a, b)] = len(self.ranks)
+        self.b2u = bytes_to_unicode()
+        self.u2b = unicode_to_bytes()
+        # eot is optional in arbitrary HF vocabs (set but unused fields
+        # stay harmless; -1 never collides with a real id)
+        self.eot_id = self.vocab.get(EOT_TOKEN, -1)
+        self._cache = {}
+        self._cache_cap = cache_cap
+        return self
+
     # ---------------------------------------------------------- merges
 
     def _bpe_units(self, token: str) -> list[str]:

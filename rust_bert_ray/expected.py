@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 from rust_bert_ray.functions.util import embedding_matrix
 
 EXPECTED_ROOT = "/tmp/rbr_expected"
-VERSION = 25  # bump whenever any builder's semantics change
+VERSION = 26  # bump whenever any builder's semantics change
 
 
 # ------------------------------------------------------------ input helpers
@@ -783,6 +783,66 @@ def q_decode_bpe(sf_dir: str, corpus_root: str) -> pa.Table:
             "doc_id": t.column("doc_id"),
             "n_pieces": pa.array(n_pieces, type=pa.int64()),
             "n_words": pa.array(n_words, type=pa.int64()),
+            "decoded": pa.array(decoded, type=pa.string()),
+            "roundtrip": pa.array(roundtrip, type=pa.int64()),
+        }
+    )
+
+
+def q_decode_hf(sf_dir: str, corpus_root: str) -> pa.Table:
+    """Independent tokenizer.json oracle: parses the SAME fixture file
+    the Ray stage loads, but builds the ids with the training-order
+    merge engine (Sennrich formulation, like the q_decode_bpe oracle)
+    and a hand-rolled reverse byte map — a loader bug (merge order,
+    vocab mixup, list-form merge parse) flips ``ids_crc`` even when
+    byte fallback hides it from the round-trip flag."""
+    import json as _json
+
+    from rust_bert_ray.bpe import bytes_to_unicode, pretokenize
+    from rust_bert_ray.functions.text import HF_TOKENIZER_FIXTURE
+
+    with open(HF_TOKENIZER_FIXTURE, encoding="utf-8") as f:
+        model = _json.load(f)["model"]
+    vocab: dict[str, int] = model["vocab"]
+    merges = [tuple(m) if isinstance(m, list) else tuple(m.split(" "))
+              for m in model["merges"]]
+    b2u = bytes_to_unicode()
+    u2b = {v: k for k, v in b2u.items()}
+
+    def apply_in_order(units: list[str]) -> list[str]:
+        for a, b in merges:
+            i = 0
+            while i < len(units) - 1:
+                if units[i] == a and units[i + 1] == b:
+                    units[i : i + 2] = [a + b]
+                else:
+                    i += 1
+        return units
+
+    word_cache: dict[str, list[str]] = {}
+    inv = {i: u for u, i in vocab.items()}
+    t = _documents(sf_dir)
+    n_pieces, ids_crc, decoded, roundtrip = [], [], [], []
+    for text in t.column("text").to_pylist():
+        toks = pretokenize(text)
+        ids: list[int] = []
+        for _, token in toks:
+            units = word_cache.get(token)
+            if units is None:
+                units = apply_in_order([b2u[b] for b in token.encode("utf-8")])
+                word_cache[token] = units
+            ids.extend(vocab[u] for u in units)
+        data = bytes(u2b[ch] for i in ids for ch in inv[i])
+        out = data.decode("utf-8", errors="replace")
+        n_pieces.append(len(ids))
+        ids_crc.append(zlib.crc32(np.asarray(ids, dtype=np.int64).tobytes()))
+        decoded.append(out)
+        roundtrip.append(int(out == text))
+    return pa.Table.from_pydict(
+        {
+            "doc_id": t.column("doc_id"),
+            "n_pieces": pa.array(n_pieces, type=pa.int64()),
+            "ids_crc": pa.array(ids_crc, type=pa.int64()),
             "decoded": pa.array(decoded, type=pa.string()),
             "roundtrip": pa.array(roundtrip, type=pa.int64()),
         }
@@ -1743,6 +1803,7 @@ BUILDERS = {
     "q_lang_id": q_lang_id,
     "q_decode": q_decode,
     "q_decode_bpe": q_decode_bpe,
+    "q_decode_hf": q_decode_hf,
     "q_decode_unigram": q_decode_unigram,
     "q_pack_sequences": q_pack_sequences,
     "q_fingerprints": q_fingerprints,

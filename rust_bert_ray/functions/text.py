@@ -506,6 +506,61 @@ def q_decode_bpe(sf_dir: str):
     )
 
 
+HF_TOKENIZER_FIXTURE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data",
+    "tokenizer_bpe.json",
+)
+
+
+class HfRoundTrip:
+    """documents → encode→decode round-trip through a tokenizer built
+    from a standard ``tokenizer.json`` (the HF `tokenizers`
+    serialization — reference src/pipelines/hf_tokenizers.rs, the
+    ``new_with_tokenizer`` path).  Stateful actor stage: the json is
+    parsed and the vocab/merges tables built once per actor.
+
+    ``ids_crc`` binds ID-LEVEL parity into the oracle hash: the expected
+    builder re-derives the ids from the same tokenizer.json with an
+    independent merge engine (training-order instead of greedy
+    lowest-rank), so a loader bug that still round-trips (byte fallback
+    hides many) flips the hash anyway.
+    """
+
+    def __init__(self, path: str = HF_TOKENIZER_FIXTURE):
+        from rust_bert_ray.hf_tokenizers import load_hf_tokenizer
+
+        self.tokenizer = load_hf_tokenizer(path)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tk = self.tokenizer
+        n_pieces, ids_crc, decoded, roundtrip = [], [], [], []
+        for text in batch.column("text").to_pylist():
+            enc = tk.encode(text)
+            out = tk.decode(enc.ids)
+            n_pieces.append(len(enc.ids))
+            ids_crc.append(zlib.crc32(np.asarray(enc.ids, dtype=np.int64).tobytes()))
+            decoded.append(out)
+            roundtrip.append(int(out == text))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_pieces": pa.array(n_pieces, type=pa.int64()),
+                "ids_crc": pa.array(ids_crc, type=pa.int64()),
+                "decoded": pa.array(decoded, type=pa.string()),
+                "roundtrip": pa.array(roundtrip, type=pa.int64()),
+            }
+        )
+
+
+def q_decode_hf(sf_dir: str):
+    """tokenizer.json-loaded BPE encode→decode round-trip per document."""
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+    return docs.map_batches(
+        HfRoundTrip, batch_format="pyarrow", batch_size=65536, concurrency=2
+    )
+
+
 class UnigramRoundTrip:
     """documents → unigram-LM (SentencePiece-family) encode → decode
     round-trip — the third subword algorithm family the reference

@@ -1,0 +1,49 @@
+"""Standard ``tokenizer.json`` loader — the HF `tokenizers` serialization.
+
+Reference analog: ``src/pipelines/hf_tokenizers.rs`` (768 LoC), the
+``new_with_tokenizer`` path every reference pipeline exposes
+(token_classification.rs:770-796).  A user brings the single file their
+model hub ships; we construct the matching in-repo tokenizer family:
+
+- ``model.type == "BPE"``       → :class:`ByteLevelBpeTokenizer`
+- ``model.type == "WordPiece"`` → :class:`WordPieceTokenizer`
+
+Normalizer flags (``lowercase`` / ``strip_accents`` from a
+``BertNormalizer`` section) are honored for WordPiece; unsupported
+model types fail fast with the supported list (the reference's
+``ConversionError`` behavior, hf_tokenizers.rs match arms).
+"""
+
+from __future__ import annotations
+
+import json
+
+from rust_bert_ray.bpe import ByteLevelBpeTokenizer
+from rust_bert_ray.tokenization import WordPieceTokenizer
+
+SUPPORTED = ("BPE", "WordPiece")
+
+
+def load_hf_tokenizer(path: str, cache_cap: int = 500_000):
+    """``tokenizer.json`` → tokenizer object (family by ``model.type``)."""
+    with open(path, encoding="utf-8") as f:
+        doc = json.load(f)
+    model = doc.get("model") or {}
+    mtype = model.get("type")
+    if mtype == "BPE":
+        return ByteLevelBpeTokenizer.from_hf(model, cache_cap=cache_cap)
+    if mtype == "WordPiece":
+        norm = doc.get("normalizer") or {}
+        # BertNormalizer: strip_accents=None means "follow lowercase"
+        lower = bool(norm.get("lowercase", False))
+        sa = norm.get("strip_accents")
+        strip_accents = lower if sa is None else bool(sa)
+        return WordPieceTokenizer.from_hf(
+            model,
+            lower_case=lower,
+            strip_accents=strip_accents,
+            cache_cap=cache_cap,
+        )
+    raise ValueError(
+        f"unsupported tokenizer.json model.type {mtype!r}; supported: {SUPPORTED}"
+    )

@@ -184,6 +184,42 @@ class WordPieceTokenizer:
         self._word_cache: dict[str, tuple[list[int], list[int], list[int]]] = {}
         self._cache_cap = cache_cap
 
+    @classmethod
+    def from_hf(
+        cls,
+        model: dict,
+        lower_case: bool = False,
+        strip_accents: bool = False,
+        cache_cap: int = 500_000,
+    ):
+        """Construct from a ``tokenizer.json`` ``model`` object
+        (``{"type": "WordPiece", "vocab": {...}, "unk_token": ...,
+        "max_input_chars_per_word": ...}``; reference analog
+        src/pipelines/hf_tokenizers.rs).  The normalizer flags come from
+        the document's ``normalizer`` section via
+        hf_tokenizers.load_hf_tokenizer.
+        """
+        self = cls.__new__(cls)
+        self.strip_accents = strip_accents
+        self.vocab = dict(model["vocab"])
+        self.inv_vocab = {i: p for p, i in self.vocab.items()}
+        unk = model.get("unk_token", UNK_TOKEN)
+        if unk not in self.vocab:
+            raise ValueError(f"tokenizer.json vocab lacks its unk_token {unk!r}")
+        self.unk_id = self.vocab[unk]
+        # CLS/SEP are required for the pair-assembly layout; standard
+        # BERT-family tokenizer.json vocabs always carry them
+        self.cls_id = self.vocab[CLS_TOKEN]
+        self.sep_id = self.vocab[SEP_TOKEN]
+        self.special_ids = {self.vocab[t] for t in SPECIAL_TOKENS if t in self.vocab}
+        self.lower_case = lower_case
+        self.max_input_chars_per_word = int(
+            model.get("max_input_chars_per_word", 100)
+        )
+        self._word_cache = {}
+        self._cache_cap = cache_cap
+        return self
+
     def _encode_word(self, word: str) -> tuple[list[int], list[int], list[int]]:
         """→ (piece ids, piece char-lengths, piece masks); greedy
         longest-match-first; [UNK] spans the whole word on dead-end."""

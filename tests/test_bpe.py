@@ -208,3 +208,70 @@ def test_generation_stage_accepts_bpe_tokenizer(tk):
     )
     out = TextGenerationStage(tokenizer=tk)(docs)
     assert out.num_rows == 1 and out.column("generated")[0].as_py()
+
+
+# ------------------------------------------------- tokenizer.json loader
+
+def test_hf_loader_bpe_parity():
+    """tokenizer.json-loaded BPE byte-equals the bundled-file tokenizer
+    (ids, offsets, decode) including the list-form merge parse."""
+    from rust_bert_ray.bpe import ByteLevelBpeTokenizer
+    from rust_bert_ray.functions.text import HF_TOKENIZER_FIXTURE
+    from rust_bert_ray.hf_tokenizers import load_hf_tokenizer
+
+    hf = load_hf_tokenizer(HF_TOKENIZER_FIXTURE)
+    assert isinstance(hf, ByteLevelBpeTokenizer)
+    ref = ByteLevelBpeTokenizer()
+    for text in ["Anna Schmidt visited Berlin!", "naïve café 123", "", " x  y "]:
+        eh, er = hf.encode(text), ref.encode(text)
+        assert eh.ids == er.ids and eh.offsets == er.offsets
+        assert hf.decode(eh.ids) == text
+
+
+def test_hf_loader_wordpiece_parity_and_normalizer():
+    from rust_bert_ray.hf_tokenizers import load_hf_tokenizer
+    from rust_bert_ray.tokenization import WordPieceTokenizer
+
+    path = HF_WP
+    hf = load_hf_tokenizer(path)
+    assert isinstance(hf, WordPieceTokenizer)
+    assert hf.lower_case is False and hf.strip_accents is False
+    ref = WordPieceTokenizer()
+    for text in ["Anna works for Apex Corp", "ünïcode words", ""]:
+        assert hf.encode(text).ids == ref.encode(text).ids
+
+
+def test_hf_loader_normalizer_strip_accents_follows_lowercase(tmp_path):
+    """BertNormalizer strip_accents=None means 'follow lowercase'."""
+    import json
+
+    from rust_bert_ray.hf_tokenizers import load_hf_tokenizer
+
+    doc = json.load(open(HF_WP, encoding="utf-8"))
+    doc["normalizer"] = {"type": "BertNormalizer", "lowercase": True,
+                         "strip_accents": None}
+    p = tmp_path / "t.json"
+    p.write_text(json.dumps(doc))
+    hf = load_hf_tokenizer(str(p))
+    assert hf.lower_case is True and hf.strip_accents is True
+
+
+def test_hf_loader_rejects_unknown_model_type(tmp_path):
+    import json
+
+    import pytest
+
+    from rust_bert_ray.hf_tokenizers import load_hf_tokenizer
+
+    p = tmp_path / "t.json"
+    p.write_text(json.dumps({"model": {"type": "Unigram", "vocab": []}}))
+    with pytest.raises(ValueError, match="supported"):
+        load_hf_tokenizer(str(p))
+
+
+import os as _os
+
+HF_WP = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "rust_bert_ray", "data", "tokenizer_wordpiece.json",
+)
