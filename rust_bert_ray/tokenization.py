@@ -431,19 +431,32 @@ class AssembledInput:
 
 
 # family → (layout template) where A/B are the sequences and quoted
-# strings are special tokens.  Layouts follow the per-tokenizer
-# ``build_input_with_special_tokens`` impls the reference dispatches to
-# (common.rs:1472-1560; conventions fixed by the rust_tokenizers crate /
-# HF tokenizer classes for each family):
-#   bert/albert/deberta/fnet : [CLS] A [SEP]  (+ B [SEP], segment 1)
-#   roberta/bart             : <s> A </s>     (+ </s> B </s>, segment 0)
-#   gpt2/openai-gpt/reformer : A              (+ B — no specials at all)
-#   t5/marian/pegasus/m2m100 : A </s>         (+ B </s>)
+# strings are special tokens.  One row per tokenizer family the
+# reference dispatches (common.rs:1472-1560 — one match arm each for
+# Bert, Deberta, DebertaV2, Roberta, Bart, XLMRoberta, Marian, T5,
+# Albert, XLNet, GPT2, OpenAiGpt, Reformer, ProphetNet, Pegasus,
+# MBart50, M2M100, NLLB, FNet); layout conventions fixed by the
+# rust_tokenizers crate / the matching HF tokenizer classes:
+#   bert/albert/deberta/deberta-v2/fnet :
+#       [CLS] A [SEP]  (+ B [SEP], segment 1)
+#   roberta/bart/xlm-roberta : <s> A </s>  (+ </s> B </s>, segment 0)
+#   gpt2/openai-gpt/reformer : A           (+ B — no specials at all)
+#   t5                       : A </s>      (+ B </s>)
+#   marian/pegasus/m2m100/mbart50/nllb :
+#       A </s>; pair joins the sequences under ONE trailing eos —
+#       A B </s> (HF {Pegasus,Marian,M2M100,...}Tokenizer
+#       build_inputs_with_special_tokens; language-code prefixes are
+#       text-level in the reference's translation path, not assembly)
 #   xlnet                    : A <sep> (B <sep>) <cls> — classes at END,
 #                              segments 0/1, final <cls> segment 2
-#   prophetnet               : A [SEP]        (+ B [SEP])
+#   prophetnet               : A [SEP]     (+ B [SEP])
 SPECIAL_TOKEN_FAMILIES = (
-    "bert", "roberta", "gpt2", "t5", "xlnet", "prophetnet",
+    "bert", "albert", "deberta", "deberta-v2", "fnet",
+    "roberta", "bart", "xlm-roberta",
+    "gpt2", "openai-gpt", "reformer",
+    "t5",
+    "marian", "pegasus", "m2m100", "mbart50", "nllb",
+    "xlnet", "prophetnet",
 )
 
 
@@ -475,8 +488,8 @@ def assemble_special_tokens(
         # roberta/bart/gpt2/t5-style models have no segment embedding
         b_seg = (
             1
-            if family in ("bert", "albert", "deberta", "fnet", "xlnet",
-                          "prophetnet")
+            if family in ("bert", "albert", "deberta", "deberta-v2", "fnet",
+                          "xlnet", "prophetnet")
             else 0
         )
         b_t, b_s, b_m, b_o = body(enc_b, b_seg)
@@ -484,11 +497,11 @@ def assemble_special_tokens(
     def special(tok: str, seg: int):
         return ([tok], [seg], [1], [None])
 
-    if family in ("bert", "albert", "deberta", "fnet"):
+    if family in ("bert", "albert", "deberta", "deberta-v2", "fnet"):
         parts = [special("[CLS]", 0), (a_t, a_s, a_m, a_o), special("[SEP]", 0)]
         if has_b:
             parts += [(b_t, b_s, b_m, b_o), special("[SEP]", 1)]
-    elif family in ("roberta", "bart"):
+    elif family in ("roberta", "bart", "xlm-roberta"):
         parts = [special("<s>", 0), (a_t, a_s, a_m, a_o), special("</s>", 0)]
         if has_b:
             parts += [special("</s>", 0), (b_t, b_s, b_m, b_o), special("</s>", 0)]
@@ -496,10 +509,18 @@ def assemble_special_tokens(
         parts = [(a_t, a_s, a_m, a_o)]
         if has_b:
             parts += [(b_t, b_s, b_m, b_o)]
-    elif family in ("t5", "marian", "pegasus", "m2m100"):
+    elif family == "t5":
         parts = [(a_t, a_s, a_m, a_o), special("</s>", 0)]
         if has_b:
             parts += [(b_t, b_s, b_m, b_o), special("</s>", 0)]
+    elif family in ("marian", "pegasus", "m2m100", "mbart50", "nllb"):
+        # pair joins A and B under ONE trailing eos (HF convention for
+        # the sentencepiece translation/summarization families — T5 is
+        # the odd one out with its per-sequence </s>)
+        parts = [(a_t, a_s, a_m, a_o)]
+        if has_b:
+            parts += [(b_t, b_s, b_m, b_o)]
+        parts += [special("</s>", 0)]
     elif family == "xlnet":
         parts = [(a_t, a_s, a_m, a_o), special("<sep>", 0)]
         if has_b:

@@ -171,7 +171,20 @@ def test_assembly_truth_table():
     # bert-layout aliases share the segment convention (pair = segment 1)
     expect["albert"] = expect["bert"]
     expect["deberta"] = expect["bert"]
+    expect["deberta-v2"] = expect["bert"]
     expect["fnet"] = expect["bert"]
+    # roberta layout aliases
+    expect["bart"] = expect["roberta"]
+    expect["xlm-roberta"] = expect["roberta"]
+    # no-specials aliases
+    expect["openai-gpt"] = expect["gpt2"]
+    expect["reformer"] = expect["gpt2"]
+    # sentencepiece translation family: pair joins under ONE trailing
+    # eos (HF Pegasus/Marian/M2M100 build_inputs_with_special_tokens) —
+    # NOT T5's per-sequence </s>
+    sp = (["1", "2", "3", "</s>"], [0, 0, 0, 0])
+    for fam in ("marian", "pegasus", "m2m100", "mbart50", "nllb"):
+        expect[fam] = sp
     for fam, (toks, segs) in expect.items():
         out = assemble_special_tokens(fam, a, b)
         assert out.tokens == toks, fam
@@ -193,8 +206,26 @@ def test_assembly_single_sequence():
     assert assemble_special_tokens("roberta", a).tokens == ["<s>", "7", "</s>"]
     assert assemble_special_tokens("gpt2", a).tokens == ["7"]
     assert assemble_special_tokens("xlnet", a).tokens == ["7", "<sep>", "<cls>"]
+    assert assemble_special_tokens("pegasus", a).tokens == ["7", "</s>"]
+    assert assemble_special_tokens("reformer", a).tokens == ["7"]
     with pytest.raises(ValueError, match="unknown special-token family"):
         assemble_special_tokens("nope", a)
+
+
+def test_assembly_covers_every_reference_family():
+    """Every family the reference's common.rs:1472-1560 dispatch names
+    (modulo naming) assembles without error — single and pair."""
+    from rust_bert_ray.tokenization import SPECIAL_TOKEN_FAMILIES
+
+    assert len(SPECIAL_TOKEN_FAMILIES) == 19
+    a, b = _enc([1]), _enc([2])
+    for fam in SPECIAL_TOKEN_FAMILIES:
+        single = assemble_special_tokens(fam, a)
+        pair = assemble_special_tokens(fam, a, b)
+        assert len(pair.tokens) >= len(single.tokens), fam
+        assert len(pair.tokens) == len(pair.segment_ids) == len(
+            pair.special_tokens_mask
+        ) == len(pair.offsets), fam
 
 
 def test_generation_stage_accepts_bpe_tokenizer(tk):
