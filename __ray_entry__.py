@@ -523,9 +523,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     round-3 graph queries (kg_paths_2hop, kg_reachability,
     kg_influence, kg_components) that share their plan machinery with
     in-window siblings (degree/triangles/pagerank/similar/kcore) and
-    stay covered by the local mirror.  Every entry, gated or
-    not, is verified by the local mirror (tools/check_oracles.py)
-    against the same oracles each round.
+    stay covered by the local mirror.  Round-4 additions sit in-window
+    (q_decode_hf, q_decode_hf_unigram, q_decode_hf_suffix — the
+    tokenizer.json loader family); ann_ivf_topk, q_embed_clusters and
+    dedup_semantic (driver-green in r3, semantics unchanged) rotate to
+    the tail to make room.  Every
+    entry, gated or not, is verified by the local mirror
+    (tools/check_oracles.py) against the same oracles each round.
     """
     from rust_bert_ray.functions import (
         clustering,
@@ -576,6 +580,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_shuffle_rank": text.q_shuffle_rank,
         "q_decode_bpe": text.q_decode_bpe,
         "q_decode_hf": text.q_decode_hf,
+        "q_decode_hf_unigram": text.q_decode_hf_unigram,
+        "q_decode_hf_suffix": text.q_decode_hf_suffix,
         "q_decode_unigram": text.q_decode_unigram,
         "q_chunk_docs": text.q_chunk_docs,
         "q_pack_sequences": text.q_pack_sequences,
@@ -715,7 +721,9 @@ GROUP BY 1, 2
             "q_embed_docs", "q_embed_dense", "q_keywords", "q_masked_lm",
             "qa_answers", "q_conversation", "kg_media_frames",
             "kg_media_resize",
-            "q_lang_id", "q_decode", "q_decode_bpe", "q_decode_hf", "q_decode_unigram", "q_pack_sequences", "q_fingerprints", "kg_nodes", "kg_edges",
+            "q_lang_id", "q_decode", "q_decode_bpe", "q_decode_hf",
+            "q_decode_hf_unigram", "q_decode_hf_suffix", "q_decode_unigram",
+            "q_pack_sequences", "q_fingerprints", "kg_nodes", "kg_edges",
             "kg_media_features", "dedup_minhash_pairs", "dedup_simhash_pairs",
             "dedup_embedding_lsh_pairs", "dedup_clusters_minhash",
             "ann_lsh_topk", "ann_ivf_topk",

@@ -260,3 +260,135 @@ class ByteLevelBpeTokenizer:
             parts.append(unit)
         data = bytes(self.u2b[u] for part in parts for u in part)
         return data.decode("utf-8", errors="replace")
+
+
+class SuffixBpeTokenizer:
+    """Non-byte-level BPE with an end-of-word suffix marker — the
+    OpenAI-GPT / CTRL tokenizer family (reference common.rs:259-301
+    dispatches OpenAiGpt/Ctrl via rust_tokenizers; both lowercase and
+    merge over RAW characters with ``</w>`` on the word-final unit,
+    unlike the GPT-2 byte-level table).  HF `tokenizers` serializes
+    this family as ``model.type == "BPE"`` with ``end_of_word_suffix``
+    set — :func:`rust_bert_ray.hf_tokenizers.load_hf_tokenizer`
+    dispatches here on that field.
+
+    Contract matches the repo's other tokenizers (ids, CHARACTER
+    offsets into the original text, masks, word_indices).  Lowercasing
+    follows WordPiece's length-preserving rule (tokenization.py:275) so
+    offsets never drift; units absent from the vocab map to the UNK id
+    (this family has a true UNK — no byte fallback).
+    """
+
+    def __init__(
+        self,
+        vocab: dict[str, int],
+        merges: list[tuple[str, str]],
+        suffix: str = "</w>",
+        unk_token: str = "<unk>",
+        lower_case: bool = True,
+        cache_cap: int = 500_000,
+    ):
+        self.vocab = dict(vocab)
+        self.inv_vocab = {i: u for u, i in self.vocab.items()}
+        self.ranks = {tuple(m): r for r, m in enumerate(merges)}
+        self.suffix = suffix
+        self.unk_token = unk_token
+        if unk_token not in self.vocab:
+            raise ValueError(f"vocab lacks its unk_token {unk_token!r}")
+        self.unk_id = self.vocab[unk_token]
+        self.lower_case = lower_case
+        self._cache: dict[str, list[str]] = {}
+        self._cache_cap = cache_cap
+
+    @classmethod
+    def from_hf(cls, model: dict, lower_case: bool = True, cache_cap: int = 500_000):
+        """Construct from a ``tokenizer.json`` ``model`` object with
+        ``end_of_word_suffix`` (the GPT-1/CTRL serialization).  Merges
+        accept both the legacy ``"a b"`` string form and the current
+        ``["a", "b"]`` list form."""
+        merges = [
+            tuple(m) if isinstance(m, (list, tuple)) else tuple(m.split(" "))
+            for m in model.get("merges", [])
+        ]
+        return cls(
+            vocab=model["vocab"],
+            merges=merges,
+            suffix=model["end_of_word_suffix"],
+            unk_token=model.get("unk_token") or "<unk>",
+            lower_case=lower_case,
+            cache_cap=cache_cap,
+        )
+
+    # ---------------------------------------------------------- merges
+
+    def _bpe_units(self, word: str) -> list[str]:
+        """word → merged units (greedy lowest rank; last unit carries
+        the suffix)."""
+        cached = self._cache.get(word)
+        if cached is not None:
+            return cached
+        units = list(word)
+        units[-1] = units[-1] + self.suffix
+        ranks = self.ranks
+        while len(units) > 1:
+            best_rank = None
+            best_i = -1
+            for i in range(len(units) - 1):
+                r = ranks.get((units[i], units[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank = r
+                    best_i = i
+            if best_rank is None:
+                break
+            units = (
+                units[:best_i]
+                + [units[best_i] + units[best_i + 1]]
+                + units[best_i + 2 :]
+            )
+        if len(self._cache) < self._cache_cap:
+            self._cache[word] = units
+        return units
+
+    def _char_len(self, unit: str) -> int:
+        return len(unit) - (len(self.suffix) if unit.endswith(self.suffix) else 0)
+
+    # ---------------------------------------------------------- encode
+
+    def encode(self, text: str) -> EncodedText:
+        from rust_bert_ray.tokenization import _WORD_RE
+
+        ids: list[int] = []
+        offsets: list[tuple[int, int] | None] = []
+        masks: list[int] = []
+        word_indices: list[int] = []
+        words: list[str] = []
+        vocab = self.vocab
+        for w_idx, m in enumerate(_WORD_RE.finditer(text)):
+            word = m.group(0)
+            if self.lower_case:
+                lowered = word.lower()
+                word = lowered if len(lowered) == len(word) else word
+            words.append(word)
+            pos = m.start()
+            for p_no, unit in enumerate(self._bpe_units(word)):
+                n_chars = self._char_len(unit)
+                ids.append(vocab.get(unit, self.unk_id))
+                offsets.append((pos, pos + n_chars))
+                masks.append(MASK_NONE if p_no == 0 else MASK_CONTINUATION)
+                word_indices.append(w_idx)
+                pos += n_chars
+        return EncodedText(
+            ids=ids,
+            offsets=offsets,
+            masks=masks,
+            word_indices=word_indices,
+            words=words,
+        )
+
+    # ---------------------------------------------------------- decode
+
+    def decode(self, ids: list[int]) -> str:
+        """ids → text: suffix markers become word-separating spaces (the
+        rust_tokenizers convert_tokens_to_string rule for this family)."""
+        parts = [self.inv_vocab.get(int(i), self.unk_token) for i in ids]
+        return "".join(parts).replace(self.suffix, " ").strip()

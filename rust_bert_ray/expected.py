@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 from rust_bert_ray.functions.util import embedding_matrix
 
 EXPECTED_ROOT = "/tmp/rbr_expected"
-VERSION = 26  # bump whenever any builder's semantics change
+VERSION = 28  # bump whenever any builder's semantics change
 
 
 # ------------------------------------------------------------ input helpers
@@ -842,6 +842,175 @@ def q_decode_hf(sf_dir: str, corpus_root: str) -> pa.Table:
         {
             "doc_id": t.column("doc_id"),
             "n_pieces": pa.array(n_pieces, type=pa.int64()),
+            "ids_crc": pa.array(ids_crc, type=pa.int64()),
+            "decoded": pa.array(decoded, type=pa.string()),
+            "roundtrip": pa.array(roundtrip, type=pa.int64()),
+        }
+    )
+
+
+def q_decode_hf_unigram(sf_dir: str, corpus_root: str) -> pa.Table:
+    """Independent tokenizer.json Unigram oracle: parses the SAME
+    fixture file the Ray stage loads, but segments by EXHAUSTIVE
+    enumeration (no Viterbi) and maps pieces to file-order ids with a
+    hand-rolled table — a loader bug (unk_id handling, vocab order,
+    logp-vs-id mixup) flips ``ids_crc`` even when the round-trip flag
+    hides it."""
+    import json as _json
+    import re as _re
+
+    from rust_bert_ray.functions.text import HF_UNIGRAM_FIXTURE
+
+    with open(HF_UNIGRAM_FIXTURE, encoding="utf-8") as f:
+        model = _json.load(f)["model"]
+    vocab_list = model["vocab"]
+    unk_id = int(model["unk_id"])
+    piece_id = {p: i for i, (p, _) in enumerate(vocab_list)}
+    logp = {p: float(lp) for i, (p, lp) in enumerate(vocab_list) if i != unk_id}
+    unk_logp = float(vocab_list[unk_id][1])
+    unk_piece = vocab_list[unk_id][0]
+    max_len = max(len(p) for p in logp)
+    word_re = _re.compile(r"(?u)\w+|[^\w\s]")
+
+    seg_cache: dict[str, list[str]] = {}
+
+    def enumerate_best(word: str) -> list[str]:
+        cached = seg_cache.get(word)
+        if cached is not None:
+            return cached
+        n = len(word)
+        best_key = None
+        best_pieces: list[str] | None = None
+        stack: list[tuple[int, float, list[str]]] = [(0, 0.0, [])]
+        while stack:
+            pos, score, pieces = stack.pop()
+            if pos == n:
+                key = (
+                    score,
+                    -len(pieces),
+                    tuple(len(p) for p in reversed(pieces)),
+                )
+                if best_key is None or key > best_key:
+                    best_key = key
+                    best_pieces = pieces
+                continue
+            for end in range(pos + 1, min(n, pos + max_len) + 1):
+                piece = word[pos:end]
+                lp = logp.get(piece)
+                if lp is None:
+                    if end - pos == 1:
+                        lp = unk_logp
+                    else:
+                        continue
+                stack.append((end, score + lp, pieces + [piece]))
+        assert best_pieces is not None
+        if len(seg_cache) < 200_000:
+            seg_cache[word] = best_pieces
+        return best_pieces
+
+    t = _documents(sf_dir)
+    n_pieces, ids_crc, decoded, roundtrip = [], [], [], []
+    for text in t.column("text").to_pylist():
+        words = word_re.findall(text)
+        ids: list[int] = []
+        out_words: list[str] = []
+        for w in words:
+            pieces = enumerate_best(w)
+            ids.extend(piece_id.get(p, unk_id) for p in pieces)
+            out_words.append(
+                "".join(p if p in logp else unk_piece for p in pieces)
+            )
+        out = " ".join(out_words)
+        for src, dst in (
+            (" .", "."), (" ?", "?"), (" !", "!"), (" ,", ","),
+            (" ' ", "'"), (" n't", "n't"), (" 'm", "'m"), (" 's", "'s"),
+            (" 've", "'ve"), (" 're", "'re"),
+        ):
+            out = out.replace(src, dst)
+        n_pieces.append(len(ids))
+        ids_crc.append(zlib.crc32(np.asarray(ids, dtype=np.int64).tobytes()))
+        decoded.append(out)
+        roundtrip.append(int(out == text))
+    return pa.Table.from_pydict(
+        {
+            "doc_id": t.column("doc_id"),
+            "n_pieces": pa.array(n_pieces, type=pa.int64()),
+            "ids_crc": pa.array(ids_crc, type=pa.int64()),
+            "decoded": pa.array(decoded, type=pa.string()),
+            "roundtrip": pa.array(roundtrip, type=pa.int64()),
+        }
+    )
+
+
+def q_decode_hf_suffix(sf_dir: str, corpus_root: str) -> pa.Table:
+    """Independent suffix-BPE (GPT-1/CTRL family) oracle: parses the
+    SAME tokenizer.json the Ray stage loads, but applies merges in
+    TRAINING ORDER (Sennrich formulation) instead of the runtime's
+    greedy lowest-rank loop, with a hand-rolled unk/id mapping — a
+    loader bug (suffix handling, merge order, unk fallback) flips
+    ``ids_crc`` and the decode parity."""
+    import json as _json
+    import re as _re
+
+    from rust_bert_ray.functions.text import HF_SUFFIX_FIXTURE
+
+    with open(HF_SUFFIX_FIXTURE, encoding="utf-8") as f:
+        model = _json.load(f)["model"]
+    vocab: dict[str, int] = model["vocab"]
+    suffix: str = model["end_of_word_suffix"]
+    unk_token: str = model["unk_token"]
+    unk_id = vocab[unk_token]
+    inv = {i: u for u, i in vocab.items()}
+    merges = [
+        tuple(m) if isinstance(m, list) else tuple(m.split(" "))
+        for m in model["merges"]
+    ]
+    word_re = _re.compile(r"(?u)\w+|[^\w\s]")
+
+    def apply_in_order(units: list[str]) -> list[str]:
+        for a, b in merges:
+            i = 0
+            while i < len(units) - 1:
+                if units[i] == a and units[i + 1] == b:
+                    units[i : i + 2] = [a + b]
+                else:
+                    i += 1
+        return units
+
+    word_cache: dict[str, list[int]] = {}
+    t = _documents(sf_dir)
+    n_pieces, n_unk, ids_crc, decoded, roundtrip = [], [], [], [], []
+    for text in t.column("text").to_pylist():
+        ids: list[int] = []
+        for word in word_re.findall(text):
+            lowered = word.lower()
+            if len(lowered) == len(word):
+                word = lowered
+            cached = word_cache.get(word)
+            if cached is None:
+                units = list(word)
+                units[-1] = units[-1] + suffix
+                units = apply_in_order(units)
+                cached = [vocab.get(u, unk_id) for u in units]
+                word_cache[word] = cached
+            ids.extend(cached)
+        out = "".join(inv[i] for i in ids).replace(suffix, " ").strip()
+        for src, dst in (
+            (" .", "."), (" ?", "?"), (" !", "!"), (" ,", ","),
+            (" ' ", "'"), (" n't", "n't"), (" 'm", "'m"), (" 's", "'s"),
+            (" 've", "'ve"), (" 're", "'re"),
+        ):
+            out = out.replace(src, dst)
+        n_pieces.append(len(ids))
+        n_unk.append(sum(1 for i in ids if i == unk_id))
+        ids_crc.append(zlib.crc32(np.asarray(ids, dtype=np.int64).tobytes()))
+        decoded.append(out)
+        roundtrip.append(int(out == text.lower()))
+    return pa.Table.from_pydict(
+        {
+            "doc_id": t.column("doc_id"),
+            "n_pieces": pa.array(n_pieces, type=pa.int64()),
+            "n_unk": pa.array(n_unk, type=pa.int64()),
             "ids_crc": pa.array(ids_crc, type=pa.int64()),
             "decoded": pa.array(decoded, type=pa.string()),
             "roundtrip": pa.array(roundtrip, type=pa.int64()),
@@ -1804,6 +1973,8 @@ BUILDERS = {
     "q_decode": q_decode,
     "q_decode_bpe": q_decode_bpe,
     "q_decode_hf": q_decode_hf,
+    "q_decode_hf_unigram": q_decode_hf_unigram,
+    "q_decode_hf_suffix": q_decode_hf_suffix,
     "q_decode_unigram": q_decode_unigram,
     "q_pack_sequences": q_pack_sequences,
     "q_fingerprints": q_fingerprints,

@@ -561,6 +561,110 @@ def q_decode_hf(sf_dir: str):
     )
 
 
+HF_UNIGRAM_FIXTURE = os.path.join(
+    os.path.dirname(HF_TOKENIZER_FIXTURE), "tokenizer_unigram.json"
+)
+
+
+class HfUnigramRoundTrip:
+    """documents → encode→decode round-trip through a tokenizer built
+    from a ``tokenizer.json`` with ``model.type == "Unigram"`` — the HF
+    serialization of the sentencepiece family (reference
+    src/pipelines/hf_tokenizers.rs; Albert/XLNet/T5 bring this file).
+    FILE ORDER defines the ids, so ``ids_crc`` binds the loader's
+    id mapping into the oracle hash: the expected builder re-derives
+    the ids from the same file with an exhaustive-enumeration
+    segmenter (no Viterbi, no UnigramTokenizer import)."""
+
+    def __init__(self, path: str = HF_UNIGRAM_FIXTURE):
+        from rust_bert_ray.hf_tokenizers import load_hf_tokenizer
+
+        self.tokenizer = load_hf_tokenizer(path)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from rust_bert_ray.tokenization import clean_up_tokenization
+
+        tk = self.tokenizer
+        n_pieces, ids_crc, decoded, roundtrip = [], [], [], []
+        for text in batch.column("text").to_pylist():
+            enc = tk.encode(text)
+            out = clean_up_tokenization(tk.decode(enc.ids, enc.word_indices))
+            n_pieces.append(len(enc.ids))
+            ids_crc.append(zlib.crc32(np.asarray(enc.ids, dtype=np.int64).tobytes()))
+            decoded.append(out)
+            roundtrip.append(int(out == text))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_pieces": pa.array(n_pieces, type=pa.int64()),
+                "ids_crc": pa.array(ids_crc, type=pa.int64()),
+                "decoded": pa.array(decoded, type=pa.string()),
+                "roundtrip": pa.array(roundtrip, type=pa.int64()),
+            }
+        )
+
+
+def q_decode_hf_unigram(sf_dir: str):
+    """tokenizer.json-loaded Unigram encode→decode round-trip per doc."""
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+    return docs.map_batches(
+        HfUnigramRoundTrip, batch_format="pyarrow", batch_size=65536, concurrency=2
+    )
+
+
+HF_SUFFIX_FIXTURE = os.path.join(
+    os.path.dirname(HF_TOKENIZER_FIXTURE), "tokenizer_suffix_bpe.json"
+)
+
+
+class HfSuffixRoundTrip:
+    """documents → encode→decode through a suffix-marked BPE built from
+    a ``tokenizer.json`` with ``end_of_word_suffix`` — the OpenAI-GPT /
+    CTRL family (reference common.rs:259-301 dispatch; HF serialization
+    handled by hf_tokenizers.load_hf_tokenizer).  ``ids_crc`` binds the
+    merge order, unk mapping and id table into the oracle hash: the
+    expected builder re-derives the ids from the same file with a
+    training-order merge engine.  ``roundtrip`` compares against the
+    LOWERCASED source (this family lowercases by contract)."""
+
+    def __init__(self, path: str = HF_SUFFIX_FIXTURE):
+        from rust_bert_ray.hf_tokenizers import load_hf_tokenizer
+
+        self.tokenizer = load_hf_tokenizer(path)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from rust_bert_ray.tokenization import clean_up_tokenization
+
+        tk = self.tokenizer
+        n_pieces, n_unk, ids_crc, decoded, roundtrip = [], [], [], [], []
+        for text in batch.column("text").to_pylist():
+            enc = tk.encode(text)
+            out = clean_up_tokenization(tk.decode(enc.ids))
+            n_pieces.append(len(enc.ids))
+            n_unk.append(sum(1 for i in enc.ids if i == tk.unk_id))
+            ids_crc.append(zlib.crc32(np.asarray(enc.ids, dtype=np.int64).tobytes()))
+            decoded.append(out)
+            roundtrip.append(int(out == text.lower()))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_pieces": pa.array(n_pieces, type=pa.int64()),
+                "n_unk": pa.array(n_unk, type=pa.int64()),
+                "ids_crc": pa.array(ids_crc, type=pa.int64()),
+                "decoded": pa.array(decoded, type=pa.string()),
+                "roundtrip": pa.array(roundtrip, type=pa.int64()),
+            }
+        )
+
+
+def q_decode_hf_suffix(sf_dir: str):
+    """tokenizer.json-loaded suffix-BPE (GPT-1/CTRL family) round-trip."""
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+    return docs.map_batches(
+        HfSuffixRoundTrip, batch_format="pyarrow", batch_size=65536, concurrency=2
+    )
+
+
 class UnigramRoundTrip:
     """documents → unigram-LM (SentencePiece-family) encode → decode
     round-trip — the third subword algorithm family the reference

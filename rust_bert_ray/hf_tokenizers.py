@@ -5,8 +5,14 @@ Reference analog: ``src/pipelines/hf_tokenizers.rs`` (768 LoC), the
 (token_classification.rs:770-796).  A user brings the single file their
 model hub ships; we construct the matching in-repo tokenizer family:
 
-- ``model.type == "BPE"``       → :class:`ByteLevelBpeTokenizer`
+- ``model.type == "BPE"``       → :class:`ByteLevelBpeTokenizer`, or
+  :class:`SuffixBpeTokenizer` when ``end_of_word_suffix`` is set (the
+  OpenAI-GPT / CTRL serialization; a ``Lowercase`` normalizer section
+  is honored)
 - ``model.type == "WordPiece"`` → :class:`WordPieceTokenizer`
+- ``model.type == "Unigram"``   → :class:`UnigramTokenizer` (the
+  sentencepiece-family serialization: ordered ``[piece, logp]`` vocab
+  plus ``unk_id``)
 
 Normalizer flags (``lowercase`` / ``strip_accents`` from a
 ``BertNormalizer`` section) are honored for WordPiece; unsupported
@@ -18,10 +24,11 @@ from __future__ import annotations
 
 import json
 
-from rust_bert_ray.bpe import ByteLevelBpeTokenizer
+from rust_bert_ray.bpe import ByteLevelBpeTokenizer, SuffixBpeTokenizer
 from rust_bert_ray.tokenization import WordPieceTokenizer
+from rust_bert_ray.unigram import UnigramTokenizer
 
-SUPPORTED = ("BPE", "WordPiece")
+SUPPORTED = ("BPE", "WordPiece", "Unigram")
 
 
 def load_hf_tokenizer(path: str, cache_cap: int = 500_000):
@@ -31,7 +38,17 @@ def load_hf_tokenizer(path: str, cache_cap: int = 500_000):
     model = doc.get("model") or {}
     mtype = model.get("type")
     if mtype == "BPE":
+        if model.get("end_of_word_suffix"):
+            norm = doc.get("normalizer") or {}
+            lower = norm.get("type") == "Lowercase" or bool(
+                norm.get("lowercase", False)
+            )
+            return SuffixBpeTokenizer.from_hf(
+                model, lower_case=lower, cache_cap=cache_cap
+            )
         return ByteLevelBpeTokenizer.from_hf(model, cache_cap=cache_cap)
+    if mtype == "Unigram":
+        return UnigramTokenizer.from_hf(model, cache_cap=cache_cap)
     if mtype == "WordPiece":
         norm = doc.get("normalizer") or {}
         # BertNormalizer: strip_accents=None means "follow lowercase"

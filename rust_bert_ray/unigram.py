@@ -59,6 +59,34 @@ class UnigramTokenizer:
         self._cache: dict[str, list[str]] = {}
         self._cache_cap = cache_cap
 
+    @classmethod
+    def from_hf(cls, model: dict, cache_cap: int = 500_000):
+        """Construct from a ``tokenizer.json`` ``model`` object
+        (``{"type": "Unigram", "vocab": [[piece, logp], ...],
+        "unk_id": int}`` — the HF `tokenizers` serialization of the
+        sentencepiece family; reference analog
+        src/pipelines/hf_tokenizers.rs).  FILE ORDER defines the token
+        ids (unlike the native constructor's sorted-piece assignment);
+        the piece at ``unk_id`` supplies the UNK log-prob and is
+        excluded from the segmentation LM (it is a control piece, not
+        matchable text)."""
+        vocab_list = model["vocab"]
+        unk_id = int(model.get("unk_id") or 0)
+        self = cls.__new__(cls)
+        self.vocab = {p: i for i, (p, _) in enumerate(vocab_list)}
+        if len(self.vocab) != len(vocab_list):
+            raise ValueError("tokenizer.json Unigram vocab has duplicate pieces")
+        self.inv_vocab = {i: p for p, i in self.vocab.items()}
+        self.logp = {
+            p: float(lp) for i, (p, lp) in enumerate(vocab_list) if i != unk_id
+        }
+        self.unk_logp = float(vocab_list[unk_id][1])
+        self.unk_id = unk_id
+        self.max_piece_len = max((len(p) for p in self.logp), default=1)
+        self._cache = {}
+        self._cache_cap = cache_cap
+        return self
+
     # ----------------------------------------------------------- viterbi
 
     def segment(self, word: str) -> list[str]:

@@ -295,9 +295,98 @@ def test_hf_loader_rejects_unknown_model_type(tmp_path):
     from rust_bert_ray.hf_tokenizers import load_hf_tokenizer
 
     p = tmp_path / "t.json"
-    p.write_text(json.dumps({"model": {"type": "Unigram", "vocab": []}}))
+    p.write_text(json.dumps({"model": {"type": "WordLevel", "vocab": {}}}))
     with pytest.raises(ValueError, match="supported"):
         load_hf_tokenizer(str(p))
+
+
+def test_hf_loader_unigram_segmentation_parity_file_order_ids():
+    """tokenizer.json-loaded Unigram picks the same segmentations as
+    the native tokenizer (same piece LM) while assigning FILE-ORDER ids
+    (the fixture orders by -logp, the native model sorts pieces — the
+    id spaces must differ, the pieces must not)."""
+    from rust_bert_ray.functions.text import HF_UNIGRAM_FIXTURE
+    from rust_bert_ray.hf_tokenizers import load_hf_tokenizer
+    from rust_bert_ray.unigram import UnigramTokenizer
+
+    hf = load_hf_tokenizer(HF_UNIGRAM_FIXTURE)
+    assert isinstance(hf, UnigramTokenizer)
+    ref = UnigramTokenizer()
+    texts = ["Anna Schmidt visited Berlin!", "the engine streams blocks", ""]
+    any_id_diff = False
+    for text in texts:
+        eh, er = hf.encode(text), ref.encode(text)
+        # identical segmentation: same piece strings, offsets, masks
+        assert [hf.inv_vocab[i] for i in eh.ids] == [
+            ref.inv_vocab[i] for i in er.ids
+        ]
+        assert eh.offsets == er.offsets and eh.masks == er.masks
+        any_id_diff = any_id_diff or eh.ids != er.ids
+        assert hf.decode(eh.ids, eh.word_indices) == ref.decode(
+            er.ids, er.word_indices
+        )
+    assert any_id_diff, "fixture id order should differ from native sort order"
+
+
+def test_hf_loader_suffix_bpe_family():
+    """tokenizer.json with end_of_word_suffix dispatches to the
+    suffix-marked (GPT-1/CTRL) family: lowercased, ``</w>``-terminated
+    units, char offsets into the ORIGINAL text, true UNK."""
+    from rust_bert_ray.bpe import SuffixBpeTokenizer
+    from rust_bert_ray.functions.text import HF_SUFFIX_FIXTURE
+    from rust_bert_ray.hf_tokenizers import load_hf_tokenizer
+
+    tk = load_hf_tokenizer(HF_SUFFIX_FIXTURE)
+    assert isinstance(tk, SuffixBpeTokenizer)
+    assert tk.lower_case is True
+    text = "The Engine streams Blocks!"
+    enc = tk.encode(text)
+    # offsets tile each word of the original (mixed-case) text exactly
+    words = ["The", "Engine", "streams", "Blocks", "!"]
+    starts = [0, 4, 11, 19, 25]
+    k = 0
+    for w, s in zip(words, starts):
+        span_end = s
+        while k < len(enc.ids) and enc.offsets[k][0] == span_end:
+            span_end = enc.offsets[k][1]
+            k += 1
+            if span_end == s + len(w):
+                break
+        assert span_end == s + len(w)
+    assert k == len(enc.ids)
+    # decode lowers + restores word boundaries, cleanup reattaches "!"
+    from rust_bert_ray.tokenization import clean_up_tokenization
+
+    assert clean_up_tokenization(tk.decode(enc.ids)) == text.lower()
+
+
+def test_suffix_bpe_unk_and_word_boundary():
+    from rust_bert_ray.bpe import SuffixBpeTokenizer
+
+    tk = SuffixBpeTokenizer(
+        vocab={"a": 0, "b</w>": 1, "ab</w>": 2, "<unk>": 3},
+        merges=[("a", "b</w>")],
+    )
+    enc = tk.encode("ab ab")
+    assert enc.ids == [2, 2]
+    assert enc.offsets == [(0, 2), (3, 5)]
+    assert tk.decode(enc.ids) == "ab ab"
+    # OOV char: unit not in vocab -> unk id, offsets still advance
+    enc2 = tk.encode("zb")  # merges don't apply; units z, b</w>
+    assert enc2.ids == [3, 1]
+    assert enc2.offsets == [(0, 1), (1, 2)]
+
+
+def test_hf_loader_unigram_unk_handling():
+    """Out-of-vocabulary characters map to the file's unk_id and decode
+    to its unk piece."""
+    from rust_bert_ray.functions.text import HF_UNIGRAM_FIXTURE
+    from rust_bert_ray.hf_tokenizers import load_hf_tokenizer
+
+    hf = load_hf_tokenizer(HF_UNIGRAM_FIXTURE)
+    enc = hf.encode("☃")  # snowman: not in the trained piece LM
+    assert enc.ids == [hf.unk_id]
+    assert hf.decode(enc.ids, enc.word_indices) == "<unk>"
 
 
 import os as _os
