@@ -525,9 +525,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     in-window siblings (degree/triangles/pagerank/similar/kcore) and
     stay covered by the local mirror.  Round-4 additions sit in-window
     (q_decode_hf, q_decode_hf_unigram, q_decode_hf_suffix — the
-    tokenizer.json loader family); ann_ivf_topk, q_embed_clusters and
-    dedup_semantic (driver-green in r3, semantics unchanged) rotate to
-    the tail to make room.  Every
+    tokenizer.json loader family — and q5_local_supplier_volume);
+    ann_lsh_topk, ann_ivf_topk, q_embed_clusters and dedup_semantic
+    (all driver-green in r3, semantics unchanged) rotate to the tail
+    to make room.  Every
     entry, gated or not, is verified by the local mirror
     (tools/check_oracles.py) against the same oracles each round.
     """
@@ -568,6 +569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kcore": graph.kg_kcore,
         # --- relational plumbing (TPC-H-ish tables) ---
         "q3_shipping_priority": relational.q3_shipping_priority,
+        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
         "q_brand_revenue_share": relational.q_brand_revenue_share,
         "q_events_funnel": relational.q_events_funnel,
         "q_events_retention": relational.q_events_retention,
@@ -751,6 +753,7 @@ GROUP BY 1, 2
         "q_multilabel": classify.MULTILABEL_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_shipping_priority": relational.Q3_SHIPPING_PRIORITY_SQL,
+        "q5_local_supplier_volume": relational.Q5_LOCAL_SUPPLIER_VOLUME_SQL,
         "q_brand_revenue_share": relational.Q_BRAND_REVENUE_SHARE_SQL,
         "q_order_revenue_topk": relational.Q_ORDER_REVENUE_TOPK_SQL,
         "q_segment_order_stats": relational.Q_SEGMENT_ORDER_STATS_SQL,

@@ -59,6 +59,7 @@ class StealProbe:
 
 BENCH_QUERIES = [
     "q1_pricing_summary",
+    "q5_local_supplier_volume",
     "q_brand_revenue_share",
     "q_order_revenue_topk",
     "q_segment_order_stats",

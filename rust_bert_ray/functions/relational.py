@@ -1320,6 +1320,152 @@ def q3_shipping_priority(
     )
 
 
+def q5_local_supplier_volume(
+    sf_dir: str,
+    region: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+):
+    """TPC-H Q5-ish: revenue by supplier nation within one region/year,
+    counting only lineitems whose supplier and customer share a nation.
+
+    Plan shape for the 100-TB regime (six tables, ONE wide exchange
+    chain): region, nation and supplier are broadcast dims — the
+    suppkey→nationkey map and nationkey→name map ship once via
+    ``ray.put`` and are read inside batches.  Customer is fact-sized at
+    TPC-H scale, so it is NOT broadcast: orders (date-pruned at the
+    scan) hash-joins customer on the CUSTOMER key, the result
+    hash-joins lineitem partials on the ORDER key — two single-key
+    exchanges whose payloads are (key, small-int) rows, never raw fact
+    rows.  The same-nation predicate and the supplier lookup run
+    map-side after the joins; per-batch combiner partials feed a
+    ≤25-row final groupby."""
+    from ray.data.aggregate import Sum
+
+    t_from, t_to = pd.Timestamp(date_from), pd.Timestamp(date_to)
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    rkeys = set(reg.loc[reg["r_name"] == region, "r_regionkey"].tolist())
+    nat = nat[nat["n_regionkey"].isin(rkeys)]
+    nation_names = dict(zip(nat["n_nationkey"].astype("int64"), nat["n_name"]))
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = supp[supp["s_nationkey"].isin(nation_names)]
+    supp_nation_ref = ray.put(
+        dict(zip(supp["s_suppkey"].astype("int64"), supp["s_nationkey"].astype("int64")))
+    )
+    region_nation_keys = set(nation_names)
+
+    def cust_project(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["c_nationkey"].isin(region_nation_keys)]
+        return pa.Table.from_pydict(
+            {
+                "c_custkey": pa.array(df["c_custkey"], type=pa.int64()),
+                "c_nationkey": pa.array(df["c_nationkey"], type=pa.int64()),
+            }
+        )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        cust_project, batch_format="pyarrow", batch_size=4096
+    )
+
+    def orders_project(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        m = (df["o_orderdate"] >= t_from) & (df["o_orderdate"] < t_to)
+        df = df.loc[m]
+        return pa.Table.from_pydict(
+            {
+                "o_orderkey": pa.array(df["o_orderkey"], type=pa.int64()),
+                "o_custkey": pa.array(df["o_custkey"], type=pa.int64()),
+            }
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(orders_project, batch_format="pyarrow", batch_size=4096)
+
+    # exchange 1: order → customer nation (hash join on the customer key)
+    ord_nat = orders.join(
+        cust, "inner", 8, on=("o_custkey",), right_on=("c_custkey",)
+    ).select_columns(["o_orderkey", "c_nationkey"])
+
+    def li_project(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+        )
+        return pa.Table.from_pydict(
+            {
+                "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
+                "l_suppkey": t.column("l_suppkey").cast(pa.int64()),
+                "rev": rev,
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_project, batch_format="pyarrow", batch_size=4096)
+
+    # exchange 2: lineitem partials → order's customer nation
+    joined = li.join(ord_nat, "inner", 8, on=("l_orderkey",), right_on=("o_orderkey",))
+
+    class SameNationPartial:
+        """Map-side supplier lookup + same-nation filter + combiner."""
+
+        def __init__(self, ref):
+            self.supp_nation = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            s_nat = df["l_suppkey"].map(self.supp_nation)
+            df = df.loc[s_nat.values == df["c_nationkey"].values]
+            g = df.groupby("c_nationkey", as_index=False).agg(p_rev=("rev", "sum"))
+            return pa.Table.from_pydict(
+                {
+                    "nationkey": pa.array(g["c_nationkey"], type=pa.int64()),
+                    "p_rev": pa.array(g["p_rev"], type=pa.float64()),
+                }
+            )
+
+    partials = joined.map_batches(
+        SameNationPartial(supp_nation_ref), batch_format="pyarrow", batch_size=65536
+    )
+    agg = partials.groupby("nationkey", num_partitions=4).aggregate(
+        Sum("p_rev", alias_name="raw_rev")
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        names = [nation_names[k] for k in t.column("nationkey").to_pylist()]
+        return pa.Table.from_pydict(
+            {
+                "n_name": pa.array(names, type=pa.string()),
+                "revenue": pc_round_ha(t.column("raw_rev"), 2),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow").sort(
+        "revenue", descending=True
+    )
+
+
+Q5_LOCAL_SUPPLIER_VOLUME_SQL = """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= DATE '1996-01-01'
+  AND o_orderdate < DATE '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC
+"""
+
+
 Q3_SHIPPING_PRIORITY_SQL = """
 SELECT l.l_orderkey,
        ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
