@@ -524,11 +524,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     kg_influence, kg_components) that share their plan machinery with
     in-window siblings (degree/triangles/pagerank/similar/kcore) and
     stay covered by the local mirror.  Round-4 additions sit in-window
-    (q_decode_hf, q_decode_hf_unigram, q_decode_hf_suffix — the
-    tokenizer.json loader family — and q5_local_supplier_volume);
-    ann_lsh_topk, ann_ivf_topk, q_embed_clusters and dedup_semantic
-    (all driver-green in r3, semantics unchanged) rotate to the tail
-    to make room.  Every
+    (q_decode_hf, q_decode_hf_unigram, q_decode_hf_suffix,
+    q_decode_hf_metaspace — the tokenizer.json loader family — and
+    q5_local_supplier_volume); ann_filtered_topk, ann_lsh_topk,
+    ann_ivf_topk, q_embed_clusters and dedup_semantic (all
+    driver-green in r3, semantics unchanged) rotate to the tail to
+    make room.  Every
     entry, gated or not, is verified by the local mirror
     (tools/check_oracles.py) against the same oracles each round.
     """
@@ -584,6 +585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_decode_hf": text.q_decode_hf,
         "q_decode_hf_unigram": text.q_decode_hf_unigram,
         "q_decode_hf_suffix": text.q_decode_hf_suffix,
+        "q_decode_hf_metaspace": text.q_decode_hf_metaspace,
         "q_decode_unigram": text.q_decode_unigram,
         "q_chunk_docs": text.q_chunk_docs,
         "q_pack_sequences": text.q_pack_sequences,
@@ -724,7 +726,8 @@ GROUP BY 1, 2
             "qa_answers", "q_conversation", "kg_media_frames",
             "kg_media_resize",
             "q_lang_id", "q_decode", "q_decode_bpe", "q_decode_hf",
-            "q_decode_hf_unigram", "q_decode_hf_suffix", "q_decode_unigram",
+            "q_decode_hf_unigram", "q_decode_hf_suffix",
+            "q_decode_hf_metaspace", "q_decode_unigram",
             "q_pack_sequences", "q_fingerprints", "kg_nodes", "kg_edges",
             "kg_media_features", "dedup_minhash_pairs", "dedup_simhash_pairs",
             "dedup_embedding_lsh_pairs", "dedup_clusters_minhash",

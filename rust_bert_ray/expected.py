@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 from rust_bert_ray.functions.util import embedding_matrix
 
 EXPECTED_ROOT = "/tmp/rbr_expected"
-VERSION = 28  # bump whenever any builder's semantics change
+VERSION = 29  # bump whenever any builder's semantics change
 
 
 # ------------------------------------------------------------ input helpers
@@ -935,6 +935,93 @@ def q_decode_hf_unigram(sf_dir: str, corpus_root: str) -> pa.Table:
         {
             "doc_id": t.column("doc_id"),
             "n_pieces": pa.array(n_pieces, type=pa.int64()),
+            "ids_crc": pa.array(ids_crc, type=pa.int64()),
+            "decoded": pa.array(decoded, type=pa.string()),
+            "roundtrip": pa.array(roundtrip, type=pa.int64()),
+        }
+    )
+
+
+def q_decode_hf_metaspace(sf_dir: str, corpus_root: str) -> pa.Table:
+    """Independent Metaspace-unigram oracle: parses the SAME
+    tokenizer.json the Ray stage loads, segments ``marker + token`` by
+    EXHAUSTIVE enumeration (no Viterbi, no UnigramTokenizer import),
+    maps pieces to file-order ids by hand, and decodes by the
+    sentencepiece marker→space rule."""
+    import json as _json
+    import re as _re
+
+    from rust_bert_ray.functions.text import HF_METASPACE_FIXTURE
+
+    with open(HF_METASPACE_FIXTURE, encoding="utf-8") as f:
+        doc = _json.load(f)
+    model = doc["model"]
+    marker = doc["pre_tokenizer"]["replacement"]
+    vocab_list = model["vocab"]
+    unk_id = int(model["unk_id"])
+    piece_id = {p: i for i, (p, _) in enumerate(vocab_list)}
+    logp = {p: float(lp) for i, (p, lp) in enumerate(vocab_list) if i != unk_id}
+    unk_logp = float(vocab_list[unk_id][1])
+    unk_piece = vocab_list[unk_id][0]
+    max_len = max(len(p) for p in logp)
+    tok_re = _re.compile(r"\S+")
+
+    seg_cache: dict[str, list[str]] = {}
+
+    def enumerate_best(word: str) -> list[str]:
+        cached = seg_cache.get(word)
+        if cached is not None:
+            return cached
+        n = len(word)
+        best_key = None
+        best_pieces: list[str] | None = None
+        stack: list[tuple[int, float, list[str]]] = [(0, 0.0, [])]
+        while stack:
+            pos, score, pieces = stack.pop()
+            if pos == n:
+                key = (
+                    score,
+                    -len(pieces),
+                    tuple(len(p) for p in reversed(pieces)),
+                )
+                if best_key is None or key > best_key:
+                    best_key = key
+                    best_pieces = pieces
+                continue
+            for end in range(pos + 1, min(n, pos + max_len) + 1):
+                piece = word[pos:end]
+                lp = logp.get(piece)
+                if lp is None:
+                    if end - pos == 1:
+                        lp = unk_logp
+                    else:
+                        continue
+                stack.append((end, score + lp, pieces + [piece]))
+        assert best_pieces is not None
+        if len(seg_cache) < 200_000:
+            seg_cache[word] = best_pieces
+        return best_pieces
+
+    t = _documents(sf_dir)
+    n_pieces, n_unk, ids_crc, decoded, roundtrip = [], [], [], [], []
+    for text in t.column("text").to_pylist():
+        ids: list[int] = []
+        out_parts: list[str] = []
+        for m in tok_re.finditer(text):
+            pieces = enumerate_best(marker + m.group(0))
+            ids.extend(piece_id.get(p, unk_id) for p in pieces)
+            out_parts.extend(p if p in logp else unk_piece for p in pieces)
+        out = "".join(out_parts).replace(marker, " ").lstrip(" ")
+        n_pieces.append(len(ids))
+        n_unk.append(sum(1 for i in ids if i == unk_id))
+        ids_crc.append(zlib.crc32(np.asarray(ids, dtype=np.int64).tobytes()))
+        decoded.append(out)
+        roundtrip.append(int(out == text))
+    return pa.Table.from_pydict(
+        {
+            "doc_id": t.column("doc_id"),
+            "n_pieces": pa.array(n_pieces, type=pa.int64()),
+            "n_unk": pa.array(n_unk, type=pa.int64()),
             "ids_crc": pa.array(ids_crc, type=pa.int64()),
             "decoded": pa.array(decoded, type=pa.string()),
             "roundtrip": pa.array(roundtrip, type=pa.int64()),
@@ -1975,6 +2062,7 @@ BUILDERS = {
     "q_decode_hf": q_decode_hf,
     "q_decode_hf_unigram": q_decode_hf_unigram,
     "q_decode_hf_suffix": q_decode_hf_suffix,
+    "q_decode_hf_metaspace": q_decode_hf_metaspace,
     "q_decode_unigram": q_decode_unigram,
     "q_pack_sequences": q_pack_sequences,
     "q_fingerprints": q_fingerprints,

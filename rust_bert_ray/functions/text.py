@@ -665,6 +665,58 @@ def q_decode_hf_suffix(sf_dir: str):
     )
 
 
+HF_METASPACE_FIXTURE = os.path.join(
+    os.path.dirname(HF_TOKENIZER_FIXTURE), "tokenizer_metaspace.json"
+)
+
+
+class HfMetaspaceRoundTrip:
+    """documents → encode→decode through a Metaspace-unigram tokenizer
+    loaded from a ``tokenizer.json`` — the shape REAL sentencepiece
+    exports (T5/Albert/XLNet) ship: ▁-prefixed pieces, whitespace
+    pre-tokenization, word boundaries carried IN the ids (decode needs
+    no word_indices and is lossless on single-spaced text, so this
+    round-trip is strict equality with no cleanup pass).  ``ids_crc``
+    binds the marker handling and file-order id table into the oracle
+    hash against an exhaustive-enumeration expected builder."""
+
+    def __init__(self, path: str = HF_METASPACE_FIXTURE):
+        from rust_bert_ray.hf_tokenizers import load_hf_tokenizer
+
+        self.tokenizer = load_hf_tokenizer(path)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tk = self.tokenizer
+        n_pieces, n_unk, ids_crc, decoded, roundtrip = [], [], [], [], []
+        for text in batch.column("text").to_pylist():
+            enc = tk.encode(text)
+            out = tk.decode(enc.ids)
+            n_pieces.append(len(enc.ids))
+            n_unk.append(sum(1 for i in enc.ids if i == tk.unk_id))
+            ids_crc.append(zlib.crc32(np.asarray(enc.ids, dtype=np.int64).tobytes()))
+            decoded.append(out)
+            roundtrip.append(int(out == text))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_pieces": pa.array(n_pieces, type=pa.int64()),
+                "n_unk": pa.array(n_unk, type=pa.int64()),
+                "ids_crc": pa.array(ids_crc, type=pa.int64()),
+                "decoded": pa.array(decoded, type=pa.string()),
+                "roundtrip": pa.array(roundtrip, type=pa.int64()),
+            }
+        )
+
+
+def q_decode_hf_metaspace(sf_dir: str):
+    """tokenizer.json-loaded Metaspace-unigram (sentencepiece export
+    shape) encode→decode round-trip per document."""
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+    return docs.map_batches(
+        HfMetaspaceRoundTrip, batch_format="pyarrow", batch_size=65536, concurrency=2
+    )
+
+
 class UnigramRoundTrip:
     """documents → unigram-LM (SentencePiece-family) encode → decode
     round-trip — the third subword algorithm family the reference

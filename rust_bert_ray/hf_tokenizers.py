@@ -12,7 +12,9 @@ model hub ships; we construct the matching in-repo tokenizer family:
 - ``model.type == "WordPiece"`` → :class:`WordPieceTokenizer`
 - ``model.type == "Unigram"``   → :class:`UnigramTokenizer` (the
   sentencepiece-family serialization: ordered ``[piece, logp]`` vocab
-  plus ``unk_id``)
+  plus ``unk_id``; a ``Metaspace`` pre_tokenizer section — the real
+  T5/Albert/XLNet export shape with ▁-prefixed pieces — switches the
+  tokenizer to the sentencepiece whitespace/marker convention)
 
 Normalizer flags (``lowercase`` / ``strip_accents`` from a
 ``BertNormalizer`` section) are honored for WordPiece; unsupported
@@ -48,7 +50,11 @@ def load_hf_tokenizer(path: str, cache_cap: int = 500_000):
             )
         return ByteLevelBpeTokenizer.from_hf(model, cache_cap=cache_cap)
     if mtype == "Unigram":
-        return UnigramTokenizer.from_hf(model, cache_cap=cache_cap)
+        pre = doc.get("pre_tokenizer") or {}
+        metaspace = pre.get("replacement") if pre.get("type") == "Metaspace" else None
+        return UnigramTokenizer.from_hf(
+            model, metaspace=metaspace, cache_cap=cache_cap
+        )
     if mtype == "WordPiece":
         norm = doc.get("normalizer") or {}
         # BertNormalizer: strip_accents=None means "follow lowercase"

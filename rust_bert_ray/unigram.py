@@ -47,6 +47,7 @@ class UnigramTokenizer:
         with open(model_path, encoding="utf-8") as f:
             model = json.load(f)
         # model: {"pieces": {piece: logp}, "unk_logp": float}
+        self.metaspace: str | None = None
         self.logp: dict[str, float] = model["pieces"]
         self.unk_logp: float = model["unk_logp"]
         self.vocab: dict[str, int] = {
@@ -60,7 +61,9 @@ class UnigramTokenizer:
         self._cache_cap = cache_cap
 
     @classmethod
-    def from_hf(cls, model: dict, cache_cap: int = 500_000):
+    def from_hf(
+        cls, model: dict, metaspace: str | None = None, cache_cap: int = 500_000
+    ):
         """Construct from a ``tokenizer.json`` ``model`` object
         (``{"type": "Unigram", "vocab": [[piece, logp], ...],
         "unk_id": int}`` — the HF `tokenizers` serialization of the
@@ -69,10 +72,15 @@ class UnigramTokenizer:
         ids (unlike the native constructor's sorted-piece assignment);
         the piece at ``unk_id`` supplies the UNK log-prob and is
         excluded from the segmentation LM (it is a control piece, not
-        matchable text)."""
+        matchable text).  ``metaspace`` is the word-boundary marker
+        from a ``Metaspace`` pre_tokenizer section (real sentencepiece
+        exports — T5/Albert/XLNet — carry one): encode then splits on
+        whitespace and segments ``marker + token``, the sentencepiece
+        convention, instead of the word-regex path."""
         vocab_list = model["vocab"]
         unk_id = int(model.get("unk_id") or 0)
         self = cls.__new__(cls)
+        self.metaspace = metaspace
         self.vocab = {p: i for i, (p, _) in enumerate(vocab_list)}
         if len(self.vocab) != len(vocab_list):
             raise ValueError("tokenizer.json Unigram vocab has duplicate pieces")
@@ -140,6 +148,8 @@ class UnigramTokenizer:
     # ------------------------------------------------------------ encode
 
     def encode(self, text: str) -> EncodedText:
+        if self.metaspace is not None:
+            return self._encode_metaspace(text)
         ids: list[int] = []
         offsets: list[tuple[int, int] | None] = []
         masks: list[int] = []
@@ -161,13 +171,48 @@ class UnigramTokenizer:
             words=words,
         )
 
+    def _encode_metaspace(self, text: str) -> EncodedText:
+        """Sentencepiece-convention encode: split on whitespace, segment
+        ``marker + token``.  The marker consumes no ORIGINAL characters
+        — a piece's char span is its length minus its leading marker,
+        so offsets stay exact slices of the input text."""
+        import re as _re
+
+        marker = self.metaspace
+        ids: list[int] = []
+        offsets: list[tuple[int, int] | None] = []
+        masks: list[int] = []
+        word_indices: list[int] = []
+        words: list[str] = []
+        vocab = self.vocab
+        for w_idx, m in enumerate(_re.finditer(r"\S+", text)):
+            token = m.group(0)
+            words.append(token)
+            pos = m.start()
+            for p_no, piece in enumerate(self.segment(marker + token)):
+                n_chars = len(piece) - (1 if piece.startswith(marker) else 0)
+                ids.append(vocab.get(piece, self.unk_id))
+                offsets.append((pos, pos + n_chars))
+                masks.append(MASK_NONE if p_no == 0 else MASK_CONTINUATION)
+                word_indices.append(w_idx)
+                pos += n_chars
+        return EncodedText(
+            ids=ids, offsets=offsets, masks=masks, word_indices=word_indices,
+            words=words,
+        )
+
     # ------------------------------------------------------------ decode
 
     def decode(self, ids: list[int], word_indices: list[int] | None = None) -> str:
         """ids (+ optional word boundaries) → text.  Without boundaries,
         pieces are joined directly (lossless only within one word); with
-        them, words are joined by single spaces."""
+        them, words are joined by single spaces.  Metaspace models
+        decode by the sentencepiece rule instead: markers become spaces
+        (word boundaries are IN the ids — lossless for single-spaced
+        text, no word_indices needed)."""
         pieces = [self.inv_vocab.get(int(i), UNK_PIECE) for i in ids]
+        if self.metaspace is not None:
+            return "".join(pieces).replace(self.metaspace, " ").lstrip(" ")
         if word_indices is None:
             return "".join(pieces)
         parts: list[str] = []

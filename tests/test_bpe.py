@@ -377,6 +377,30 @@ def test_suffix_bpe_unk_and_word_boundary():
     assert enc2.offsets == [(0, 1), (1, 2)]
 
 
+def test_hf_loader_metaspace_unigram():
+    """A Metaspace pre_tokenizer (real sentencepiece export shape)
+    switches the Unigram tokenizer to whitespace/▁ convention: word
+    boundaries live in the ids, decode is lossless without
+    word_indices, offsets skip marker chars."""
+    from rust_bert_ray.functions.text import HF_METASPACE_FIXTURE
+    from rust_bert_ray.hf_tokenizers import load_hf_tokenizer
+    from rust_bert_ray.unigram import UnigramTokenizer
+
+    tk = load_hf_tokenizer(HF_METASPACE_FIXTURE)
+    assert isinstance(tk, UnigramTokenizer)
+    assert tk.metaspace == "▁"
+    text = "the customer scans blocks!"
+    enc = tk.encode(text)
+    assert tk.decode(enc.ids) == text  # strict, no cleanup pass
+    # every offset is an exact slice of the ORIGINAL text
+    for i, (b, e) in zip(enc.ids, enc.offsets):
+        piece = tk.inv_vocab[i].lstrip("▁")
+        assert text[b:e] == piece
+    # punctuation stays attached to its word (sentencepiece convention,
+    # unlike the word-regex path)
+    assert enc.word_indices[-1] == 3  # "blocks!" is ONE whitespace token
+
+
 def test_hf_loader_unigram_unk_handling():
     """Out-of-vocabulary characters map to the file's unk_id and decode
     to its unk piece."""

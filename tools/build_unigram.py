@@ -80,8 +80,11 @@ def viterbi(word: str, logp: dict[str, float], max_len: int, unk: float) -> list
     return out
 
 
-def train(target_vocab: int = 1200, max_piece_len: int = 8) -> dict:
-    freq = corpus_words()
+def train(
+    target_vocab: int = 1200, max_piece_len: int = 8, freq: Counter | None = None
+) -> dict:
+    if freq is None:
+        freq = corpus_words()
     # seed: all substrings ≤ max_piece_len weighted by word freq
     seed: Counter = Counter()
     for word, f in freq.items():
