@@ -163,6 +163,15 @@ def _rag_search(sf_dir: str):
     return rag_search(sf_dir)
 
 
+def _bm25_search(sf_dir: str):
+    """BM25 lexical search: term-partitioned postings index →
+    partition-pruned df + score passes → streaming top-k
+    (functions/search.py; the sparse counterpart of rag_search)."""
+    from rust_bert_ray.functions.search import bm25_search
+
+    return bm25_search(sf_dir)
+
+
 def _kg_media_transitions(sf_dir: str):
     """Interleaving profile: adjacent (kind → kind) span transitions."""
     import ray.data
@@ -525,11 +534,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     in-window siblings (degree/triangles/pagerank/similar/kcore) and
     stay covered by the local mirror.  Round-4 additions sit in-window
     (q_decode_hf, q_decode_hf_unigram, q_decode_hf_suffix,
-    q_decode_hf_metaspace — the tokenizer.json loader family — and
-    q5_local_supplier_volume); ann_filtered_topk, ann_lsh_topk,
-    ann_ivf_topk, q_embed_clusters and dedup_semantic (all
-    driver-green in r3, semantics unchanged) rotate to the tail to
-    make room.  Every
+    q_decode_hf_metaspace — the tokenizer.json loader family —
+    q5_local_supplier_volume and bm25_search); the ANN family
+    (ann_topk, ann_filtered_topk, ann_lsh_topk, ann_ivf_topk),
+    q_embed_clusters and dedup_semantic (all driver-green in r3,
+    semantics unchanged) rotate to the tail to make room.  Every
     entry, gated or not, is verified by the local mirror
     (tools/check_oracles.py) against the same oracles each round.
     """
@@ -549,6 +558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- end-to-end training-data curation (composition flagship) ---
         "curation_corpus": _curation_corpus,
         "rag_search": _rag_search,
+        "bm25_search": _bm25_search,
         "q_dsir_weights": text.q_dsir_weights,
         "q_gopher_quality": quality.q_gopher_quality,
         "q_pii_scan": quality.q_pii_scan,
@@ -667,6 +677,7 @@ def oracle_sql() -> dict[str, str]:
         graph,
         quality,
         relational,
+        search,
         similarity,
         text,
     )
@@ -750,6 +761,7 @@ GROUP BY 1, 2
         "kg_influence": kg_influence_sql,
         "kg_pagerank": kg_pagerank_sql,
         "kg_similar_nodes": kg_similar_nodes_sql,
+        "bm25_search": search.bm25_search_sql(),
         "q_sentiment": classify.SENTIMENT_SQL,
         "q_zero_shot": classify.ZERO_SHOT_SQL,
         "q_zero_shot_multi": classify.ZERO_SHOT_MULTI_SQL,

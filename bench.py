@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "ann_topk",
     "ann_lsh_topk",
     "rag_search",
+    "bm25_search",
     "q_embed_clusters",
     "dedup_semantic",
     # graph analytics over the materialized KG edges table; the edge

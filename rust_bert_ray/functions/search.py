@@ -1,0 +1,354 @@
+"""BM25 full-text search over a persisted, term-partitioned postings index.
+
+The lexical-retrieval counterpart of the ANN family (similarity.py) —
+together they form the two retrieval modes a RAG / training-data
+pipeline needs (reference analog: the sentence-embeddings pipeline
+`src/pipelines/sentence_embeddings/` covers the dense mode; BM25 is
+the classic sparse mode, Robertson & Zaragoza 2009).
+
+Scale shape (the part that matters at 100 TB):
+
+- **Index build is one streaming pass**: documents → per-doc term
+  counts (tf) + doc length, written as hive-partitioned parquet with
+  ``bucket = crc32(term) % B`` — every posting for a given term lands
+  in exactly ONE bucket directory.  ``doclen`` is denormalized onto
+  each posting row so query-time scoring needs NO join against a doc-
+  length table.  A second tiny pass computes corpus stats (N, total
+  length) as scalar partials — KB-scale exchange.
+- **Queries read only the probed buckets** (the ANN index pruning
+  pattern): a q-term query touches ≤ q of B partitions regardless of
+  corpus size.  df comes from counting the term's postings inside
+  those same partitions — exact, no extra global state.
+- The per-doc score sum + global top-k use the streaming-prune `topk`
+  (O(n) over pruned rows, no all-to-all sort).
+
+Index layout: ``/tmp/rbr_bm25/<sf-tag>/postings-v{V}/data/bucket=K/``
+plus ``meta.json`` (source fingerprint, n_docs, total_len) —
+fingerprint-invalidated exactly like the ANN indexes.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import re
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from rust_bert_ray.functions.util import round_ha, topk
+
+INDEX_ROOT = "/tmp/rbr_bm25"
+INDEX_VERSION = 1
+N_BUCKETS = 32
+K1 = 1.2
+B = 0.75
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+def _read_documents(sf_dir: str, columns):
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=columns
+    )
+
+
+def _term_bucket(term: str) -> int:
+    return zlib.crc32(term.encode()) % N_BUCKETS
+
+
+class PostingsBuilder:
+    """documents → one posting row per (doc, term): tf + denormalized
+    doclen, bucketed by term hash."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        doc_ids, terms, tfs, doclens, buckets = [], [], [], [], []
+        for doc_id, text in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            toks = _TOKEN_RE.findall(text.lower())
+            if not toks:
+                continue
+            counts: dict[str, int] = {}
+            for tok in toks:
+                counts[tok] = counts.get(tok, 0) + 1
+            n = len(toks)
+            for term, tf in counts.items():
+                doc_ids.append(doc_id)
+                terms.append(term)
+                tfs.append(tf)
+                doclens.append(n)
+                buckets.append(_term_bucket(term))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "term": pa.array(terms, type=pa.string()),
+                "tf": pa.array(tfs, type=pa.int64()),
+                "doclen": pa.array(doclens, type=pa.int64()),
+                "bucket": pa.array(buckets, type=pa.int64()),
+            }
+        )
+
+
+def _source_fingerprint(sf_dir: str) -> str:
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    return f"{st.st_size}-{int(st.st_mtime)}"
+
+
+def ensure_bm25_index(sf_dir: str) -> tuple[str, dict]:
+    """Build (once, idempotent, fingerprint-invalidated) the postings
+    index.  Same tmp-dir + rename discipline as similarity._ensure_index
+    so a lost concurrent-build race just uses the winner's index."""
+    sf_tag = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}-"
+        f"{zlib.crc32(os.path.abspath(sf_dir).encode()) & 0xFFFFFFFF:08x}"
+    )
+    base = os.path.join(INDEX_ROOT, sf_tag, f"postings-v{INDEX_VERSION}")
+    meta_path = os.path.join(base, "meta.json")
+    fp = _source_fingerprint(sf_dir)
+    if os.path.exists(meta_path):
+        with open(meta_path, encoding="utf-8") as f:
+            meta = json.load(f)
+        if meta.get("fingerprint") == fp:
+            return base, meta
+    tmp = base + f".tmp-{os.getpid()}"
+    if os.path.exists(tmp):
+        import shutil
+
+        shutil.rmtree(tmp)
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+    docs.map_batches(
+        PostingsBuilder(), batch_format="pyarrow", batch_size=None
+    ).write_parquet(os.path.join(tmp, "data"), partition_cols=["bucket"])
+
+    # corpus stats: scalar partials per batch, summed on the driver
+    def stats_partial(t: pa.Table) -> pa.Table:
+        lens = [
+            len(_TOKEN_RE.findall(x.lower()))
+            for x in t.column("text").to_pylist()
+        ]
+        with_toks = [n for n in lens if n > 0]
+        return pa.Table.from_pydict(
+            {
+                "n_docs": pa.array([len(with_toks)], type=pa.int64()),
+                "total_len": pa.array([sum(with_toks)], type=pa.int64()),
+            }
+        )
+
+    stats = (
+        _read_documents(sf_dir, ["text"])
+        .map_batches(stats_partial, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    meta = {
+        "fingerprint": fp,
+        "n_docs": int(stats["n_docs"].sum()),
+        "total_len": int(stats["total_len"].sum()),
+    }
+    with open(os.path.join(tmp, "meta.json"), "w", encoding="utf-8") as f:
+        json.dump(meta, f)
+    try:
+        if os.path.exists(base):
+            import shutil
+
+            shutil.rmtree(base)
+        os.replace(tmp, base)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return base, meta
+
+
+def _probed_files(base: str, buckets) -> list[str]:
+    import glob
+
+    files = []
+    for b in sorted(set(int(x) for x in buckets)):
+        d = os.path.join(base, "data", f"bucket={b}")
+        if os.path.isdir(d):
+            files.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+    return files
+
+
+def _empty_hits():
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64()),
+            }
+        )
+    )
+
+
+DEFAULT_QUERY = "customer join dup scan"
+
+
+def bm25_search(sf_dir: str, query: str = DEFAULT_QUERY, k: int = 10):
+    """Top-k documents by BM25(k1=1.2, b=0.75) for ``query``.
+
+    Two pruned passes over only the query terms' bucket partitions:
+    (1) exact per-term df (postings rows per term — (term, doc) rows
+    are unique by construction), collected as a ≤|q|-row broadcast;
+    (2) per-posting score contributions → per-doc groupby sum →
+    streaming top-k by (score desc, doc_id).  idf uses the
+    Robertson-Sparck-Jones '+1' form: ln((N - df + 0.5)/(df + 0.5) + 1).
+    """
+    terms = sorted(set(_TOKEN_RE.findall(query.lower())))
+    if not terms:
+        return _empty_hits()
+    base, meta = ensure_bm25_index(sf_dir)
+    n_docs = meta["n_docs"]
+    avgdl = meta["total_len"] / n_docs if n_docs else 1.0
+    files = _probed_files(base, [_term_bucket(t) for t in terms])
+    if not files:
+        return _empty_hits()
+    term_set = set(terms)
+
+    postings = ray.data.read_parquet(files, columns=["doc_id", "term", "tf", "doclen"])
+
+    # pass 1: exact df per query term (tiny result → driver → broadcast)
+    def df_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["term"].isin(term_set)]
+        g = df.groupby("term", as_index=False).agg(pdf=("doc_id", "size"))
+        return pa.Table.from_pydict(
+            {
+                "term": pa.array(g["term"], type=pa.string()),
+                "pdf": pa.array(g["pdf"], type=pa.int64()),
+            }
+        )
+
+    df_rows = postings.map_batches(
+        df_partial, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    if df_rows.empty:
+        return _empty_hits()
+    dfs = df_rows.groupby("term")["pdf"].sum().to_dict()
+    idf = {
+        t: math.log((n_docs - d + 0.5) / (d + 0.5) + 1.0)
+        for t, d in dfs.items()
+    }
+    idf_ref = ray.put(idf)
+
+    class ScorePartial:
+        def __init__(self, ref):
+            self.idf = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            df = df[df["term"].isin(self.idf)]
+            if df.empty:
+                return pa.Table.from_pydict(
+                    {
+                        "doc_id": pa.array([], type=pa.int64()),
+                        "p_score": pa.array([], type=pa.float64()),
+                    }
+                )
+            tf = df["tf"].to_numpy(dtype=np.float64)
+            dl = df["doclen"].to_numpy(dtype=np.float64)
+            w = df["term"].map(self.idf).to_numpy(dtype=np.float64) * (
+                tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+            )
+            g = (
+                pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "p_score": w})
+                .groupby("doc_id", as_index=False)["p_score"]
+                .sum()
+            )
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array(g["doc_id"], type=pa.int64()),
+                    "p_score": pa.array(g["p_score"], type=pa.float64()),
+                }
+            )
+
+    from ray.data.aggregate import Sum
+
+    scored = (
+        postings.map_batches(
+            ScorePartial(idf_ref), batch_format="pyarrow", batch_size=None
+        )
+        .groupby("doc_id", num_partitions=8)
+        .aggregate(Sum("p_score", alias_name="raw_score"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t.column("doc_id"),
+                "score": pa.array(
+                    round_ha(t.column("raw_score").to_numpy(), 6),
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    return topk(
+        scored.map_batches(finalize, batch_format="pyarrow"),
+        ["score", "doc_id"],
+        [True, False],
+        k,
+    )
+
+
+def bm25_scan_fraction(sf_dir: str, query: str = DEFAULT_QUERY) -> dict:
+    """Probed-partition row fraction for the default query (pruning
+    evidence, mirrors similarity.ann_scan_report)."""
+    import pyarrow.dataset as pads
+
+    terms = sorted(set(_TOKEN_RE.findall(query.lower())))
+    base, _meta = ensure_bm25_index(sf_dir)
+    probed = _probed_files(base, [_term_bucket(t) for t in terms])
+    total = pads.dataset(os.path.join(base, "data")).count_rows()
+    rows = sum(pads.dataset(f).count_rows() for f in probed) if probed else 0
+    return {"probed_rows": rows, "total_rows": total,
+            "fraction": rows / total if total else 0.0}
+
+
+BM25_SEARCH_SQL_TEMPLATE = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY doc_id),
+stats AS (SELECT COUNT(*) AS n, AVG(len) AS avgdl FROM dl),
+qterms AS (SELECT unnest([{terms}]) AS term),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+  WHERE term IN (SELECT term FROM qterms) GROUP BY 1, 2
+),
+df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks
+  WHERE term IN (SELECT term FROM qterms) GROUP BY 1
+),
+scores AS (
+  SELECT tf.doc_id,
+         SUM(
+           ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1)
+           * tf.tf * ({k1} + 1)
+           / (tf.tf + {k1} * (1 - {b} + {b} * dl.len / stats.avgdl))
+         ) AS score
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, ROUND(score, 6) AS score
+FROM scores
+ORDER BY score DESC, doc_id
+LIMIT {k}
+"""
+
+
+def bm25_search_sql(query: str = DEFAULT_QUERY, k: int = 10) -> str:
+    terms = sorted(set(_TOKEN_RE.findall(query.lower())))
+    quoted = ", ".join("'" + t + "'" for t in terms)
+    return BM25_SEARCH_SQL_TEMPLATE.format(terms=quoted, k1=K1, b=B, k=k)

@@ -1,0 +1,103 @@
+"""BM25 postings-index search (functions/search.py)."""
+
+import os
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def index(ray_session):
+    from rust_bert_ray.functions.search import ensure_bm25_index
+
+    return ensure_bm25_index(SF)
+
+
+def test_index_is_fingerprint_stable(index):
+    from rust_bert_ray.functions.search import ensure_bm25_index
+
+    base, meta = index
+    st = os.stat(os.path.join(base, "meta.json"))
+    base2, meta2 = ensure_bm25_index(SF)
+    assert base2 == base and meta2 == meta
+    # untouched: same inode mtime (no rebuild)
+    assert os.stat(os.path.join(base, "meta.json")).st_mtime == st.st_mtime
+
+
+def test_query_probes_only_term_buckets(index):
+    from rust_bert_ray.functions.search import (
+        N_BUCKETS,
+        _probed_files,
+        _term_bucket,
+    )
+
+    base, _ = index
+    terms = ["customer", "join"]
+    files = _probed_files(base, [_term_bucket(t) for t in terms])
+    want = {f"bucket={_term_bucket(t)}" for t in terms}
+    got = {os.path.basename(os.path.dirname(f)) for f in files}
+    assert got <= want and len(got) <= len(terms) < N_BUCKETS
+
+
+def test_bm25_topk_matches_single_process(index, ray_session):
+    """Distributed result equals a fresh pandas/numpy BM25 on the same
+    corpus (independent of the postings index)."""
+    import math
+    import re
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from rust_bert_ray.functions.search import B, K1, bm25_search
+    from rust_bert_ray.functions.util import round_ha
+
+    query = "customer join dup scan"
+    got = bm25_search(SF, query=query, k=10).to_pandas()
+
+    tok = re.compile(r"[a-z0-9]+")
+    docs = pq.read_table(SF + "/documents.parquet", columns=["doc_id", "text"])
+    rows = []
+    lens = {}
+    for doc_id, text in zip(
+        docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()
+    ):
+        toks = tok.findall(text.lower())
+        if toks:
+            lens[doc_id] = len(toks)
+            for t in set(toks):
+                rows.append((doc_id, t, toks.count(t)))
+    tf = pd.DataFrame(rows, columns=["doc_id", "term", "tf"])
+    n = len(lens)
+    avgdl = sum(lens.values()) / n
+    terms = sorted(set(tok.findall(query.lower())))
+    sub = tf[tf["term"].isin(terms)]
+    df_map = sub.groupby("term")["doc_id"].size().to_dict()
+    scores = {}
+    for doc_id, term, tfv in sub.itertuples(index=False):
+        idf = math.log((n - df_map[term] + 0.5) / (df_map[term] + 0.5) + 1.0)
+        w = idf * tfv * (K1 + 1) / (tfv + K1 * (1 - B + B * lens[doc_id] / avgdl))
+        scores[doc_id] = scores.get(doc_id, 0.0) + w
+    exp = (
+        pd.DataFrame(
+            {"doc_id": list(scores), "score": round_ha(list(scores.values()), 6)}
+        )
+        .sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    got = got.sort_values(["score", "doc_id"], ascending=[False, True]).reset_index(
+        drop=True
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_empty_and_unknown_queries_are_schema_stable(index, ray_session):
+    from rust_bert_ray.functions.search import bm25_search
+
+    for q in ["", "zzzqqqxx notinthecorpus"]:
+        out = bm25_search(SF, query=q)
+        # Ray's to_pandas drops columns on empty datasets; the schema is
+        # the stable contract (same check as test_rag's empty path)
+        assert out.schema().names == ["doc_id", "score"]
+        assert out.count() == 0
