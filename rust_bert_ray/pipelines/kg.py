@@ -205,134 +205,182 @@ def run_kg_pipeline(
                 summary["resumed"].append(part)
                 continue
             summary.setdefault("invalidated", []).append(part)
-        tp = time.time()
-        # One block per input file unless the NER pool needs more for
-        # balance: Ray's default parallelism heuristic splits each file
-        # in two (≥200 blocks), and the extra per-block task round-trips
-        # through 4 downstream operators cost ~15% wall at 800k docs.
-        ner_c = max(1, (_sum_pool_budget(concurrency) * 2) // 3)
-        docs = ray.data.read_parquet(
+        out_rows = _stage_a_partition(
             files,
-            columns=["doc_id", "spans"],
-            override_num_blocks=max(len(files), 2 * ner_c),
-        )
-        lineage = []
-        out_rows: dict[str, int] = {}
-        if write_enriched:
-            # FUSED single streaming execution (one NER pass, one ramp):
-            #   NER → per-block side-write of the enriched docs (spans
-            #   untouched + entities) → relations → linking → triples.
-            # Running enrich-write and triple-derive as two sequential
-            # datasets paid a second fill/drain ramp and serialized NER
-            # against rel+link (21.7 s → fused ~14 s at 800k/32 CPUs).
-            # The side-writer spills each NER output BLOCK into the
-            # checkpoint tmp dir with a deterministic name (blocks hold
-            # disjoint doc ranges → first doc_id identifies the block;
-            # a retried task overwrites its own file, so the write is
-            # exactly-once); the dir is renamed into place only after
-            # the fused pipeline — triples included — finishes.
-            docs_dir = ckpt.partition_dir(out_dir, "docs_enriched", part)
-            tmp_dir = docs_dir + ".tmp"
-            if os.path.exists(tmp_dir):
-                import shutil
-
-                shutil.rmtree(tmp_dir)
-            os.makedirs(tmp_dir, exist_ok=True)
-
-            def spill_enriched(t):
-                import pyarrow.parquet as pq
-
-                if t.num_rows:
-                    name = f"blk-{t.column('doc_id')[0].as_py()}-{t.num_rows}"
-                    pq.write_table(t, os.path.join(tmp_dir, name + ".parquet"))
-                return t
-
-            # Same stage topology as extract_and_link: NER is the only
-            # actor pool (~2/3 budget — its UDF time is ~60% of the
-            # stream's CPU); spill + relation + linking run as task-pool
-            # stages that Ray fuses into one operator and schedules onto
-            # whatever CPUs NER isn't using.  Static 3-pool splits were
-            # measured 40-70% slower at 800k docs/32 CPUs and starve
-            # worse at small CPU counts (the 8-CPU scaling leg).
-            enriched = docs.map_batches(
-                NerStage,
-                fn_constructor_kwargs={"gazetteer": gazetteer or GAZETTEER},
-                batch_format="pyarrow",
-                batch_size=batch_size,
-                concurrency=ner_c,
-            ).map_batches(
-                spill_enriched, batch_format="pyarrow", batch_size=None
-            )
-            downstream = enriched.map_batches(
-                RelationStage(),
-                batch_format="pyarrow",
-                batch_size=batch_size,
-            ).map_batches(
-                LinkingStage(index_ref),
-                batch_format="pyarrow",
-                batch_size=4096,
-            )
-        else:
-            input_rows = docs.count()
-            downstream = extract_and_link(
-                docs,
-                gazetteer=gazetteer,
-                index_ref=index_ref,
-                batch_size=batch_size,
-                concurrency=concurrency,
-            )
-        triples_dir = ckpt.partition_dir(out_dir, "triples", part)
-        ckpt.atomic_write_parquet(downstream, triples_dir)
-        if write_enriched:
-            # promote the side-written enriched blocks (upstream of the
-            # finished triples write ⇒ all spills are complete)
-            import shutil
-
-            if os.path.exists(docs_dir):
-                shutil.rmtree(docs_dir)
-            os.replace(tmp_dir, docs_dir)
-            input_rows = _pq_rows(docs_dir)
-            out_rows["docs_enriched"] = input_rows
-            lineage.append(
-                {
-                    "stage": "enrich_docs",
-                    "input_digest": ckpt.digest(*files, input_rows),
-                    "output_digest": ckpt.digest(docs_dir, input_rows),
-                }
-            )
-        out_rows["triples"] = _pq_rows(triples_dir)
-        lineage.append(
-            {
-                "stage": "extract_and_link",
-                "input_digest": ckpt.digest(*files, input_rows),
-                "output_digest": ckpt.digest(triples_dir, out_rows["triples"]),
-            }
-        )
-        ckpt.write_manifest(
-            out_dir,
             part,
-            input_files=files,
-            input_rows=input_rows,
-            output_rows=out_rows,
-            lineage=lineage,
-            metrics={"sec": time.time() - tp},
+            out_dir,
+            gazetteer=gazetteer,
+            index_ref=index_ref,
+            batch_size=batch_size,
+            concurrency=concurrency,
+            write_enriched=write_enriched,
         )
         summary["partitions"].append(part)
-        summary["input_rows"] += input_rows
+        summary["input_rows"] += out_rows["input_rows"]
         summary["triple_rows"] += out_rows["triples"]
 
-    # ---- stage-B staleness: nodes/edges derive from ALL triples, so any
-    # partition recomputed this run (fresh or invalidated) makes an
-    # existing final manifest stale; likewise a regrouping (n_groups
-    # change) leaves orphaned part dirs from the old grouping that the
-    # stage-B glob would silently include.  Drop both before deciding
-    # whether stage B may be skipped.
-    ckpt.invalidate_downstream(
-        out_dir,
-        ["triples", "docs_enriched"],
-        {f"part={p}" for p in range(len(groups))},
-        bool(summary["partitions"]) or bool(summary.get("invalidated")),
+    return _finish_kg_pipeline(out_dir, groups, summary, resume, salt, t0)
+
+
+def _stage_a_partition(
+    files: list[str],
+    part,
+    out_dir: str,
+    *,
+    gazetteer,
+    index_ref,
+    batch_size,
+    concurrency,
+    write_enriched: bool,
+) -> dict:
+    """Extract→link ONE input-file group and checkpoint it atomically
+    (triples + optionally enriched docs) under ``part=<part>``.  Shared
+    by the full pipeline and the incremental ingest path."""
+    tp = time.time()
+    # One block per input file unless the NER pool needs more for
+    # balance: Ray's default parallelism heuristic splits each file
+    # in two (≥200 blocks), and the extra per-block task round-trips
+    # through 4 downstream operators cost ~15% wall at 800k docs.
+    ner_c = max(1, (_sum_pool_budget(concurrency) * 2) // 3)
+    docs = ray.data.read_parquet(
+        files,
+        columns=["doc_id", "spans"],
+        override_num_blocks=max(len(files), 2 * ner_c),
     )
+    lineage = []
+    out_rows: dict[str, int] = {}
+    if write_enriched:
+        # FUSED single streaming execution (one NER pass, one ramp):
+        #   NER → per-block side-write of the enriched docs (spans
+        #   untouched + entities) → relations → linking → triples.
+        # Running enrich-write and triple-derive as two sequential
+        # datasets paid a second fill/drain ramp and serialized NER
+        # against rel+link (21.7 s → fused ~14 s at 800k/32 CPUs).
+        # The side-writer spills each NER output BLOCK into the
+        # checkpoint tmp dir with a deterministic name (blocks hold
+        # disjoint doc ranges → first doc_id identifies the block;
+        # a retried task overwrites its own file, so the write is
+        # exactly-once); the dir is renamed into place only after
+        # the fused pipeline — triples included — finishes.
+        docs_dir = ckpt.partition_dir(out_dir, "docs_enriched", part)
+        tmp_dir = docs_dir + ".tmp"
+        if os.path.exists(tmp_dir):
+            import shutil
+
+            shutil.rmtree(tmp_dir)
+        os.makedirs(tmp_dir, exist_ok=True)
+
+        def spill_enriched(t):
+            import pyarrow.parquet as pq
+
+            if t.num_rows:
+                name = f"blk-{t.column('doc_id')[0].as_py()}-{t.num_rows}"
+                pq.write_table(t, os.path.join(tmp_dir, name + ".parquet"))
+            return t
+
+        # Same stage topology as extract_and_link: NER is the only
+        # actor pool (~2/3 budget — its UDF time is ~60% of the
+        # stream's CPU); spill + relation + linking run as task-pool
+        # stages that Ray fuses into one operator and schedules onto
+        # whatever CPUs NER isn't using.  Static 3-pool splits were
+        # measured 40-70% slower at 800k docs/32 CPUs and starve
+        # worse at small CPU counts (the 8-CPU scaling leg).
+        enriched = docs.map_batches(
+            NerStage,
+            fn_constructor_kwargs={"gazetteer": gazetteer or GAZETTEER},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=ner_c,
+        ).map_batches(
+            spill_enriched, batch_format="pyarrow", batch_size=None
+        )
+        downstream = enriched.map_batches(
+            RelationStage(),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        ).map_batches(
+            LinkingStage(index_ref),
+            batch_format="pyarrow",
+            batch_size=4096,
+        )
+    else:
+        input_rows = docs.count()
+        downstream = extract_and_link(
+            docs,
+            gazetteer=gazetteer,
+            index_ref=index_ref,
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+    triples_dir = ckpt.partition_dir(out_dir, "triples", part)
+    ckpt.atomic_write_parquet(downstream, triples_dir)
+    if write_enriched:
+        # promote the side-written enriched blocks (upstream of the
+        # finished triples write ⇒ all spills are complete)
+        import shutil
+
+        if os.path.exists(docs_dir):
+            shutil.rmtree(docs_dir)
+        os.replace(tmp_dir, docs_dir)
+        input_rows = _pq_rows(docs_dir)
+        out_rows["docs_enriched"] = input_rows
+        lineage.append(
+            {
+                "stage": "enrich_docs",
+                "input_digest": ckpt.digest(*files, input_rows),
+                "output_digest": ckpt.digest(docs_dir, input_rows),
+            }
+        )
+    out_rows["triples"] = _pq_rows(triples_dir)
+    lineage.append(
+        {
+            "stage": "extract_and_link",
+            "input_digest": ckpt.digest(*files, input_rows),
+            "output_digest": ckpt.digest(triples_dir, out_rows["triples"]),
+        }
+    )
+    ckpt.write_manifest(
+        out_dir,
+        part,
+        input_files=files,
+        input_rows=input_rows,
+        output_rows=out_rows,
+        lineage=lineage,
+        metrics={"sec": time.time() - tp},
+    )
+    out_rows["input_rows"] = input_rows
+    return out_rows
+
+
+def _finish_kg_pipeline(
+    out_dir, groups, summary, resume, salt, t0, sweep_orphans: bool = True
+) -> dict:
+    """Stage-B staleness handling + global canonicalize (run_kg_pipeline
+    tail, split out so the loop above reads linearly and the ingest path
+    can share stage B).  ``sweep_orphans=False`` (the ingest path) skips
+    the orphan sweep entirely — an ingest only APPENDS partitions, it
+    never redefines the valid base set, and its caller has already
+    invalidated the final manifest when new triples landed."""
+    if sweep_orphans:
+        # ---- stage-B staleness: nodes/edges derive from ALL triples, so
+        # any partition recomputed this run (fresh or invalidated) makes
+        # an existing final manifest stale; likewise a regrouping
+        # (n_groups change) leaves orphaned part dirs from the old
+        # grouping that the stage-B glob would silently include.  Drop
+        # both before deciding whether stage B may be skipped.  Completed
+        # INGEST partitions (``part=ing-*``, see ingest_kg_increment) are
+        # appended increments over disjoint doc ids — valid inputs to
+        # stage B, never orphans.
+        ingest_parts = {
+            f"part={p}" for p in ckpt.completed_partitions(out_dir)
+            if str(p).startswith("ing-")
+        }
+        ckpt.invalidate_downstream(
+            out_dir,
+            ["triples", "docs_enriched"],
+            {f"part={p}" for p in range(len(groups))} | ingest_parts,
+            bool(summary["partitions"]) or bool(summary.get("invalidated")),
+        )
 
     # ---- stage B: global canonicalize + materialize (reads checkpoints) ----
     if not (resume and ckpt.is_partition_complete(out_dir, "final")):
@@ -401,12 +449,102 @@ def run_kg_pipeline(
     return summary
 
 
+def ingest_kg_increment(
+    increment_path: str,
+    out_dir: str,
+    *,
+    gazetteer: dict[str, str] | None = None,
+    alias_index: AliasIndex | None = None,
+    batch_size: int | None = None,
+    concurrency: int | None = None,
+    n_groups: int = 1,
+    salt: int = 8,
+    write_enriched: bool = True,
+) -> dict:
+    """Append a new corpus shard to an EXISTING KG output directory.
+
+    The 100-TB operating model: corpora are append-only, and extraction
+    (the model-bound cost — NER actor pools over every document) must
+    run ONLY over the new shard.  This entry point:
+
+    - runs stage A over the increment's files alone, landing them as
+      new checkpoint partitions named ``ing-<digest-of-file-list>-<g>``
+      — existing partitions are never read, touched, or invalidated;
+    - re-ingesting the SAME increment is a no-op (manifest hit, same
+      rule as the base pipeline's resume);
+    - re-runs the global canonicalize (stage B) over ALL checkpointed
+      triples — old + new — so increment mentions merge into existing
+      nodes.  Stage B reads checkpoints (streaming), so its cost scales
+      with TOTAL TRIPLES (a digest-level salted shuffle), not total
+      documents × model forward.  A bucket-level incremental merge
+      (recompute only alias buckets the increment touches, from
+      persisted union-find state) is the documented next refinement;
+      triples-level recompute is chosen because canonicalize measures
+      <15% of pipeline wall at 800k docs.
+
+    Caller contract: increment doc_ids are disjoint from previously
+    ingested documents (the same contract an append-only corpus gives
+    any ingest system).  ``run_kg_pipeline`` over the BASE input
+    recognizes completed ``ing-*`` partitions as valid increments (its
+    orphan sweep keeps them); changing the base input still invalidates
+    everything, increments included, via the normal full-rebuild path.
+    """
+    t0 = time.time()
+    index_ref = ray.put(
+        alias_index if alias_index is not None else default_alias_index()
+    )
+    groups = _input_groups(increment_path, n_groups)
+    inc_tag = ckpt.digest(*(f for g in groups for f in g))
+    summary = {
+        "partitions": [],
+        "resumed": [],
+        "input_rows": 0,
+        "triple_rows": 0,
+        "increment": inc_tag,
+    }
+    recomputed = False
+    for g, files in enumerate(groups):
+        part = f"ing-{inc_tag}-{g}"
+        if ckpt.is_partition_complete(out_dir, part):
+            manifest = ckpt.read_manifest(out_dir, part)
+            if manifest.get("input_files") == files:
+                summary["resumed"].append(part)
+                continue
+        out_rows = _stage_a_partition(
+            files,
+            part,
+            out_dir,
+            gazetteer=gazetteer,
+            index_ref=index_ref,
+            batch_size=batch_size,
+            concurrency=concurrency,
+            write_enriched=write_enriched,
+        )
+        recomputed = True
+        summary["partitions"].append(part)
+        summary["input_rows"] += out_rows["input_rows"]
+        summary["triple_rows"] += out_rows["triples"]
+
+    # new triples make the existing nodes/edges stale; stage B re-runs
+    # over all checkpointed triples.  (No orphan sweep here — ingest
+    # never changes the valid-partition set, it only appends to it.)
+    if recomputed and ckpt.is_partition_complete(out_dir, "final"):
+        os.remove(ckpt.manifest_path(out_dir, "final"))
+    return _finish_kg_pipeline(
+        out_dir, [], summary, True, salt, t0, sweep_orphans=False
+    )
+
+
 def _main() -> None:
     """Job entrypoint (north rule: ``ray job submit`` execution):
 
         ray job submit --working-dir . -- \\
             python -m rust_bert_ray.pipelines.kg INPUT_DIR OUT_DIR \\
-                [--n-groups N] [--batch-size B] [--no-resume]
+                [--n-groups N] [--batch-size B] [--no-resume] [--ingest]
+
+    ``--ingest`` treats INPUT_DIR as a NEW corpus shard appended to an
+    existing OUT_DIR (extraction over the shard only; global
+    canonicalize over all checkpointed triples — ingest_kg_increment).
 
     On a cluster the driver connects to the running Ray instance
     (RAY_ADDRESS from the job environment); standalone it starts a local
@@ -423,18 +561,28 @@ def _main() -> None:
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--no-enriched", action="store_true")
+    p.add_argument("--ingest", action="store_true")
     args = p.parse_args()
 
     if not ray.is_initialized():
         ray.init(include_dashboard=False)
-    summary = run_kg_pipeline(
-        args.input_dir,
-        args.out_dir,
-        n_groups=args.n_groups,
-        batch_size=args.batch_size,
-        resume=not args.no_resume,
-        write_enriched=not args.no_enriched,
-    )
+    if args.ingest:
+        summary = ingest_kg_increment(
+            args.input_dir,
+            args.out_dir,
+            n_groups=args.n_groups,
+            batch_size=args.batch_size,
+            write_enriched=not args.no_enriched,
+        )
+    else:
+        summary = run_kg_pipeline(
+            args.input_dir,
+            args.out_dir,
+            n_groups=args.n_groups,
+            batch_size=args.batch_size,
+            resume=not args.no_resume,
+            write_enriched=not args.no_enriched,
+        )
     print(json.dumps(summary))
     ray.shutdown()
 
