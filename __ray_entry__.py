@@ -172,6 +172,14 @@ def _bm25_search(sf_dir: str):
     return bm25_search(sf_dir)
 
 
+def _hybrid_search(sf_dir: str):
+    """Hybrid retrieval: RRF fusion of the BM25 (sparse) and RAG chunk
+    (dense) retrievers over the same query (functions/search.py)."""
+    from rust_bert_ray.functions.search import hybrid_search
+
+    return hybrid_search(sf_dir)
+
+
 def _kg_media_transitions(sf_dir: str):
     """Interleaving profile: adjacent (kind → kind) span transitions."""
     import ray.data
@@ -535,10 +543,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     stay covered by the local mirror.  Round-4 additions sit in-window
     (q_decode_hf, q_decode_hf_unigram, q_decode_hf_suffix,
     q_decode_hf_metaspace — the tokenizer.json loader family —
-    q5_local_supplier_volume and bm25_search); the ANN family
-    (ann_topk, ann_filtered_topk, ann_lsh_topk, ann_ivf_topk),
-    q_embed_clusters and dedup_semantic (all driver-green in r3,
-    semantics unchanged) rotate to the tail to make room.  Every
+    q5_local_supplier_volume, bm25_search and hybrid_search); the ANN
+    family (ann_topk, ann_filtered_topk, ann_lsh_topk, ann_ivf_topk),
+    dedup_clusters_minhash, q_embed_clusters and dedup_semantic (all
+    driver-green in r3, semantics unchanged) rotate to the tail to
+    make room.  Every
     entry, gated or not, is verified by the local mirror
     (tools/check_oracles.py) against the same oracles each round.
     """
@@ -559,6 +568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_corpus": _curation_corpus,
         "rag_search": _rag_search,
         "bm25_search": _bm25_search,
+        "hybrid_search": _hybrid_search,
         "q_dsir_weights": text.q_dsir_weights,
         "q_gopher_quality": quality.q_gopher_quality,
         "q_pii_scan": quality.q_pii_scan,
@@ -762,6 +772,9 @@ GROUP BY 1, 2
         "kg_pagerank": kg_pagerank_sql,
         "kg_similar_nodes": kg_similar_nodes_sql,
         "bm25_search": search.bm25_search_sql(),
+        "hybrid_search": search.hybrid_search_sql(
+            f"{_EXPECTED_DIR}/rag_search.parquet"
+        ),
         "q_sentiment": classify.SENTIMENT_SQL,
         "q_zero_shot": classify.ZERO_SHOT_SQL,
         "q_zero_shot_multi": classify.ZERO_SHOT_MULTI_SQL,

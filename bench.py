@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "rag_search",
     "bm25_search",
+    "hybrid_search",
     "q_embed_clusters",
     "dedup_semantic",
     # graph analytics over the materialized KG edges table; the edge

@@ -352,3 +352,94 @@ def bm25_search_sql(query: str = DEFAULT_QUERY, k: int = 10) -> str:
     terms = sorted(set(_TOKEN_RE.findall(query.lower())))
     quoted = ", ".join("'" + t + "'" for t in terms)
     return BM25_SEARCH_SQL_TEMPLATE.format(terms=quoted, k1=K1, b=B, k=k)
+
+
+RRF_C = 60
+HYBRID_POOL = 10
+
+
+def hybrid_search(sf_dir: str, query: str | None = None, k: int = 10):
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009)
+    of the sparse (BM25 postings) and dense (RAG chunk-embedding)
+    retrievers over the SAME query text.
+
+    Scale shape: ALL heavy work happens inside the two partition-pruned
+    searches (each reads only its probed index buckets); fusion itself
+    sees two ≤``HYBRID_POOL``-row ranked lists, so the driver-side merge
+    is O(k) regardless of corpus size — the canonical two-tower serving
+    topology.  Doc-level dense rank is the rank of the doc's BEST chunk
+    under rag_search's total order (cos desc, doc_id, chunk_idx);
+    sparse rank follows bm25_search's (score desc, doc_id).  RRF score
+    = Σ 1/(C + rank) over the lists containing the doc (≤2 terms —
+    two-term float addition is order-exact, so SQL SUM parity is
+    bit-safe)."""
+    from rust_bert_ray.pipelines.rag import RAG_QUERY, rag_search
+
+    q = RAG_QUERY if query is None else query
+    dense = (
+        rag_search(sf_dir, query=q, k=HYBRID_POOL)
+        .to_pandas()
+        .sort_values(["cos", "doc_id", "chunk_idx"], ascending=[False, True, True])
+    )
+    sparse = (
+        bm25_search(sf_dir, query=q, k=HYBRID_POOL)
+        .to_pandas()
+        .sort_values(["score", "doc_id"], ascending=[False, True])
+    )
+    rrf: dict[int, float] = {}
+    seen: set[int] = set()
+    r = 0
+    for doc_id in dense["doc_id"].tolist():
+        if doc_id in seen:
+            continue
+        seen.add(doc_id)
+        r += 1
+        rrf[doc_id] = rrf.get(doc_id, 0.0) + 1.0 / (RRF_C + r)
+    for r, doc_id in enumerate(sparse["doc_id"].tolist(), start=1):
+        rrf[doc_id] = rrf.get(doc_id, 0.0) + 1.0 / (RRF_C + r)
+    fused = sorted(rrf.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([d for d, _ in fused], type=pa.int64()),
+            "rrf": pa.array([s for _, s in fused], type=pa.float64()),
+        }
+    )
+
+
+HYBRID_SEARCH_SQL_TEMPLATE = """
+WITH bm25 AS ({bm25_sql}),
+sparse_rank AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r FROM bm25
+),
+dense_chunks AS (SELECT * FROM read_parquet('{dense_parquet}')),
+dense_best AS (
+  SELECT doc_id, MIN(cr) AS mr FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id, chunk_idx) AS cr
+    FROM dense_chunks
+  ) GROUP BY doc_id
+),
+dense_rank AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY mr) AS r FROM dense_best
+),
+fused AS (
+  SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+         COALESCE(1.0 / ({c} + s.r), 0) + COALESCE(1.0 / ({c} + d.r), 0) AS rrf
+  FROM sparse_rank s
+  FULL OUTER JOIN dense_rank d ON s.doc_id = d.doc_id
+)
+SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT {k}
+"""
+
+
+def hybrid_search_sql(dense_parquet: str, k: int = 10) -> str:
+    """Oracle: native BM25 CTE + the independently-verified expected
+    dense table, fused with the same RRF algebra."""
+    from rust_bert_ray.pipelines.rag import RAG_QUERY
+
+    return HYBRID_SEARCH_SQL_TEMPLATE.format(
+        bm25_sql=bm25_search_sql(RAG_QUERY, k=HYBRID_POOL).strip(),
+        dense_parquet=dense_parquet,
+        c=RRF_C,
+        k=k,
+    )

@@ -92,6 +92,45 @@ def test_bm25_topk_matches_single_process(index, ray_session):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
+def test_hybrid_rrf_fusion(index, ray_session):
+    """RRF combines both retrievers: every fused doc appears in at
+    least one source list with the exact 1/(C+r) algebra."""
+    from rust_bert_ray.functions.search import (
+        HYBRID_POOL,
+        RRF_C,
+        bm25_search,
+        hybrid_search,
+    )
+    from rust_bert_ray.pipelines.rag import RAG_QUERY, rag_search
+
+    fused = hybrid_search(SF).to_pandas()
+    assert len(fused) > 0
+    dense = (
+        rag_search(SF, query=RAG_QUERY, k=HYBRID_POOL)
+        .to_pandas()
+        .sort_values(["cos", "doc_id", "chunk_idx"], ascending=[False, True, True])
+    )
+    sparse = (
+        bm25_search(SF, query=RAG_QUERY, k=HYBRID_POOL)
+        .to_pandas()
+        .sort_values(["score", "doc_id"], ascending=[False, True])
+    )
+    dense_rank = {}
+    for d in dense["doc_id"]:
+        if d not in dense_rank:
+            dense_rank[d] = len(dense_rank) + 1
+    sparse_rank = {d: i + 1 for i, d in enumerate(sparse["doc_id"])}
+    for doc_id, rrf in zip(fused["doc_id"], fused["rrf"]):
+        want = 0.0
+        if doc_id in dense_rank:
+            want += 1.0 / (RRF_C + dense_rank[doc_id])
+        if doc_id in sparse_rank:
+            want += 1.0 / (RRF_C + sparse_rank[doc_id])
+        assert want > 0.0 and rrf == want
+    # descending by score, ties by doc_id
+    assert list(fused["rrf"]) == sorted(fused["rrf"], reverse=True)
+
+
 def test_empty_and_unknown_queries_are_schema_stable(index, ray_session):
     from rust_bert_ray.functions.search import bm25_search
 
