@@ -1325,6 +1325,7 @@ def q5_local_supplier_volume(
     region: str = "ASIA",
     date_from: str = "1996-01-01",
     date_to: str = "1997-01-01",
+    broadcast_limit: int = 5_000_000,
 ):
     """TPC-H Q5-ish: revenue by supplier nation within one region/year,
     counting only lineitems whose supplier and customer share a nation.
@@ -1332,14 +1333,18 @@ def q5_local_supplier_volume(
     Plan shape for the 100-TB regime (six tables, ONE wide exchange
     chain): region, nation and supplier are broadcast dims — the
     suppkey→nationkey map and nationkey→name map ship once via
-    ``ray.put`` and are read inside batches.  Customer is fact-sized at
-    TPC-H scale, so it is NOT broadcast: orders (date-pruned at the
-    scan) hash-joins customer on the CUSTOMER key, the result
-    hash-joins lineitem partials on the ORDER key — two single-key
-    exchanges whose payloads are (key, small-int) rows, never raw fact
-    rows.  The same-nation predicate and the supplier lookup run
-    map-side after the joins; per-batch combiner partials feed a
-    ≤25-row final groupby."""
+    ``ray.put`` and are read inside batches.  Customer and the
+    date-pruned orders follow the ADAPTIVE broadcast-vs-join rule
+    (dedup_exact's pattern): below ``broadcast_limit`` source rows the
+    key→nation map ships once via ``ray.put`` and the join disappears
+    into the map stage; above it, orders hash-joins customer on the
+    CUSTOMER key and lineitem partials hash-join that on the ORDER key
+    — two single-key exchanges whose payloads are (key, small-int)
+    rows, never raw fact rows.  Either way the same-nation predicate
+    and the supplier lookup run map-side, and per-batch combiner
+    partials feed a ≤25-row final groupby.  (Row-count guards read
+    parquet METADATA only — no scan is spent deciding the plan.)"""
+    import pyarrow.dataset as pads
     from ray.data.aggregate import Sum
 
     t_from, t_to = pd.Timestamp(date_from), pd.Timestamp(date_to)
@@ -1356,81 +1361,155 @@ def q5_local_supplier_volume(
     )
     region_nation_keys = set(nation_names)
 
-    def cust_project(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        df = df[df["c_nationkey"].isin(region_nation_keys)]
-        return pa.Table.from_pydict(
-            {
-                "c_custkey": pa.array(df["c_custkey"], type=pa.int64()),
-                "c_nationkey": pa.array(df["c_nationkey"], type=pa.int64()),
-            }
+    customer_rows = pads.dataset(os.path.join(sf_dir, "customer.parquet")).count_rows()
+    orders_rows = pads.dataset(os.path.join(sf_dir, "orders.parquet")).count_rows()
+
+    if customer_rows <= broadcast_limit and orders_rows <= broadcast_limit:
+        # ---- broadcast plan: one map-only Ray pass over lineitem ----
+        import pyarrow.parquet as pq_
+
+        cust_t = pq_.read_table(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_nationkey"],
+        ).to_pandas()
+        cust_t = cust_t[cust_t["c_nationkey"].isin(region_nation_keys)]
+        cust_nat = dict(
+            zip(cust_t["c_custkey"].astype("int64"), cust_t["c_nationkey"].astype("int64"))
         )
-
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
-        cust_project, batch_format="pyarrow", batch_size=4096
-    )
-
-    def orders_project(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        m = (df["o_orderdate"] >= t_from) & (df["o_orderdate"] < t_to)
-        df = df.loc[m]
-        return pa.Table.from_pydict(
-            {
-                "o_orderkey": pa.array(df["o_orderkey"], type=pa.int64()),
-                "o_custkey": pa.array(df["o_custkey"], type=pa.int64()),
-            }
+        ord_t = pq_.read_table(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        ).to_pandas()
+        ord_t = ord_t[(ord_t["o_orderdate"] >= t_from) & (ord_t["o_orderdate"] < t_to)]
+        c_nat = ord_t["o_custkey"].map(cust_nat)
+        ord_t = ord_t.loc[c_nat.notna()]
+        ord_nat_map = dict(
+            zip(ord_t["o_orderkey"].astype("int64"), c_nat.dropna().astype("int64"))
         )
+        ord_nat_ref = ray.put(ord_nat_map)
 
-    orders = _read(
-        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
-    ).map_batches(orders_project, batch_format="pyarrow", batch_size=4096)
+        class BroadcastPartial:
+            def __init__(self, supp_ref, ord_ref):
+                self.supp_nation = (
+                    ray.get(supp_ref) if isinstance(supp_ref, ray.ObjectRef) else supp_ref
+                )
+                self.ord_nat = (
+                    ray.get(ord_ref) if isinstance(ord_ref, ray.ObjectRef) else ord_ref
+                )
 
-    # exchange 1: order → customer nation (hash join on the customer key)
-    ord_nat = orders.join(
-        cust, "inner", 8, on=("o_custkey",), right_on=("c_custkey",)
-    ).select_columns(["o_orderkey", "c_nationkey"])
+            def __call__(self, t: pa.Table) -> pa.Table:
+                df = t.to_pandas()
+                c_nat = df["l_orderkey"].map(self.ord_nat)
+                s_nat = df["l_suppkey"].map(self.supp_nation)
+                keep = c_nat.notna() & (c_nat.values == s_nat.values)
+                df = df.loc[keep]
+                rev = df["l_extendedprice"].to_numpy() * (
+                    1.0 - df["l_discount"].to_numpy()
+                )
+                g = (
+                    pd.DataFrame({"nationkey": c_nat.loc[keep].astype("int64"), "rev": rev})
+                    .groupby("nationkey", as_index=False)["rev"]
+                    .sum()
+                )
+                return pa.Table.from_pydict(
+                    {
+                        "nationkey": pa.array(g["nationkey"], type=pa.int64()),
+                        "p_rev": pa.array(g["rev"], type=pa.float64()),
+                    }
+                )
 
-    def li_project(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(
-            t.column("l_extendedprice"),
-            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+        partials = _read(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        ).map_batches(
+            BroadcastPartial(supp_nation_ref, ord_nat_ref),
+            batch_format="pyarrow",
+            batch_size=65536,
         )
-        return pa.Table.from_pydict(
-            {
-                "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
-                "l_suppkey": t.column("l_suppkey").cast(pa.int64()),
-                "rev": rev,
-            }
-        )
-
-    li = _read(
-        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
-    ).map_batches(li_project, batch_format="pyarrow", batch_size=4096)
-
-    # exchange 2: lineitem partials → order's customer nation
-    joined = li.join(ord_nat, "inner", 8, on=("l_orderkey",), right_on=("o_orderkey",))
-
-    class SameNationPartial:
-        """Map-side supplier lookup + same-nation filter + combiner."""
-
-        def __init__(self, ref):
-            self.supp_nation = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-
-        def __call__(self, t: pa.Table) -> pa.Table:
+    else:
+        # ---- join plan: two single-key exchanges over (key, int) rows ----
+        def cust_project(t: pa.Table) -> pa.Table:
             df = t.to_pandas()
-            s_nat = df["l_suppkey"].map(self.supp_nation)
-            df = df.loc[s_nat.values == df["c_nationkey"].values]
-            g = df.groupby("c_nationkey", as_index=False).agg(p_rev=("rev", "sum"))
+            df = df[df["c_nationkey"].isin(region_nation_keys)]
             return pa.Table.from_pydict(
                 {
-                    "nationkey": pa.array(g["c_nationkey"], type=pa.int64()),
-                    "p_rev": pa.array(g["p_rev"], type=pa.float64()),
+                    "c_custkey": pa.array(df["c_custkey"], type=pa.int64()),
+                    "c_nationkey": pa.array(df["c_nationkey"], type=pa.int64()),
                 }
             )
 
-    partials = joined.map_batches(
-        SameNationPartial(supp_nation_ref), batch_format="pyarrow", batch_size=65536
-    )
+        cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+            cust_project, batch_format="pyarrow", batch_size=4096
+        )
+
+        def orders_project(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            m = (df["o_orderdate"] >= t_from) & (df["o_orderdate"] < t_to)
+            df = df.loc[m]
+            return pa.Table.from_pydict(
+                {
+                    "o_orderkey": pa.array(df["o_orderkey"], type=pa.int64()),
+                    "o_custkey": pa.array(df["o_custkey"], type=pa.int64()),
+                }
+            )
+
+        orders = _read(
+            sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+        ).map_batches(orders_project, batch_format="pyarrow", batch_size=4096)
+
+        # exchange 1: order → customer nation (hash join on the customer key)
+        ord_nat = orders.join(
+            cust, "inner", 8, on=("o_custkey",), right_on=("c_custkey",)
+        ).select_columns(["o_orderkey", "c_nationkey"])
+
+        def li_project(t: pa.Table) -> pa.Table:
+            rev = pc.multiply(
+                t.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+            )
+            return pa.Table.from_pydict(
+                {
+                    "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
+                    "l_suppkey": t.column("l_suppkey").cast(pa.int64()),
+                    "rev": rev,
+                }
+            )
+
+        li = _read(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        ).map_batches(li_project, batch_format="pyarrow", batch_size=4096)
+
+        # exchange 2: lineitem partials → order's customer nation
+        joined = li.join(
+            ord_nat, "inner", 8, on=("l_orderkey",), right_on=("o_orderkey",)
+        )
+
+        class SameNationPartial:
+            """Map-side supplier lookup + same-nation filter + combiner."""
+
+            def __init__(self, ref):
+                self.supp_nation = (
+                    ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+                )
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                df = t.to_pandas()
+                s_nat = df["l_suppkey"].map(self.supp_nation)
+                df = df.loc[s_nat.values == df["c_nationkey"].values]
+                g = df.groupby("c_nationkey", as_index=False).agg(p_rev=("rev", "sum"))
+                return pa.Table.from_pydict(
+                    {
+                        "nationkey": pa.array(g["c_nationkey"], type=pa.int64()),
+                        "p_rev": pa.array(g["p_rev"], type=pa.float64()),
+                    }
+                )
+
+        partials = joined.map_batches(
+            SameNationPartial(supp_nation_ref), batch_format="pyarrow", batch_size=65536
+        )
     agg = partials.groupby("nationkey", num_partitions=4).aggregate(
         Sum("p_rev", alias_name="raw_rev")
     )

@@ -241,3 +241,22 @@ def test_q3_shipping_priority_semantics(ray_session):
     # every order predates the cutoff; revenue sorted desc
     assert (out["o_orderdate"] < "1998-06-01").all()
     assert out["revenue"].tolist() == sorted(out["revenue"], reverse=True)
+
+
+def test_q5_broadcast_and_join_plans_agree(ray_session):
+    """Adaptive Q5: the broadcast plan (default at test scale) and the
+    forced two-join plan (broadcast_limit=0) produce identical rows."""
+    sf = "/root/testdata/sf0.001"
+    a = (
+        relational.q5_local_supplier_volume(sf)
+        .to_pandas()
+        .sort_values("n_name", ignore_index=True)
+    )
+    b = (
+        relational.q5_local_supplier_volume(sf, broadcast_limit=0)
+        .to_pandas()
+        .sort_values("n_name", ignore_index=True)
+    )
+    assert list(a.columns) == ["n_name", "revenue"]
+    assert a.equals(b[a.columns])
+    assert (a["revenue"] > 0).all()
