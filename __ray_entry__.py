@@ -543,8 +543,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     stay covered by the local mirror.  Round-4 additions sit in-window
     (q_decode_hf, q_decode_hf_unigram, q_decode_hf_suffix,
     q_decode_hf_metaspace — the tokenizer.json loader family —
-    q5_local_supplier_volume, bm25_search and hybrid_search); the ANN
-    family (ann_topk, ann_filtered_topk, ann_lsh_topk, ann_ivf_topk),
+    q5_local_supplier_volume, bm25_search, hybrid_search and
+    dedup_incremental_minhash); the ANN family (ann_topk,
+    ann_filtered_topk, ann_lsh_topk, ann_ivf_topk), dedup_clusters,
     dedup_clusters_minhash, q_embed_clusters and dedup_semantic (all
     driver-green in r3, semantics unchanged) rotate to the tail to
     make room.  Every
@@ -612,6 +613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- deduplication family ---
         "dedup_exact": dedup.dedup_exact,
         "dedup_incremental": dedup.dedup_incremental,
+        "dedup_incremental_minhash": dedup.dedup_incremental_minhash,
         "dedup_contamination": dedup.dedup_contamination,
         "dedup_span_marks": dedup.dedup_span_marks,
         "dedup_jaccard_pairs": dedup.dedup_jaccard_pairs,
@@ -751,7 +753,7 @@ GROUP BY 1, 2
             "q_decode_hf_metaspace", "q_decode_unigram",
             "q_pack_sequences", "q_fingerprints", "kg_nodes", "kg_edges",
             "kg_media_features", "dedup_minhash_pairs", "dedup_simhash_pairs",
-            "dedup_embedding_lsh_pairs", "dedup_clusters_minhash",
+            "dedup_embedding_lsh_pairs", "dedup_incremental_minhash", "dedup_clusters_minhash",
             "ann_lsh_topk", "ann_ivf_topk",
             "q_embed_clusters", "dedup_semantic", "q_lm_scores",
             "q_dsir_weights", "kg_kcore", "rag_search",

@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "q_token_counts",
     "dedup_exact",
     "dedup_incremental",
+    "dedup_incremental_minhash",
     "dedup_span_marks",
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",

@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 from rust_bert_ray.functions.util import embedding_matrix
 
 EXPECTED_ROOT = "/tmp/rbr_expected"
-VERSION = 29  # bump whenever any builder's semantics change
+VERSION = 30  # bump whenever any builder's semantics change
 
 
 # ------------------------------------------------------------ input helpers
@@ -1560,6 +1560,50 @@ def dedup_minhash_pairs(
     )
 
 
+def dedup_incremental_minhash(
+    sf_dir: str, corpus_root: str, threshold: float = 0.5
+) -> pa.Table:
+    """Independent cross-snapshot near-dup oracle: same MinHashStage
+    signature helper (the shared-floats rule), but the banding, seen/
+    arriving split, candidate generation and max-similarity fold are a
+    fresh brute-force pass — no index, no join, no groupby machinery."""
+    from rust_bert_ray.functions.dedup import _SNAP_MOD, _SNAP_REM, MinHashStage
+    from rust_bert_ray.functions.util import round_ha
+
+    t = _documents(sf_dir)
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    st = MinHashStage()
+    sig = st.signatures(t.column("text").to_pylist())
+    bh = st.band_hashes(sig)
+    seen_mask = ids % _SNAP_MOD == _SNAP_REM
+    seen_idx = np.where(seen_mask)[0]
+    arr_idx = np.where(~seen_mask)[0]
+    best: dict[int, float] = {}
+    for band in range(st.n_bands):
+        groups: dict[int, list[int]] = {}
+        for j in seen_idx:
+            groups.setdefault(int(bh[j, band]), []).append(int(j))
+        for i in arr_idx:
+            members = groups.get(int(bh[i, band]))
+            if not members:
+                continue
+            sims = (sig[members] == sig[i]).mean(axis=1)
+            m = float(sims.max())
+            if m > best.get(int(i), -1.0):
+                best[int(i)] = m
+    rows = sorted(
+        (int(ids[i]), s) for i, s in best.items() if s >= threshold
+    )
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "max_sim": pa.array(
+                [float(round_ha(r[1], 5)) for r in rows], type=pa.float64()
+            ),
+        }
+    )
+
+
 def dedup_simhash_pairs(
     sf_dir: str,
     corpus_root: str,
@@ -2070,6 +2114,7 @@ BUILDERS = {
     "kg_edges": kg_edges,
     "kg_media_features": kg_media_features,
     "dedup_minhash_pairs": dedup_minhash_pairs,
+    "dedup_incremental_minhash": dedup_incremental_minhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_embedding_lsh_pairs": dedup_embedding_lsh_pairs,
     "dedup_clusters_minhash": dedup_clusters_minhash,
