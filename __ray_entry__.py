@@ -145,6 +145,65 @@ def _kg_edges(sf_dir: str):
     return build_edges(extract_and_link(docs)).drop_columns(["doc_ids"])
 
 
+def _kg_ingest_nodes(sf_dir: str):
+    """Driver-gated ingest≡rebuild equivalence: split the corpus into a
+    base (80%) and an increment shard, build the KG with
+    ``run_kg_pipeline`` + ``ingest_kg_increment`` (extraction runs only
+    over the increment; canonicalize re-runs over all checkpointed
+    triples), and return the nodes table — which must be row-identical
+    to the full-build expected table (same oracle as ``kg_nodes``).
+    This is the append-only 100-TB operating model under the same value
+    hash as the from-scratch pipeline."""
+    import glob
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from rust_bert_ray import expected
+    from rust_bert_ray.pipelines import checkpoint as ckpt
+    from rust_bert_ray.pipelines.kg import ingest_kg_increment, run_kg_pipeline
+
+    _, docs_dir = corpus_for(sf_dir)
+    files = sorted(glob.glob(os.path.join(docs_dir, "*.parquet")))
+    key = ckpt.digest(expected.VERSION, *files)
+    root = os.path.join("/tmp/rbr_kg_ingest", key)
+    base_dir, inc_dir = os.path.join(root, "base"), os.path.join(root, "inc")
+    if not os.path.isdir(root):
+        docs = pads.dataset(files).to_table()
+        n_base = max(1, (docs.num_rows * 4) // 5)
+        tmp = root + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        for sub, tbl in (
+            ("base", docs.slice(0, n_base)),
+            ("inc", docs.slice(n_base)),
+        ):
+            os.makedirs(os.path.join(tmp, sub))
+            pq.write_table(
+                tbl, os.path.join(tmp, sub, "part-00000.parquet")
+            )
+        os.rename(tmp, root)
+    out_dir = os.path.join(root, "out")
+    run_kg_pipeline(base_dir, out_dir, n_groups=2, write_enriched=False)
+    ingest_kg_increment(inc_dir, out_dir, write_enriched=False)
+
+    def project(t: pa.Table) -> pa.Table:
+        joined = [";".join(a) for a in t.column("aliases").to_pylist()]
+        idx = t.schema.get_field_index("aliases")
+        return t.set_column(idx, "aliases", pa.array(joined, type=pa.string()))
+
+    # the checkpoint layout is hive-partitioned (part=<g>); the inferred
+    # partition column is lineage metadata, not part of the nodes schema
+    return (
+        ray.data.read_parquet(os.path.join(out_dir, "nodes"))
+        .drop_columns(["part"])
+        .map_batches(project, batch_format="pyarrow")
+    )
+
+
 def _kg_media_inventory(sf_dir: str):
     import ray.data
 
@@ -581,6 +640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": _kg_triples,
         "kg_nodes": _kg_nodes,
         "kg_edges": _kg_edges,
+        "kg_ingest_nodes": _kg_ingest_nodes,
         "kg_media_features": _kg_media_features,
         "kg_media_transitions": _kg_media_transitions,
         # --- KG graph analytics (over the materialized edges table) ---
@@ -762,6 +822,8 @@ GROUP BY 1, 2
 
     return {
         **expected_backed,
+        # ingest path must reproduce the from-scratch nodes table exactly
+        "kg_ingest_nodes": expected_backed["kg_nodes"],
         "kg_triples": kg_triples_sql,
         "kg_media_inventory": kg_media_inventory_sql,
         "kg_media_transitions": kg_media_transitions_sql,

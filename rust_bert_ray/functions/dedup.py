@@ -1372,9 +1372,16 @@ def _seen_digest_index(sf_dir: str) -> str:
         import shutil
 
         shutil.rmtree(tmp)
+    # bound the file count before the hive write: each map task × each
+    # bucket value becomes a file, and 64 read tasks × 64 buckets = 4k
+    # tiny files dominated the build wall (digest rows are 16 B — the
+    # repartition moves almost nothing).  Production sizes this to
+    # corpus_rows / target_rows_per_file.
     _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         seen_digests, batch_format="pyarrow", batch_size=None
-    ).write_parquet(os.path.join(tmp, "data"), partition_cols=["bucket"])
+    ).repartition(4).write_parquet(
+        os.path.join(tmp, "data"), partition_cols=["bucket"]
+    )
     with open(os.path.join(tmp, "meta.json"), "w", encoding="utf-8") as f:
         json.dump({"fingerprint": fp}, f)
     try:
@@ -1454,6 +1461,17 @@ _SEEN_MINHASH_ROOT = "/tmp/rbr_seen_minhash"
 _SEEN_MINHASH_VERSION = 1
 
 
+def _sig_matrix(col) -> np.ndarray:
+    """Zero-copy (N, 64) uint16 view of a uniform 128-B binary signature
+    column — one buffer view instead of N per-row ``np.frombuffer`` calls
+    (the candidate-verify stage is the hot loop of incremental ingest)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    fixed = arr.cast(pa.binary(128))
+    buf = np.frombuffer(fixed.buffers()[1], dtype=np.uint8)
+    start = fixed.offset * 128
+    return buf[start : start + len(fixed) * 128].view(np.uint16).reshape(len(fixed), 64)
+
+
 def _seen_minhash_index(sf_dir: str) -> str:
     """Persisted band-partitioned LSH index of the already-ingested
     snapshot: ``(band_hash, doc_id, signature)`` rows under
@@ -1492,9 +1510,12 @@ def _seen_minhash_index(sf_dir: str) -> str:
         import shutil
 
         shutil.rmtree(tmp)
+    # bounded file count, same rationale as _seen_digest_index
     _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         seen_rows, batch_format="pyarrow", batch_size=None
-    ).write_parquet(os.path.join(tmp, "data"), partition_cols=["band"])
+    ).repartition(4).write_parquet(
+        os.path.join(tmp, "data"), partition_cols=["band"]
+    )
     with open(os.path.join(tmp, "meta.json"), "w", encoding="utf-8") as f:
         json.dump({"fingerprint": fp}, f)
     try:
@@ -1569,8 +1590,11 @@ def dedup_incremental_minhash(
         keep = ids % _SNAP_MOD != _SNAP_REM
         return stage(t.filter(pa.array(keep)))
 
+    # 512-row bundles: batch_size is a MIN-rows-per-task bundle (CLAUDE.md
+    # fact #16) — 4096 collapsed a 5k-doc table into 2 tasks, leaving 30
+    # CPUs idle under the shingling stage (the per-doc CPU cost here)
     arriving = _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        arriving_rows, batch_format="pyarrow", batch_size=4096
+        arriving_rows, batch_format="pyarrow", batch_size=512
     )
     cand = arriving.join(
         seen, "inner", num_partitions=num_partitions, on=("band", "band_hash")
@@ -1584,12 +1608,8 @@ def dedup_incremental_minhash(
                     "p_sim": pa.array([], type=pa.float64()),
                 }
             )
-        a = np.stack(
-            [np.frombuffer(b, dtype=np.uint16) for b in t.column("signature").to_pylist()]
-        )
-        s = np.stack(
-            [np.frombuffer(b, dtype=np.uint16) for b in t.column("seen_sig").to_pylist()]
-        )
+        a = _sig_matrix(t.column("signature"))
+        s = _sig_matrix(t.column("seen_sig"))
         sim = (a == s).mean(axis=1)
         df = pd.DataFrame(
             {"doc_id": t.column("doc_id").to_numpy(zero_copy_only=False), "sim": sim}
