@@ -231,6 +231,16 @@ def _bm25_search(sf_dir: str):
     return bm25_search(sf_dir)
 
 
+def _rerank_search(sf_dir: str):
+    """Retrieve-then-rerank: dense candidates widened to the rerank pool,
+    cross-encoder pair rescoring, streaming top-k (functions/search.py
+    CrossEncoderStage — the joint-forward second stage of the serving
+    topology)."""
+    from rust_bert_ray.functions.search import rerank_search
+
+    return rerank_search(sf_dir)
+
+
 def _hybrid_search(sf_dir: str):
     """Hybrid retrieval: RRF fusion of the BM25 (sparse) and RAG chunk
     (dense) retrievers over the same query (functions/search.py)."""
@@ -629,6 +639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rag_search": _rag_search,
         "bm25_search": _bm25_search,
         "hybrid_search": _hybrid_search,
+        "rerank_search": _rerank_search,
         "q_dsir_weights": text.q_dsir_weights,
         "q_gopher_quality": quality.q_gopher_quality,
         "q_pii_scan": quality.q_pii_scan,
@@ -816,7 +827,7 @@ GROUP BY 1, 2
             "dedup_embedding_lsh_pairs", "dedup_incremental_minhash", "dedup_clusters_minhash",
             "ann_lsh_topk", "ann_ivf_topk",
             "q_embed_clusters", "dedup_semantic", "q_lm_scores",
-            "q_dsir_weights", "kg_kcore", "rag_search",
+            "q_dsir_weights", "kg_kcore", "rag_search", "rerank_search",
         )
     }
 

@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "rag_search",
     "bm25_search",
     "hybrid_search",
+    "rerank_search",
     "q_embed_clusters",
     "dedup_semantic",
     # graph analytics over the materialized KG edges table; the edge

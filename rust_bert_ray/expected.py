@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 from rust_bert_ray.functions.util import embedding_matrix
 
 EXPECTED_ROOT = "/tmp/rbr_expected"
-VERSION = 30  # bump whenever any builder's semantics change
+VERSION = 31  # bump whenever any builder's semantics change
 
 
 # ------------------------------------------------------------ input helpers
@@ -2052,6 +2052,35 @@ def rag_search(sf_dir: str, corpus_root: str, k: int = 10) -> pa.Table:
     )
 
 
+def rerank_search(sf_dir: str, corpus_root: str, k: int = 10) -> pa.Table:
+    """Retrieve-then-rerank reference: candidates come from the
+    independent rag_search builder above (plain-loop chunking, inline
+    SRP), widened to the rerank pool; pair scoring shares ONLY the
+    CrossEncoderStage float kernel (the embedding-parity helper
+    pattern); pool/sort/tie-break logic is re-derived here."""
+    from rust_bert_ray.functions.search import RERANK_POOL, CrossEncoderStage
+    from rust_bert_ray.pipelines.rag import RAG_QUERY
+
+    cand = rag_search(sf_dir, corpus_root, k=RERANK_POOL)
+    stage = CrossEncoderStage(RAG_QUERY)
+    scores = stage.score_batch(cand.column("chunk_text").to_pylist())
+    rows = sorted(
+        zip(
+            [float(s) for s in scores],
+            cand.column("doc_id").to_pylist(),
+            cand.column("chunk_idx").to_pylist(),
+        ),
+        key=lambda r: (-r[0], r[1], r[2]),
+    )[:k]
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+            "chunk_idx": pa.array([r[2] for r in rows], pa.int64()),
+            "ce_score": pa.array([r[0] for r in rows], pa.float64()),
+        }
+    )
+
+
 # ----------------------------------------- k-core (independent peel) ----
 
 def kg_kcore(sf_dir: str, corpus_root: str, k: int = 3) -> pa.Table:
@@ -2126,6 +2155,7 @@ BUILDERS = {
     "q_dsir_weights": q_dsir_weights,
     "kg_kcore": kg_kcore,
     "rag_search": rag_search,
+    "rerank_search": rerank_search,
 }
 
 

@@ -443,3 +443,78 @@ def hybrid_search_sql(dense_parquet: str, k: int = 10) -> str:
         c=RRF_C,
         k=k,
     )
+
+
+RERANK_POOL = 20
+
+
+class CrossEncoderStage:
+    """Joint (query, passage) reranker — the retrieve-then-rerank serving
+    topology's second stage, with the exact deployment shape of a real
+    cross-encoder (reference seq-classification head applied to a PAIR
+    input, sequence_classification.rs single-forward-per-pair): a batch
+    of pair texts → ONE joint forward → one scalar per pair.
+
+    Deterministic stand-in semantics: the pair is encoded as a SINGLE
+    text (``query ⊕ " [SEP] " ⊕ passage``) through the shared
+    HashEmbedder — a joint encoding, not two tower vectors, so a real
+    backend's query–passage attention has somewhere to live — and scored
+    by cosine against the query embedding.  ``round_ha(…, 5)`` for
+    driver value-hash stability.
+
+    Scale shape: candidates per query are ≤ pool (tiny); the stage is a
+    map_batches over the candidate stream so reranking many queries ×
+    pools batches onto GPUs exactly like the NER actor pools.  Trivial
+    init → pass an INSTANCE (task pool, CLAUDE.md fact #11).
+    """
+
+    def __init__(self, query: str):
+        from rust_bert_ray.functions.util import round_ha
+        from rust_bert_ray.pipelines.rag import _embedder
+
+        self.embedder = _embedder()
+        self.query = query
+        qv = self.embedder.embed(query).astype(np.float64)
+        self.qhat = qv / max(np.linalg.norm(qv), 1e-300)
+        self._round_ha = round_ha
+
+    def score_batch(self, texts) -> np.ndarray:
+        """(n,) float64 scores for [(query, text)] pairs — the seam a
+        torch/ONNX cross-encoder replaces with one padded forward."""
+        pairs = [f"{self.query} [SEP] {t}" for t in texts]
+        V = self.embedder.embed_batch(pairs).astype(np.float64)
+        norms = np.maximum(np.linalg.norm(V, axis=1), 1e-300)
+        return self._round_ha((V @ self.qhat) / norms, 5)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        scores = self.score_batch(t.column("chunk_text").to_pylist())
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t.column("doc_id"),
+                "chunk_idx": t.column("chunk_idx"),
+                "ce_score": pa.array(scores, pa.float64()),
+            }
+        )
+
+
+def rerank_search(
+    sf_dir: str, query: str | None = None, k: int = 10, pool: int = RERANK_POOL
+):
+    """Retrieve-then-rerank: dense first-stage retrieval (partition-pruned
+    rag_search) widened to ``pool`` candidates, then cross-encoder
+    rescoring of every (query, chunk) pair and a streaming top-k on the
+    joint score.
+
+    Scale shape: stage 1 reads only the probed index partitions; stage 2
+    touches ``pool`` rows per query — constant work per query regardless
+    of corpus size, which is precisely why production rerankers afford a
+    joint forward per pair."""
+    from rust_bert_ray.functions.util import topk
+    from rust_bert_ray.pipelines.rag import RAG_QUERY, rag_search
+
+    q = RAG_QUERY if query is None else query
+    cands = rag_search(sf_dir, query=q, k=pool)
+    scored = cands.map_batches(
+        CrossEncoderStage(q), batch_format="pyarrow", batch_size=None
+    )
+    return topk(scored, ["ce_score", "doc_id", "chunk_idx"], [True, False, False], k)

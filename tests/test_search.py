@@ -140,3 +140,44 @@ def test_empty_and_unknown_queries_are_schema_stable(index, ray_session):
         # the stable contract (same check as test_rag's empty path)
         assert out.schema().names == ["doc_id", "score"]
         assert out.count() == 0
+
+
+def test_rerank_search(ray_session):
+    """Rerank returns k rows ordered by the cross-encoder score, scores
+    match a direct pair-scoring of the same candidates, and the
+    candidate set is the widened dense pool."""
+    import numpy as np
+
+    from rust_bert_ray.functions.search import (
+        RERANK_POOL,
+        CrossEncoderStage,
+        rerank_search,
+    )
+    from rust_bert_ray.pipelines.rag import RAG_QUERY, rag_search
+
+    out = rerank_search(SF, k=5).to_pandas()
+    assert list(out.columns) == ["doc_id", "chunk_idx", "ce_score"]
+    assert len(out) == 5
+    assert (out["ce_score"].to_numpy()[:-1] >= out["ce_score"].to_numpy()[1:]).all()
+
+    # scores equal a direct joint-forward over the same candidate rows
+    cand = rag_search(SF, k=RERANK_POOL).to_pandas()
+    stage = CrossEncoderStage(RAG_QUERY)
+    direct = {
+        (int(d), int(c)): s
+        for d, c, s in zip(
+            cand["doc_id"],
+            cand["chunk_idx"],
+            stage.score_batch(cand["chunk_text"].tolist()),
+        )
+    }
+    for d, c, s in zip(out["doc_id"], out["chunk_idx"], out["ce_score"]):
+        assert direct[(int(d), int(c))] == s
+    # reranked ids are a subset of the candidate pool
+    assert set(zip(out["doc_id"], out["chunk_idx"])) <= set(direct)
+
+    # the joint encoding is genuinely pair-dependent: a different query
+    # produces different pair scores for the same passages
+    other = CrossEncoderStage("completely different words entirely")
+    texts = cand["chunk_text"].tolist()[:4]
+    assert not np.allclose(stage.score_batch(texts), other.score_batch(texts))
