@@ -241,6 +241,15 @@ def _rerank_search(sf_dir: str):
     return rerank_search(sf_dir)
 
 
+def _ann_pq_topk(sf_dir: str):
+    """Product-quantization ANN: asymmetric distance over the persisted
+    8 B/vector code table — the memory-bound scale path (32× smaller
+    scan than raw float32 vectors; functions/similarity.py)."""
+    from rust_bert_ray.functions.similarity import ann_pq_topk
+
+    return ann_pq_topk(sf_dir)
+
+
 def _hybrid_search(sf_dir: str):
     """Hybrid retrieval: RRF fusion of the BM25 (sparse) and RAG chunk
     (dense) retrievers over the same query (functions/search.py)."""
@@ -640,6 +649,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": _bm25_search,
         "hybrid_search": _hybrid_search,
         "rerank_search": _rerank_search,
+        "ann_pq_topk": _ann_pq_topk,
         "q_dsir_weights": text.q_dsir_weights,
         "q_gopher_quality": quality.q_gopher_quality,
         "q_pii_scan": quality.q_pii_scan,
@@ -825,7 +835,7 @@ GROUP BY 1, 2
             "q_pack_sequences", "q_fingerprints", "kg_nodes", "kg_edges",
             "kg_media_features", "dedup_minhash_pairs", "dedup_simhash_pairs",
             "dedup_embedding_lsh_pairs", "dedup_incremental_minhash", "dedup_clusters_minhash",
-            "ann_lsh_topk", "ann_ivf_topk",
+            "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
             "q_embed_clusters", "dedup_semantic", "q_lm_scores",
             "q_dsir_weights", "kg_kcore", "rag_search", "rerank_search",
         )

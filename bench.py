@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "q_tfidf_topk",
     "ann_topk",
     "ann_lsh_topk",
+    "ann_pq_topk",
     "rag_search",
     "bm25_search",
     "hybrid_search",

@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 from rust_bert_ray.functions.util import embedding_matrix
 
 EXPECTED_ROOT = "/tmp/rbr_expected"
-VERSION = 31  # bump whenever any builder's semantics change
+VERSION = 32  # bump whenever any builder's semantics change OR a builder is added
 
 
 # ------------------------------------------------------------ input helpers
@@ -1794,6 +1794,44 @@ def ann_ivf_topk(
     return _topk_table(ids[keep], cos, k)
 
 
+def ann_pq_topk(
+    sf_dir: str, corpus_root: str, query_vec_id: int = 0, k: int = 10,
+    m: int = 8, n_centroids: int = 16, sample_rows: int = 256,
+) -> pa.Table:
+    """PQ/ADC reference: codebook training and code packing share the
+    float kernels (pq_codebooks/pq_encode — the embedding-parity helper
+    pattern); the ADC lookup-sum, exclusion, and top-k ranking are
+    re-derived here with a plain left-to-right loop (elementwise adds in
+    subspace order — the same float-op order the distributed kernel
+    documents)."""
+    from rust_bert_ray.functions.similarity import pq_codebooks, pq_encode
+    from rust_bert_ray.functions.util import round_ha
+
+    ids, M, q = _ann_common(sf_dir, query_vec_id)
+    A = M.astype(np.float64)
+    An = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
+    books = pq_codebooks(sf_dir, m, n_centroids, sample_rows)
+    codes = pq_encode(An, books)
+    qn = q / max(np.linalg.norm(q), 1e-300)
+    d = len(qn) // m
+    dist = None
+    for j in range(m):
+        table = ((qn[j * d : (j + 1) * d][None, :] - books[j]) ** 2).sum(axis=1)
+        term = table[(codes >> (4 * j)) & 15]
+        dist = term if dist is None else dist + term
+    dist = round_ha(dist, 5)
+    keep = ids != query_vec_id
+    df = pd.DataFrame({"vec_id": ids[keep], "dist": dist[keep]}).sort_values(
+        ["dist", "vec_id"], ascending=[True, True]
+    ).head(k)
+    return pa.Table.from_pydict(
+        {
+            "vec_id": pa.array(df["vec_id"].to_numpy(), type=pa.int64()),
+            "dist": pa.array(df["dist"].to_numpy(), type=pa.float64()),
+        }
+    )
+
+
 # ------------------------------------------------------------------ registry
 
 
@@ -2152,6 +2190,7 @@ BUILDERS = {
     "q_lm_scores": q_lm_scores,
     "dedup_semantic": dedup_semantic,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_pq_topk": ann_pq_topk,
     "q_dsir_weights": q_dsir_weights,
     "kg_kcore": kg_kcore,
     "rag_search": rag_search,

@@ -330,7 +330,9 @@ def strided_sample_indices(
     return out[:sample_rows]
 
 
-def _ivf_centroids(sf_dir: str, n_centroids: int, sample_rows: int) -> np.ndarray:
+def _sample_matrix(sf_dir: str, sample_rows: int) -> np.ndarray:
+    """(sample_rows, dim) float64 matrix of the strided row-group sample
+    — metadata-pruned row-group reads only, never a full scan."""
     import pyarrow.parquet as pq
 
     path = os.path.join(sf_dir, "embeddings.parquet")
@@ -349,8 +351,11 @@ def _ivf_centroids(sf_dir: str, n_centroids: int, sample_rows: int) -> np.ndarra
             local = (sel - starts[rg]).tolist()
             col = t.column("embedding")
             rows.extend(col[j].as_py() for j in local)
-    sample = np.asarray(rows, dtype=np.float64)
-    return kmeans_centroids(sample, n_centroids)
+    return np.asarray(rows, dtype=np.float64)
+
+
+def _ivf_centroids(sf_dir: str, n_centroids: int, sample_rows: int) -> np.ndarray:
+    return kmeans_centroids(_sample_matrix(sf_dir, sample_rows), n_centroids)
 
 
 def ensure_ivf_index(
@@ -398,6 +403,184 @@ def ann_ivf_topk(
         return _empty_topk()
     emb = ray.data.read_parquet(dirs, columns=["vec_id", "embedding"])
     return _scored_topk(emb, q, query_vec_id, k)
+
+
+# ------------------------------------------------- product quantization
+
+PQ_M = 8  # subspaces (64-dim embedding → 8-dim subvectors)
+PQ_K = 16  # centroids per subspace → 4-bit codes, 8 B/vector packed
+PQ_SAMPLE = 256
+
+
+def _lloyd_l2(X: np.ndarray, k: int, n_iter: int = 5) -> np.ndarray:
+    """Deterministic plain-L2 Lloyd for one PQ subspace (ADC ranks by
+    squared L2 on the unit sphere, so training minimizes the same
+    metric — spherical k-means would mis-train 8-dim subvectors whose
+    norms carry signal).  Init = first k sample rows; argmin breaks
+    ties toward the lowest index.  Per-row distances are computed with
+    the broadcast-subtract form, whose float order depends only on the
+    row and the codebook — never on batch size (CLAUDE.md fact #13)."""
+    C = X[:k].copy()
+    for _ in range(n_iter):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return C
+
+
+def pq_codebooks(
+    sf_dir: str, m: int = PQ_M, k: int = PQ_K, sample_rows: int = PQ_SAMPLE
+) -> list[np.ndarray]:
+    """Per-subspace codebooks trained on the strided row-group sample.
+    Driver-side and deterministic — the Ray encode stage and the
+    expected-table oracle builder share THIS function (the documented
+    float-kernel-sharing pattern), while candidate ranking logic is
+    re-derived independently on each side."""
+    S = _sample_matrix(sf_dir, sample_rows)
+    Sn = S / np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-300)
+    d = Sn.shape[1] // m
+    return [_lloyd_l2(Sn[:, j * d : (j + 1) * d], k) for j in range(m)]
+
+
+def pq_encode(A: np.ndarray, books: list[np.ndarray]) -> np.ndarray:
+    """Pack each (pre-normalized) row's per-subspace nearest-centroid
+    ids into ONE int64 (4 bits × m) — the 8 B/vector representation the
+    index ships instead of 256 B of floats."""
+    m = len(books)
+    d = A.shape[1] // m
+    codes = np.zeros(A.shape[0], dtype=np.int64)
+    for j, C in enumerate(books):
+        sub = A[:, j * d : (j + 1) * d]
+        d2 = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        codes |= d2.argmin(axis=1).astype(np.int64) << (4 * j)
+    return codes
+
+
+def pq_adc_scores(codes: np.ndarray, tables: list[np.ndarray]) -> np.ndarray:
+    """Asymmetric distance: Σ_j table_j[code_j] in FIXED subspace order
+    (explicit left-to-right adds — float-sum order must not depend on
+    implementation details, CLAUDE.md fact #13)."""
+    s = tables[0][codes & 15]
+    for j in range(1, len(tables)):
+        s = s + tables[j][(codes >> (4 * j)) & 15]
+    return s
+
+
+def ensure_pq_index(
+    sf_dir: str, m: int = PQ_M, k: int = PQ_K, sample_rows: int = PQ_SAMPLE
+) -> tuple[str, dict]:
+    """Persist the (vec_id, code) PQ code table (build once,
+    fingerprint-invalidated).  8 B/vector: at the north rule's 10^12
+    documents the whole search index is ~8 TB — scannable map-only —
+    where raw float32 vectors would be 256 TB.  Codebooks are NOT
+    persisted: retraining from the strided sample is deterministic and
+    costs a metadata-pruned read of 256 rows."""
+    books = pq_codebooks(sf_dir, m, k, sample_rows)
+
+    def encode(t: pa.Table) -> pa.Table:
+        A = embedding_matrix(t.column("embedding")).astype(np.float64)
+        An = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
+        return pa.Table.from_pydict(
+            {
+                "vec_id": t.column("vec_id"),
+                "code": pa.array(pq_encode(An, books), type=pa.int64()),
+            }
+        )
+
+    sf_tag = f"{os.path.basename(os.path.normpath(sf_dir))}-" \
+             f"{zlib.crc32(os.path.abspath(sf_dir).encode()) & 0xFFFFFFFF:08x}"
+    base = os.path.join(INDEX_ROOT, sf_tag, f"pq-{m}-{k}-{sample_rows}-v{INDEX_VERSION}")
+    meta_path = os.path.join(base, "meta.json")
+    fp = _source_fingerprint(sf_dir)
+    if os.path.exists(meta_path):
+        with open(meta_path, encoding="utf-8") as f:
+            meta = json.load(f)
+        if meta.get("fingerprint") == fp:
+            return base, meta
+    tmp = base + f".tmp-{os.getpid()}"
+    if os.path.exists(tmp):
+        import shutil
+
+        shutil.rmtree(tmp)
+    # bounded file count (the incremental-dedup index lesson): tiny rows,
+    # the repartition moves ~12 B/row
+    _read_embeddings(sf_dir).map_batches(
+        encode, batch_format="pyarrow", batch_size=8192
+    ).repartition(4).write_parquet(os.path.join(tmp, "data"))
+    meta = {"fingerprint": fp}
+    with open(os.path.join(tmp, "meta.json"), "w", encoding="utf-8") as f:
+        json.dump(meta, f)
+    try:
+        if os.path.exists(base):
+            import shutil
+
+            shutil.rmtree(base)
+        os.replace(tmp, base)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)  # concurrent builder won
+    return base, meta
+
+
+def ann_pq_topk(
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    m: int = PQ_M,
+    n_centroids: int = PQ_K,
+    sample_rows: int = PQ_SAMPLE,
+):
+    """Product-quantization approximate top-k (Jégou et al. 2011):
+    asymmetric distance over the persisted 8 B/vector code table.
+
+    The memory-bound ANN scale path: IVF/LSH prune WHICH partitions are
+    read; PQ shrinks WHAT a scan ships 32× (the two compose — an
+    IVF-PQ variant partitions this code table by coarse centroid).  The
+    query precomputes m×k distance tables driver-side, broadcast to a
+    map-only scan doing pure integer unpack + table lookups; the
+    exchange carries (vec_id, dist) prune survivors only.
+
+    Production serving widens ``k`` into a shortlist and exact-reranks
+    the survivors against their true vectors (point lookups) — on
+    unclusterable vectors ADC ranking alone has bounded recall; the
+    widen-then-rerank path restores it (tests assert monotone lift)."""
+    import glob
+
+    from rust_bert_ray.functions.util import round_ha, topk
+
+    base, _meta = ensure_pq_index(sf_dir, m, n_centroids, sample_rows)
+    books = pq_codebooks(sf_dir, m, n_centroids, sample_rows)
+    q = _query_vector(sf_dir, query_vec_id)
+    qn = q / max(np.linalg.norm(q), 1e-300)
+    d = len(qn) // m
+    tables = [
+        ((qn[j * d : (j + 1) * d][None, :] - books[j]) ** 2).sum(axis=1)
+        for j in range(m)
+    ]
+    tables_ref = ray.put(tables)
+    exclude = query_vec_id
+
+    def score(t: pa.Table) -> pa.Table:
+        tabs = ray.get(tables_ref)
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        codes = t.column("code").to_numpy(zero_copy_only=False)
+        dist = round_ha(pq_adc_scores(codes, tabs), 5)
+        mask = ids != exclude
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(ids[mask], type=pa.int64()),
+                "dist": pa.array(dist[mask], type=pa.float64()),
+            }
+        )
+
+    files = sorted(glob.glob(os.path.join(base, "data", "*.parquet")))
+    ds = ray.data.read_parquet(files, columns=["vec_id", "code"])
+    scored = ds.map_batches(score, batch_format="pyarrow", batch_size=8192)
+    return topk(scored, ["dist", "vec_id"], [False, False], k)
 
 
 def ann_scan_report(sf_dir: str, query_vec_id: int = 0) -> dict:
