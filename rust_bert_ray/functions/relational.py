@@ -865,80 +865,78 @@ def q_events_retention(sf_dir: str):
     """Classic cohort retention: users grouped by first-activity day,
     distinct active users per (cohort_day, day_offset).
 
-    Plan: per-user first-event time via a grouped min over int64
-    microseconds (user-bounded exchange), hash-partitioned
-    ``Dataset.join`` back onto the event stream (both-sides-large
-    shape), per-batch distinct (cohort, offset, user) projection, then
-    a grouped distinct-count.  No driver-side materialization of users.
+    Plan — ONE real exchange, no join: events compress to
+    per-batch-distinct (user, day) at the scan (day-floor commutes with
+    min), hash-bucket BY USER, then one vectorized pandas pass per
+    bucket derives each user's cohort (transform-min), offsets, and the
+    bucket's (cohort, offset) distinct-user PARTIAL counts — user
+    partitioning makes bucket-local nunique globally exact, so the
+    second exchange carries only tiny (cohort, offset, n) partials into
+    a grouped sum.  No driver-side materialization of users.
     """
     import numpy as np
     import pandas as pd
+    from ray.data.aggregate import Sum
 
     ev = _read(sf_dir, "events", ["ts", "user_id"])
 
-    def to_us(t: pa.Table) -> pa.Table:
-        return pa.Table.from_pydict(
+    def to_days(t: pa.Table) -> pa.Table:
+        # day-floor upfront + per-batch DISTINCT (user, day): free
+        # combiner-style compression — the bucket exchange carries
+        # user-days, not raw events.  Bucket = multiplicative hash of
+        # user_id (skew-robust under clustered id ranges).
+        df = pd.DataFrame(
             {
-                "user_id": t.column("user_id"),
-                "ts_us": pc.cast(t.column("ts"), pa.int64()),
-            }
-        )
-
-    us = ev.map_batches(to_us, batch_format="pyarrow", batch_size=4096)
-    first = (
-        us.groupby("user_id", num_partitions=8)
-        .min("ts_us")
-        .map_batches(
-            lambda t: pa.Table.from_pydict(
-                {
-                    "u_r": t.column("user_id"),
-                    # cohort day floor in exact integer microseconds
-                    "d0_us": pc.multiply(
-                        pc.divide(t.column("min(ts_us)"), pa.scalar(_DAY_US, pa.int64())),
-                        pa.scalar(_DAY_US, pa.int64()),
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
-            batch_size=4096,  # feeds Dataset.join: declare a batch_size
-        )
-    )
-    joined = us.join(first, "inner", 8, on=("user_id",), right_on=("u_r",))
-
-    def project(t: pa.Table) -> "pd.DataFrame":
-        df = t.to_pandas()
-        day = df["ts_us"].to_numpy() // _DAY_US * _DAY_US
-        df2 = pd.DataFrame(
-            {
-                "cohort_us": df["d0_us"].to_numpy(),
-                "day_offset": ((day - df["d0_us"].to_numpy()) // _DAY_US).astype(
-                    np.int64
-                ),
-                "user_id": df["user_id"],
+                "user_id": t.column("user_id").to_numpy(zero_copy_only=False),
+                "day_us": pc.cast(t.column("ts"), pa.int64()).to_numpy(
+                    zero_copy_only=False
+                )
+                // _DAY_US
+                * _DAY_US,
             }
         ).drop_duplicates()
-        return df2
+        u = df["user_id"].to_numpy().astype(np.uint64)
+        df["_bucket"] = ((u * np.uint64(2654435761)) >> np.uint64(28)).astype(
+            np.int64
+        ) % 16
+        return pa.Table.from_pandas(df, preserve_index=False)
 
-    def count_users(df: "pd.DataFrame") -> "pd.DataFrame":
+    us = ev.map_batches(to_days, batch_format="pyarrow", batch_size=65536)
+
+    def per_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        d0 = df.groupby("user_id")["day_us"].transform("min").to_numpy()
+        sub = pd.DataFrame(
+            {
+                "cohort_us": d0,
+                "day_offset": ((df["day_us"].to_numpy() - d0) // _DAY_US).astype(
+                    np.int64
+                ),
+                "user_id": df["user_id"].to_numpy(),
+            }
+        ).drop_duplicates()
+        g = sub.groupby(["cohort_us", "day_offset"], as_index=False)[
+            "user_id"
+        ].nunique()
         return pd.DataFrame(
             {
-                "cohort_us": df["cohort_us"].iloc[:1],
-                "day_offset": df["day_offset"].iloc[:1],
-                "n_users": np.array([df["user_id"].nunique()], dtype=np.int64),
+                "cohort_us": g["cohort_us"],
+                "day_offset": g["day_offset"],
+                "p_n": g["user_id"].astype(np.int64),
             }
         )
 
     out = (
-        joined.map_batches(project, batch_format="pyarrow", batch_size=65536)
+        us.groupby("_bucket", num_partitions=16)
+        .map_groups(per_bucket, batch_format="pandas")
         .groupby(["cohort_us", "day_offset"], num_partitions=8)
-        .map_groups(count_users, batch_format="pandas")
+        .aggregate(Sum("p_n", alias_name="n_users"))
     )
     return out.map_batches(
         lambda t: pa.Table.from_pydict(
             {
                 "cohort_day": pc.cast(t.column("cohort_us"), pa.timestamp("us")),
                 "day_offset": t.column("day_offset"),
-                "n_users": t.column("n_users"),
+                "n_users": pc.cast(t.column("n_users"), pa.int64()),
             }
         ),
         batch_format="pyarrow",
