@@ -207,6 +207,53 @@ def run_bench() -> dict:
     }
 
 
+def _burn(seconds: float) -> int:
+    t0 = time.time()
+    x = 1
+    while time.time() - t0 < seconds:
+        x = (x * 1103515245 + 12345) % (1 << 31)
+    return x
+
+
+def wait_quiet(
+    max_wait_s: float = 1800.0,
+    window_s: float = 12.0,
+    threshold: float = 3.0,
+    burn_procs: int | None = None,
+) -> float:
+    """Block until host steal measured UNDER LOAD stays below
+    ``threshold``% for a ``window_s`` calibration burn, or ``max_wait_s``
+    elapses (then proceed anyway, annotated).
+
+    Steal on this host manifests only when the vCPUs are actually
+    exercised (overcommitted cores): an idle probe reads 0.03% in the
+    same minute a loaded leg reads 14-26%.  So the gate spins
+    ``burn_procs`` busy processes for the window and reads steal over
+    THAT — the round-3/4 record shows numbers above ~3% loaded-steal
+    measure the co-tenant, not the code (both scaling attempts launched
+    on idle probes this round were overtaken mid-run)."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    if burn_procs is None:
+        burn_procs = int(os.environ.get("RBR_GATE_BURN", "16"))
+    t0 = time.time()
+    while True:
+        probe = StealProbe()
+        with ProcessPoolExecutor(burn_procs) as ex:
+            list(ex.map(_burn, [window_s] * burn_procs))
+        pct = probe.pct()
+        if pct is None or pct < threshold:
+            return pct if pct is not None else -1.0
+        if time.time() - t0 > max_wait_s:
+            print(
+                f"# wait_quiet: gave up after {max_wait_s}s (loaded steal {pct}%)",
+                file=sys.stderr,
+            )
+            return pct
+        print(f"# wait_quiet: loaded steal {pct}% — waiting", file=sys.stderr)
+        time.sleep(30.0)
+
+
 def run_scaling() -> dict:
     # Larger corpus for the scaling criterion so per-run fixed costs
     # (actor-pool startup, per-dataset ramp, shuffle scheduling ≈ 6.5 s
@@ -243,8 +290,12 @@ def run_scaling() -> dict:
     # 50-123 s on the 32-CPU leg) a single pair measures the co-tenant,
     # not the code.
     n_pairs = max(1, int(os.environ.get("RBR_SCALING_RUNS", "1")))
+    gate = os.environ.get("RBR_SCALING_GATE", "1") != "0"
     his, los = [], []
+    gate_steal = []
     for i in range(n_pairs):
+        if gate:
+            gate_steal.append(wait_quiet())
         his.append(run(32))
         time.sleep(15)
         los.append(run(8))
@@ -265,6 +316,8 @@ def run_scaling() -> dict:
         "records_per_sec_32cpu": hi["records_per_sec"],
         "steal_pct_8cpu": [r.get("steal_pct_kg") for r in los],
         "steal_pct_32cpu": [r.get("steal_pct_kg") for r in his],
+        # steal over the pre-launch gate window (RBR_SCALING_GATE=0 skips)
+        "steal_pct_gate": gate_steal,
         "sf": lo["sf"],
         "n_docs": lo["n_docs"],
     }
