@@ -250,6 +250,15 @@ def _ann_pq_topk(sf_dir: str):
     return ann_pq_topk(sf_dir)
 
 
+def _ann_ivfpq_topk(sf_dir: str):
+    """IVF-PQ: the packed code table partitioned by coarse centroid —
+    a query reads n_probe/n_centroids of 8 B/vector files (partition
+    pruning × payload compression compose; functions/similarity.py)."""
+    from rust_bert_ray.functions.similarity import ann_ivfpq_topk
+
+    return ann_ivfpq_topk(sf_dir)
+
+
 def _hybrid_search(sf_dir: str):
     """Hybrid retrieval: RRF fusion of the BM25 (sparse) and RAG chunk
     (dense) retrievers over the same query (functions/search.py)."""
@@ -650,6 +659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_search": _hybrid_search,
         "rerank_search": _rerank_search,
         "ann_pq_topk": _ann_pq_topk,
+        "ann_ivfpq_topk": _ann_ivfpq_topk,
         "q_dsir_weights": text.q_dsir_weights,
         "q_gopher_quality": quality.q_gopher_quality,
         "q_pii_scan": quality.q_pii_scan,
@@ -835,7 +845,7 @@ GROUP BY 1, 2
             "q_pack_sequences", "q_fingerprints", "kg_nodes", "kg_edges",
             "kg_media_features", "dedup_minhash_pairs", "dedup_simhash_pairs",
             "dedup_embedding_lsh_pairs", "dedup_incremental_minhash", "dedup_clusters_minhash",
-            "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
+            "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk",
             "q_embed_clusters", "dedup_semantic", "q_lm_scores",
             "q_dsir_weights", "kg_kcore", "rag_search", "rerank_search",
         )

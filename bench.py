@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "ann_topk",
     "ann_lsh_topk",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     "rag_search",
     "bm25_search",
     "hybrid_search",

@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 from rust_bert_ray.functions.util import embedding_matrix
 
 EXPECTED_ROOT = "/tmp/rbr_expected"
-VERSION = 32  # bump whenever any builder's semantics change OR a builder is added
+VERSION = 33  # bump whenever any builder's semantics change OR a builder is added
 
 
 # ------------------------------------------------------------ input helpers
@@ -1832,6 +1832,55 @@ def ann_pq_topk(
     )
 
 
+def ann_ivfpq_topk(
+    sf_dir: str, corpus_root: str, query_vec_id: int = 0, k: int = 10,
+    n_centroids: int = 32, n_probe: int = 8, m: int = 8,
+    pq_k: int = 16, sample_rows: int = 256,
+) -> pa.Table:
+    """IVF-PQ reference: coarse centroids and PQ codebooks/encode share
+    the float kernels; bucket assignment, probe-set selection, the ADC
+    loop, exclusion, and ranking are re-derived independently."""
+    from rust_bert_ray.functions.similarity import (
+        kmeans_centroids,
+        pq_codebooks,
+        pq_encode,
+        strided_sample_indices,
+    )
+    from rust_bert_ray.functions.util import round_ha
+
+    ids, M, q = _ann_common(sf_dir, query_vec_id)
+    A = M.astype(np.float64)
+    An = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
+    idxs = strided_sample_indices(
+        os.path.join(sf_dir, "embeddings.parquet"), sample_rows
+    )
+    C = kmeans_centroids(M[idxs], n_centroids)
+    books = pq_codebooks(sf_dir, m, pq_k, sample_rows)
+    codes = pq_encode(An, books)
+    qn = q / max(np.linalg.norm(q), 1e-300)
+    probe = set(np.argsort(-(C @ qn))[:n_probe].tolist())
+    assign = (An @ C.T).argmax(axis=1)
+    d = len(qn) // m
+    dist = None
+    for j in range(m):
+        table = ((qn[j * d : (j + 1) * d][None, :] - books[j]) ** 2).sum(axis=1)
+        term = table[(codes >> (4 * j)) & 15]
+        dist = term if dist is None else dist + term
+    dist = round_ha(dist, 5)
+    keep = np.array(
+        [a in probe and i != query_vec_id for a, i in zip(assign, ids)]
+    )
+    df = pd.DataFrame({"vec_id": ids[keep], "dist": dist[keep]}).sort_values(
+        ["dist", "vec_id"], ascending=[True, True]
+    ).head(k)
+    return pa.Table.from_pydict(
+        {
+            "vec_id": pa.array(df["vec_id"].to_numpy(), type=pa.int64()),
+            "dist": pa.array(df["dist"].to_numpy(), type=pa.float64()),
+        }
+    )
+
+
 # ------------------------------------------------------------------ registry
 
 
@@ -2191,6 +2240,7 @@ BUILDERS = {
     "dedup_semantic": dedup_semantic,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_pq_topk": ann_pq_topk,
+    "ann_ivfpq_topk": ann_ivfpq_topk,
     "q_dsir_weights": q_dsir_weights,
     "kg_kcore": kg_kcore,
     "rag_search": rag_search,

@@ -583,6 +583,100 @@ def ann_pq_topk(
     return topk(scored, ["dist", "vec_id"], [False, False], k)
 
 
+def ensure_ivfpq_index(
+    sf_dir: str,
+    n_centroids: int = 32,
+    sample_rows: int = PQ_SAMPLE,
+    m: int = PQ_M,
+    k: int = PQ_K,
+) -> tuple[str, dict, np.ndarray, list[np.ndarray]]:
+    """IVF ∘ PQ: the packed code table partitioned by coarse centroid —
+    a query reads n_probe/n_centroids of ~8 B/vector files (both
+    prunings compose: WHICH partitions × WHAT each row ships).
+    Codebooks/centroids retrain deterministically from the strided
+    sample (not persisted).  Residual coding (quantize x − centroid) is
+    the documented refinement; plain coding keeps the oracle shared
+    with ann_pq_topk's kernels."""
+    C = _ivf_centroids(sf_dir, n_centroids, sample_rows)
+    books = pq_codebooks(sf_dir, m, k, sample_rows)
+
+    def add_codes(t: pa.Table) -> pa.Table:
+        A = embedding_matrix(t.column("embedding")).astype(np.float64)
+        An = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
+        return pa.Table.from_pydict(
+            {
+                "vec_id": t.column("vec_id"),
+                "code": pa.array(pq_encode(An, books), type=pa.int64()),
+                "bucket": pa.array((An @ C.T).argmax(axis=1), type=pa.int64()),
+            }
+        )
+
+    base, meta = _ensure_index(
+        sf_dir, f"ivfpq-{n_centroids}-{m}-{k}-{sample_rows}", add_codes
+    )
+    return base, meta, C, books
+
+
+def ann_ivfpq_topk(
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 32,
+    n_probe: int = 8,
+    m: int = PQ_M,
+    pq_k: int = PQ_K,
+    sample_rows: int = PQ_SAMPLE,
+):
+    """IVF-PQ approximate top-k: probe the ``n_probe`` nearest coarse
+    partitions of the PACKED code table and ADC-score only those rows.
+    At the north rule's 10^12 vectors: IVF prunes the scan to
+    n_probe/n_centroids of the bytes AND PQ shrinks those bytes 32× —
+    the standard billion-scale serving index (widen-then-exact-rerank
+    applies on top, as in ann_pq_topk)."""
+    import glob as _glob
+
+    from rust_bert_ray.functions.util import round_ha, topk
+
+    base, _meta, C, books = ensure_ivfpq_index(
+        sf_dir, n_centroids, sample_rows, m, pq_k
+    )
+    q = _query_vector(sf_dir, query_vec_id)
+    qn = q / max(np.linalg.norm(q), 1e-300)
+    probe = np.argsort(-(C @ qn))[:n_probe].tolist()
+    dirs = _probed_partitions(base, probe)
+    if not dirs:
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {"vec_id": pa.array([], type=pa.int64()),
+                 "dist": pa.array([], type=pa.float64())}
+            )
+        )
+    d = len(qn) // m
+    tables = [
+        ((qn[j * d : (j + 1) * d][None, :] - books[j]) ** 2).sum(axis=1)
+        for j in range(m)
+    ]
+    tables_ref = ray.put(tables)
+    exclude = query_vec_id
+
+    def score(t: pa.Table) -> pa.Table:
+        tabs = ray.get(tables_ref)
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        codes = t.column("code").to_numpy(zero_copy_only=False)
+        dist = round_ha(pq_adc_scores(codes, tabs), 5)
+        mask = ids != exclude
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(ids[mask], type=pa.int64()),
+                "dist": pa.array(dist[mask], type=pa.float64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(dirs, columns=["vec_id", "code"])
+    scored = ds.map_batches(score, batch_format="pyarrow", batch_size=8192)
+    return topk(scored, ["dist", "vec_id"], [False, False], k)
+
+
 def ann_scan_report(sf_dir: str, query_vec_id: int = 0) -> dict:
     """Scanned-fraction evidence for the partition-pruned ANN variants."""
     out: dict = {}

@@ -157,3 +157,29 @@ def test_pq_topk_recall_vs_exact(ray_session):
     # widening the shortlist monotonically lifts recall (the rerank path)
     wide = set(ann_pq_topk(sf, k=40).to_pandas().vec_id)
     assert len(exact & wide) >= len(exact & pq_ids)
+
+
+def test_ivfpq_probes_prune_and_match_pq_distances(ray_session):
+    """IVF-PQ reads only the probed coarse partitions, and every
+    returned distance equals the flat PQ scan's distance for the same
+    vec_id (same codebooks/ADC — IVF only changes WHICH rows are
+    scanned)."""
+    from rust_bert_ray.functions.similarity import (
+        _probed_partitions,
+        ann_ivfpq_topk,
+        ann_pq_topk,
+        ensure_ivfpq_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    base, meta, C, books = ensure_ivfpq_index(sf)
+    out = ann_ivfpq_topk(sf, n_probe=8).to_pandas()
+    # 8/32 probed partitions of a 50-vector table may hold under k rows
+    assert 0 < len(out) <= 10
+    # pruning: probing all centroids reads strictly more files
+    some = _probed_partitions(base, range(8))
+    every = _probed_partitions(base, range(len(C)))
+    assert len(some) < len(every)
+    flat = ann_pq_topk(sf, k=10_000).to_pandas().set_index("vec_id")["dist"]
+    for r in out.itertuples():
+        assert flat.loc[r.vec_id] == r.dist
