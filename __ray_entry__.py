@@ -241,6 +241,16 @@ def _rerank_search(sf_dir: str):
     return rerank_search(sf_dir)
 
 
+def _q_bpe_merges(sf_dir: str):
+    """BPE vocabulary TRAINING (Sennrich 2016 / HF-trainer shape):
+    distributed word-count combiner → driver-side merge induction over
+    the compressed (word, count) table (functions/bpe_train.py) —
+    problem size after the count is distinct-words, not corpus bytes."""
+    from rust_bert_ray.functions.bpe_train import bpe_train
+
+    return bpe_train(sf_dir)
+
+
 def _ann_pq_topk(sf_dir: str):
     """Product-quantization ANN: asymmetric distance over the persisted
     8 B/vector code table — the memory-bound scale path (32× smaller
@@ -695,6 +705,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_shuffle_rank": text.q_shuffle_rank,
         "q_decode_bpe": text.q_decode_bpe,
         "q_decode_hf": text.q_decode_hf,
+        "q_bpe_merges": _q_bpe_merges,
         "q_decode_hf_unigram": text.q_decode_hf_unigram,
         "q_decode_hf_suffix": text.q_decode_hf_suffix,
         "q_decode_hf_metaspace": text.q_decode_hf_metaspace,
@@ -842,7 +853,8 @@ GROUP BY 1, 2
             "q_lang_id", "q_decode", "q_decode_bpe", "q_decode_hf",
             "q_decode_hf_unigram", "q_decode_hf_suffix",
             "q_decode_hf_metaspace", "q_decode_unigram",
-            "q_pack_sequences", "q_fingerprints", "kg_nodes", "kg_edges",
+            "q_pack_sequences", "q_fingerprints", "q_bpe_merges",
+            "kg_nodes", "kg_edges",
             "kg_media_features", "dedup_minhash_pairs", "dedup_simhash_pairs",
             "dedup_embedding_lsh_pairs", "dedup_incremental_minhash", "dedup_clusters_minhash",
             "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk",

@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "q_events_funnel",
     "q_events_retention",
     "q_token_counts",
+    "q_bpe_merges",
     "dedup_exact",
     "dedup_incremental",
     "dedup_incremental_minhash",

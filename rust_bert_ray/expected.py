@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 from rust_bert_ray.functions.util import embedding_matrix
 
 EXPECTED_ROOT = "/tmp/rbr_expected"
-VERSION = 33  # bump whenever any builder's semantics change OR a builder is added
+VERSION = 34  # bump whenever any builder's semantics change OR a builder is added
 
 
 # ------------------------------------------------------------ input helpers
@@ -1881,6 +1881,78 @@ def ann_ivfpq_topk(
     )
 
 
+def q_bpe_merges(
+    sf_dir: str, corpus_root: str, n_merges: int = 40,
+    min_count: int = 2, max_words: int = 100_000,
+) -> pa.Table:
+    """Independent BPE-trainer reference: Counter word count over the
+    raw table, the same (count desc, word asc) head-``max_words`` cap
+    spec, then a tuple-based merge loop written independently of
+    functions/bpe_train.merge_loop (pure-integer algebra — any
+    divergence in pair counting, tie-break, or merge application flips
+    the hash)."""
+    from collections import Counter
+
+    t = _documents(sf_dir)
+    c: Counter = Counter()
+    for text in t.column("text").to_pylist():
+        c.update(text.split(" "))
+    kept = sorted(
+        ((w, n) for w, n in c.items() if n >= min_count),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:max_words]
+
+    seqs: list[tuple] = []
+    weights: list[int] = []
+    for w, n in kept:
+        if not w:
+            continue
+        syms = tuple(w)
+        seqs.append(syms[:-1] + (syms[-1] + "</w>",))
+        weights.append(int(n))
+
+    rows = []
+    for rank in range(n_merges):
+        pairs: Counter = Counter()
+        for syms, n in zip(seqs, weights):
+            for j in range(len(syms) - 1):
+                pairs[(syms[j], syms[j + 1])] += n
+        if not pairs:
+            break
+        (left, right), best = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if best < 2:
+            break
+        rows.append((rank, left, right, best))
+        merged = left + right
+        out = []
+        for syms in seqs:
+            new: list[str] = []
+            j = 0
+            while j < len(syms):
+                if (
+                    j < len(syms) - 1
+                    and syms[j] == left
+                    and syms[j + 1] == right
+                ):
+                    new.append(merged)
+                    j += 2
+                else:
+                    new.append(syms[j])
+                    j += 1
+            out.append(tuple(new))
+        seqs = out
+    return pa.Table.from_pydict(
+        {
+            "rank": pa.array([r[0] for r in rows], pa.int64()),
+            "left": pa.array([r[1] for r in rows], pa.string()),
+            "right": pa.array([r[2] for r in rows], pa.string()),
+            "pair_count": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
 # ------------------------------------------------------------------ registry
 
 
@@ -2241,6 +2313,7 @@ BUILDERS = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_pq_topk": ann_pq_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
+    "q_bpe_merges": q_bpe_merges,
     "q_dsir_weights": q_dsir_weights,
     "kg_kcore": kg_kcore,
     "rag_search": rag_search,

@@ -358,3 +358,34 @@ def test_dsir_weights_semantics(ray_session, tmp_path):
     assert out.loc[2, "dsir_score"] > out.loc[3, "dsir_score"]
     assert out.loc[4, "dsir_score"] == 0 and out.loc[4, "n_grams"] == 0
     assert out.loc[1, "n_grams"] == 30 + 29  # unigrams + bigrams
+
+
+def test_bpe_merge_loop_hand_example():
+    """Sennrich-style merges on a hand-computed corpus: {low ×5,
+    lower ×2}.  Verifies pair counting, count-then-lexicographic
+    tie-breaks, end-of-word marker, and the early stop when no
+    adjacent pairs remain."""
+    from rust_bert_ray.functions.bpe_train import merge_loop
+
+    merges = merge_loop([("low", 5), ("lower", 2)], n_merges=10)
+    assert merges == [
+        (0, "l", "o", 7),
+        (1, "lo", "w</w>", 5),
+        (2, "e", "r</w>", 2),   # 3-way count tie → lexicographic min
+        (3, "lo", "w", 2),
+        (4, "low", "er</w>", 2),
+    ]
+
+
+def test_bpe_train_distributed_matches_counter(ray_session):
+    """The distributed word-count phase feeds the same merge table as a
+    single-process Counter (the expected-builder equivalence at test
+    scale)."""
+    from rust_bert_ray.expected import q_bpe_merges
+    from rust_bert_ray.functions.bpe_train import bpe_train
+
+    sf = "/root/testdata/sf0.001"
+    got = bpe_train(sf).to_pandas()
+    want = q_bpe_merges(sf, "").to_pandas()
+    assert got.equals(want)
+    assert len(got) > 0
