@@ -1255,8 +1255,11 @@ def q_dsir_weights(sf_dir: str, target_sources=DSIR_TARGET_SOURCES):
             }
         )
 
+    # 65536-row bundles (fact #5): each partial is a fixed 4096-row
+    # table, so block-as-batch over 64 tiny read blocks shuffled
+    # 64×4096 rows where one bundle per ~65k docs shuffles 4096
     agg = (
-        docs.map_batches(partials, batch_format="pyarrow", batch_size=None)
+        docs.map_batches(partials, batch_format="pyarrow", batch_size=65536)
         .groupby("bucket", num_partitions=4)
         .sum(["n_raw", "n_tgt"])
         .to_pandas()
