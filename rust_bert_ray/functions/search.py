@@ -123,9 +123,15 @@ def ensure_bm25_index(sf_dir: str) -> tuple[str, dict]:
 
         shutil.rmtree(tmp)
     docs = _read_documents(sf_dir, ["doc_id", "text"])
+    # repartition bounds the file count: each map task × each bucket
+    # value becomes a file (64 read blocks × 32 buckets ≈ 2k tiny
+    # files otherwise — the incremental-dedup index lesson); postings
+    # rows are compact, the move is cheap
     docs.map_batches(
         PostingsBuilder(), batch_format="pyarrow", batch_size=None
-    ).write_parquet(os.path.join(tmp, "data"), partition_cols=["bucket"])
+    ).repartition(4).write_parquet(
+        os.path.join(tmp, "data"), partition_cols=["bucket"]
+    )
 
     # corpus stats: scalar partials per batch, summed on the driver
     def stats_partial(t: pa.Table) -> pa.Table:

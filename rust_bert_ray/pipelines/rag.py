@@ -104,9 +104,14 @@ def ensure_rag_index(
     tmp = base + f".tmp-{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     chunks = q_chunk_docs(sf_dir, chunk_words=chunk_words, overlap=overlap)
+    # repartition bounds the hive file count (map tasks × 2^n_bits
+    # buckets otherwise — the incremental-dedup index lesson); probed
+    # reads also touch fewer files per bucket
     chunks.map_batches(
         _ChunkEmbedStage(n_bits), batch_format="pyarrow", batch_size=None
-    ).write_parquet(os.path.join(tmp, "data"), partition_cols=["bucket"])
+    ).repartition(4).write_parquet(
+        os.path.join(tmp, "data"), partition_cols=["bucket"]
+    )
     with open(os.path.join(tmp, "meta.json"), "w", encoding="utf-8") as f:
         json.dump({"fingerprint": fp, "n_bits": n_bits}, f)
     shutil.rmtree(base, ignore_errors=True)
