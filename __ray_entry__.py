@@ -251,6 +251,15 @@ def _q_bpe_merges(sf_dir: str):
     return bpe_train(sf_dir)
 
 
+def _q_bpe_tokens(sf_dir: str):
+    """Train→apply composition: learn BPE merges from the corpus, then
+    tokenize every document map-only with the broadcast rank table
+    (functions/bpe_train.py BpeApplyStage)."""
+    from rust_bert_ray.functions.bpe_train import bpe_tokenize
+
+    return bpe_tokenize(sf_dir)
+
+
 def _ann_pq_topk(sf_dir: str):
     """Product-quantization ANN: asymmetric distance over the persisted
     8 B/vector code table — the memory-bound scale path (32× smaller
@@ -709,6 +718,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_decode_bpe": text.q_decode_bpe,
         "q_decode_hf": text.q_decode_hf,
         "q_bpe_merges": _q_bpe_merges,
+        "q_bpe_tokens": _q_bpe_tokens,
         "q_decode_hf_unigram": text.q_decode_hf_unigram,
         "q_decode_hf_suffix": text.q_decode_hf_suffix,
         "q_decode_hf_metaspace": text.q_decode_hf_metaspace,
@@ -857,6 +867,7 @@ GROUP BY 1, 2
             "q_decode_hf_unigram", "q_decode_hf_suffix",
             "q_decode_hf_metaspace", "q_decode_unigram",
             "q_pack_sequences", "q_fingerprints", "q_bpe_merges",
+            "q_bpe_tokens",
             "kg_nodes", "kg_edges",
             "kg_media_features", "dedup_minhash_pairs", "dedup_simhash_pairs",
             "dedup_embedding_lsh_pairs", "dedup_incremental_minhash", "dedup_clusters_minhash",

@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "q_events_retention",
     "q_token_counts",
     "q_bpe_merges",
+    "q_bpe_tokens",
     "dedup_exact",
     "dedup_incremental",
     "dedup_incremental_minhash",

@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 from rust_bert_ray.functions.util import embedding_matrix
 
 EXPECTED_ROOT = "/tmp/rbr_expected"
-VERSION = 34  # bump whenever any builder's semantics change OR a builder is added
+VERSION = 35  # bump whenever any builder's semantics change OR a builder is added
 
 
 # ------------------------------------------------------------ input helpers
@@ -1953,6 +1953,64 @@ def q_bpe_merges(
     )
 
 
+def q_bpe_tokens(sf_dir: str, corpus_root: str, n_merges: int = 40) -> pa.Table:
+    """Independent BPE-apply reference: merges come from the q_bpe_merges
+    builder above; per word, each iteration enumerates (rank, position)
+    candidates and merges min((rank, position)) — the same lowest-rank,
+    leftmost-tie spec as the distributed stage, mechanized differently.
+    Output spec: n tokens + crc32 of the space-joined token stream."""
+    import zlib
+
+    m = q_bpe_merges(sf_dir, corpus_root, n_merges=n_merges)
+    ranks = {
+        (l, r): k
+        for k, l, r in zip(
+            m.column("rank").to_pylist(),
+            m.column("left").to_pylist(),
+            m.column("right").to_pylist(),
+        )
+    }
+
+    def word_tokens(w: str) -> tuple:
+        syms = tuple(w[:-1]) + (w[-1] + "</w>",)
+        while True:
+            cand = [
+                (ranks[(syms[i], syms[i + 1])], i)
+                for i in range(len(syms) - 1)
+                if (syms[i], syms[i + 1]) in ranks
+            ]
+            if not cand:
+                return syms
+            _, i = min(cand)
+            syms = syms[:i] + (syms[i] + syms[i + 1],) + syms[i + 2 :]
+
+    t = _documents(sf_dir)
+    ids, ns, crcs = [], [], []
+    memo: dict[str, tuple] = {}
+    for doc_id, text in zip(
+        t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+    ):
+        toks: list[str] = []
+        for w in text.split(" "):
+            if not w:
+                continue
+            got = memo.get(w)
+            if got is None:
+                got = word_tokens(w)
+                memo[w] = got
+            toks.extend(got)
+        ids.append(doc_id)
+        ns.append(len(toks))
+        crcs.append(zlib.crc32(" ".join(toks).encode()))
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_bpe_tokens": pa.array(ns, pa.int64()),
+            "token_crc": pa.array(crcs, pa.int64()),
+        }
+    )
+
+
 # ------------------------------------------------------------------ registry
 
 
@@ -2314,6 +2372,7 @@ BUILDERS = {
     "ann_pq_topk": ann_pq_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "q_bpe_merges": q_bpe_merges,
+    "q_bpe_tokens": q_bpe_tokens,
     "q_dsir_weights": q_dsir_weights,
     "kg_kcore": kg_kcore,
     "rag_search": rag_search,

@@ -134,3 +134,84 @@ def bpe_train(
             "pair_count": pa.array([m[3] for m in merges], pa.int64()),
         }
     )
+
+
+class BpeApplyStage:
+    """Map-only BPE inference with the TRAINED merge table: per word,
+    repeatedly merge the lowest-rank applicable adjacent pair (leftmost
+    among equal ranks — standard BPE apply order).  The merge-rank dict
+    is broadcast once (``ray.put``) and read zero-copy per task;
+    trivial init → pass an instance (task pool).  Per-task word memo:
+    apply is a pure word function, so Zipfian reuse only saves wall
+    time."""
+
+    def __init__(self, ranks_ref):
+        self._ranks_ref = ranks_ref
+        self._ranks: dict | None = None
+        self._memo: dict[str, list[str]] = {}
+
+    def _word_tokens(self, w: str) -> list[str]:
+        res = self._memo.get(w)
+        if res is not None:
+            return res
+        syms = list(w)
+        syms[-1] = syms[-1] + "</w>"
+        ranks = self._ranks
+        while len(syms) > 1:
+            best_rank, best_i = None, -1
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        if len(self._memo) < 200_000:
+            self._memo[w] = syms
+        return syms
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import zlib
+
+        if self._ranks is None:
+            ranks = self._ranks_ref
+            self._ranks = (
+                ray.get(ranks) if isinstance(ranks, ray.ObjectRef) else ranks
+            )
+        n_out, crcs = [], []
+        for text in t.column("text").to_pylist():
+            toks: list[str] = []
+            for w in text.split(" "):
+                if w:
+                    toks.extend(self._word_tokens(w))
+            n_out.append(len(toks))
+            crcs.append(zlib.crc32(" ".join(toks).encode()))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_bpe_tokens": pa.array(n_out, pa.int64()),
+                "token_crc": pa.array(crcs, pa.int64()),
+            }
+        )
+
+
+def bpe_tokenize(sf_dir: str, n_merges: int = 40):
+    """Train → apply composition: learn merges from the corpus
+    (``bpe_train``), broadcast the rank table, and tokenize every
+    document map-only.  Output (doc_id, n_bpe_tokens, token_crc) — the
+    crc32 of the joined token stream stands in for the token list (the
+    driver's value hash cannot sort list columns)."""
+    merges = bpe_train(sf_dir, n_merges=n_merges)
+    ranks = {
+        (l, r): k
+        for k, l, r in zip(
+            merges.column("rank").to_pylist(),
+            merges.column("left").to_pylist(),
+            merges.column("right").to_pylist(),
+        )
+    }
+    ranks_ref = ray.put(ranks)
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+    return docs.map_batches(
+        BpeApplyStage(ranks_ref), batch_format="pyarrow", batch_size=None
+    )

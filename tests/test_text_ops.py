@@ -389,3 +389,21 @@ def test_bpe_train_distributed_matches_counter(ray_session):
     want = q_bpe_merges(sf, "").to_pandas()
     assert got.equals(want)
     assert len(got) > 0
+
+
+def test_bpe_apply_hand_example(ray_session):
+    """Applying the {low ×5, lower ×2} merges: 'low' → [low</w>],
+    'lower' → [low, er</w>], and an untrained word falls back to
+    characters with only the learned merges applied."""
+    import ray
+
+    from rust_bert_ray.functions.bpe_train import BpeApplyStage, merge_loop
+
+    merges = merge_loop([("low", 5), ("lower", 2)], n_merges=10)
+    ranks = {(l, r): k for k, l, r, _ in merges}
+    stage = BpeApplyStage(ranks)
+    stage._ranks = ranks
+    assert stage._word_tokens("low") == ["low</w>"]
+    assert stage._word_tokens("lower") == ["lower</w>"]
+    # 'lowest': l+o → lo, lo+w → low, then no (low, e) merge exists
+    assert stage._word_tokens("lowest") == ["low", "e", "s", "t</w>"]
