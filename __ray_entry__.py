@@ -651,13 +651,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q_decode_hf_metaspace — the tokenizer.json loader family —
     q5_local_supplier_volume, bm25_search, hybrid_search and
     dedup_incremental_minhash, plus the session-2 additions
-    rerank_search, ann_pq_topk, ann_ivfpq_topk, kg_ingest_nodes and
-    q_bpe_merges); rotated to the tail to make room (ALL driver-green
-    in r3 with unchanged semantics): the ANN family (ann_topk,
-    ann_filtered_topk, ann_lsh_topk, ann_ivf_topk), dedup_clusters,
-    dedup_clusters_minhash, q_embed_clusters, dedup_semantic,
-    dedup_span_marks, dedup_jaccard_pairs, dedup_minhash_pairs,
-    dedup_simhash_pairs and dedup_embedding_lsh_pairs.  Every
+    rerank_search, ann_pq_topk, ann_ivfpq_topk, kg_ingest_nodes,
+    q_bpe_merges and q_bpe_tokens); rotated to the tail to make room
+    (ALL driver-green in r3 with unchanged semantics): the ANN family
+    (ann_topk, ann_filtered_topk, ann_lsh_topk, ann_ivf_topk),
+    dedup_clusters, dedup_clusters_minhash, q_embed_clusters,
+    dedup_semantic, dedup_contamination, dedup_span_marks,
+    dedup_jaccard_pairs, dedup_minhash_pairs, dedup_simhash_pairs and
+    dedup_embedding_lsh_pairs.  Every
     entry, gated or not, is verified by the local mirror
     (tools/check_oracles.py) against the same oracles each round.
     """
