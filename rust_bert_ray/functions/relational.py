@@ -1243,44 +1243,103 @@ FROM b
 # --------------------------------------------- Q3 shipping priority ----
 
 def q3_shipping_priority(
-    sf_dir: str, segment: str = "BUILDING", cutoff: str = "1998-06-01", k: int = 10
+    sf_dir: str,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-06-01",
+    k: int = 10,
+    broadcast_limit: int = 5_000_000,
 ):
     """TPC-H Q3-ish: top-k unshipped-revenue orders for one segment.
 
-    Plan shape: the segment's customer keys are a BROADCAST semi-join
-    filter on the orders scan (small side shipped once via ``ray.put``);
-    lineitem pre-aggregates per-order revenue partials inside the batch
-    (combiner) so the hash-partitioned ``Dataset.join`` on the order key
-    exchanges one partial row per (order, batch), not raw lineitems;
-    grouped merge + streaming top-k finish.  Dates flow as strings in
-    the output (date32-vs-DATE dtype parity)."""
+    Plan shape: the segment's customer keys follow the ADAPTIVE
+    broadcast-vs-join rule (Q5 / dedup_exact's pattern, row-count
+    guard from parquet METADATA only) — below ``broadcast_limit``
+    customer rows they ship once via ``ray.put`` as a semi-join filter
+    inside the orders scan; above it, orders ``left_semi``-join the
+    filtered key stream on the customer key (the payload is keys, not
+    customer rows).  Either way lineitem pre-aggregates per-order
+    revenue partials inside the batch (combiner) so the
+    hash-partitioned ``Dataset.join`` on the order key exchanges one
+    partial row per (order, batch), not raw lineitems; grouped merge +
+    streaming top-k finish.  Dates flow as strings in the output
+    (date32-vs-DATE dtype parity)."""
     import numpy as np
+    import pyarrow.dataset as pads
     from ray.data.aggregate import Sum
 
     cut = pd.Timestamp(cutoff)
+    customer_rows = pads.dataset(
+        os.path.join(sf_dir, "customer.parquet")
+    ).count_rows()
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    keys = set(cust.loc[cust["c_mktsegment"] == segment, "c_custkey"].tolist())
-    keys_ref = ray.put(keys)
+    if customer_rows <= broadcast_limit:
+        cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+        keys = set(cust.loc[cust["c_mktsegment"] == segment, "c_custkey"].tolist())
+        keys_ref = ray.put(keys)
 
-    class OrderFilter:
-        def __init__(self, ref):
-            self.keys = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        class OrderFilter:
+            def __init__(self, ref):
+                self.keys = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
 
-        def __call__(self, t: pa.Table) -> pa.Table:
+            def __call__(self, t: pa.Table) -> pa.Table:
+                df = t.to_pandas()
+                m = df["o_custkey"].isin(self.keys) & (df["o_orderdate"] < cut)
+                out = df.loc[
+                    m, ["o_orderkey", "o_orderdate", "o_orderpriority"]
+                ].copy()
+                out["o_orderdate"] = out["o_orderdate"].dt.strftime("%Y-%m-%d")
+                return pa.Table.from_pandas(out, preserve_index=False)
+
+        orders_f = _read(
+            sf_dir,
+            "orders",
+            ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        ).map_batches(
+            OrderFilter(keys_ref),
+            batch_format="pyarrow",
+            batch_size=4096,  # feeds Dataset.join: declare a batch_size
+        )
+    else:
+        # join plan: the customer table never touches the driver
+        seg_keys = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+            lambda t: t.filter(
+                pc.equal(t.column("c_mktsegment"), pa.scalar(segment))
+            ).select(["c_custkey"]),
+            batch_format="pyarrow",
+            batch_size=4096,
+        )
+
+        def order_project(t: pa.Table) -> pa.Table:
             df = t.to_pandas()
-            m = df["o_custkey"].isin(self.keys) & (df["o_orderdate"] < cut)
-            out = df.loc[m, ["o_orderkey", "o_orderdate", "o_orderpriority"]].copy()
+            out = df.loc[
+                df["o_orderdate"] < cut,
+                ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+            ].copy()
             out["o_orderdate"] = out["o_orderdate"].dt.strftime("%Y-%m-%d")
             return pa.Table.from_pandas(out, preserve_index=False)
 
-    orders_f = _read(
-        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
-    ).map_batches(
-        OrderFilter(keys_ref),
-        batch_format="pyarrow",
-        batch_size=4096,  # feeds Dataset.join: declare a batch_size
-    )
+        orders_f = (
+            _read(
+                sf_dir,
+                "orders",
+                ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+            )
+            .map_batches(order_project, batch_format="pyarrow", batch_size=4096)
+            .join(
+                seg_keys,
+                "left_semi",
+                num_partitions=8,
+                on=("o_custkey",),
+                right_on=("c_custkey",),
+            )
+            .map_batches(
+                lambda t: t.select(
+                    ["o_orderkey", "o_orderdate", "o_orderpriority"]
+                ),
+                batch_format="pyarrow",
+                batch_size=4096,
+            )
+        )
 
     def li_partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()

@@ -260,3 +260,23 @@ def test_q5_broadcast_and_join_plans_agree(ray_session):
     assert list(a.columns) == ["n_name", "revenue"]
     assert a.equals(b[a.columns])
     assert (a["revenue"] > 0).all()
+
+
+def test_q3_broadcast_and_join_plans_agree(ray_session):
+    """Adaptive Q3: the broadcast plan (default at test scale) and the
+    forced semi-join plan (broadcast_limit=0, customer never touches
+    the driver) produce identical rows."""
+    sf = "/root/testdata/sf0.001"
+    cols = ["revenue", "o_orderdate", "l_orderkey"]
+    a = (
+        relational.q3_shipping_priority(sf)
+        .to_pandas()
+        .sort_values(cols, ignore_index=True)
+    )
+    b = (
+        relational.q3_shipping_priority(sf, broadcast_limit=0)
+        .to_pandas()
+        .sort_values(cols, ignore_index=True)
+    )
+    assert a.equals(b[a.columns])
+    assert len(a) > 0 and (a["revenue"] > 0).all()
