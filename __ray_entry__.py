@@ -260,6 +260,25 @@ def _q_bpe_tokens(sf_dir: str):
     return bpe_tokenize(sf_dir)
 
 
+def _q_unigram_vocab(sf_dir: str):
+    """Unigram (SentencePiece-style) vocabulary TRAINING: distributed
+    word-count fan-in → driver-side substring-frequency selection with
+    char coverage + fixed-point log weights
+    (functions/unigram_train.py)."""
+    from rust_bert_ray.functions.unigram_train import unigram_train
+
+    return unigram_train(sf_dir)
+
+
+def _q_unigram_tokens(sf_dir: str):
+    """Unigram train→apply: broadcast weight table, map-only Viterbi
+    max-score segmentation (ties: fewer tokens, leftmost-longest) —
+    (doc_id, n_uni_tokens, token_crc)."""
+    from rust_bert_ray.functions.unigram_train import unigram_tokenize
+
+    return unigram_tokenize(sf_dir)
+
+
 def _ann_pq_topk(sf_dir: str):
     """Product-quantization ANN: asymmetric distance over the persisted
     8 B/vector code table — the memory-bound scale path (32× smaller
@@ -720,6 +739,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_decode_hf": text.q_decode_hf,
         "q_bpe_merges": _q_bpe_merges,
         "q_bpe_tokens": _q_bpe_tokens,
+        "q_unigram_vocab": _q_unigram_vocab,
+        "q_unigram_tokens": _q_unigram_tokens,
         "q_decode_hf_unigram": text.q_decode_hf_unigram,
         "q_decode_hf_suffix": text.q_decode_hf_suffix,
         "q_decode_hf_metaspace": text.q_decode_hf_metaspace,
@@ -868,7 +889,7 @@ GROUP BY 1, 2
             "q_decode_hf_unigram", "q_decode_hf_suffix",
             "q_decode_hf_metaspace", "q_decode_unigram",
             "q_pack_sequences", "q_fingerprints", "q_bpe_merges",
-            "q_bpe_tokens",
+            "q_bpe_tokens", "q_unigram_vocab", "q_unigram_tokens",
             "kg_nodes", "kg_edges",
             "kg_media_features", "dedup_minhash_pairs", "dedup_simhash_pairs",
             "dedup_embedding_lsh_pairs", "dedup_incremental_minhash", "dedup_clusters_minhash",

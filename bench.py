@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "q_token_counts",
     "q_bpe_merges",
     "q_bpe_tokens",
+    "q_unigram_tokens",
     "dedup_exact",
     "dedup_incremental",
     "dedup_incremental_minhash",

@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 from rust_bert_ray.functions.util import embedding_matrix
 
 EXPECTED_ROOT = "/tmp/rbr_expected"
-VERSION = 35  # bump whenever any builder's semantics change OR a builder is added
+VERSION = 36  # bump whenever any builder's semantics change OR a builder is added
 
 
 # ------------------------------------------------------------ input helpers
@@ -2011,6 +2011,126 @@ def q_bpe_tokens(sf_dir: str, corpus_root: str, n_merges: int = 40) -> pa.Table:
     )
 
 
+def q_unigram_vocab(
+    sf_dir: str, corpus_root: str, vocab_size: int = 200,
+    min_count: int = 2, max_words: int = 100_000, max_piece: int = 4,
+) -> pa.Table:
+    """Independent unigram-trainer reference: Counter word count,
+    per-length substring window counting (vs the trainer's per-start
+    nested scan), the same (count desc, piece asc) top-V +
+    char-coverage selection spec; the fixed-point log weight shares the
+    piece_weights kernel (the one float step)."""
+    from collections import Counter
+
+    from rust_bert_ray.functions.unigram_train import piece_weights
+
+    t = _documents(sf_dir)
+    c: Counter = Counter()
+    for text in t.column("text").to_pylist():
+        c.update(text.split(" "))
+    kept = sorted(
+        ((w, n) for w, n in c.items() if n >= min_count),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:max_words]
+
+    pieces: Counter = Counter()
+    for w, n in kept:
+        if not w:
+            continue
+        for length in range(1, max_piece + 1):
+            for i in range(len(w) - length + 1):
+                pieces[w[i : i + length]] += n
+
+    chars = {p: c_ for p, c_ in pieces.items() if len(p) == 1}
+    vocab = dict(chars)
+    for p, c_ in sorted(
+        ((p, c_) for p, c_ in pieces.items() if len(p) > 1),
+        key=lambda kv: (-kv[1], kv[0]),
+    ):
+        if len(vocab) >= max(vocab_size, len(chars)):
+            break
+        vocab[p] = c_
+    weights = piece_weights(vocab)
+    ordered = sorted(vocab)
+    return pa.Table.from_pydict(
+        {
+            "piece": pa.array(ordered, pa.string()),
+            "count": pa.array([vocab[p] for p in ordered], pa.int64()),
+            "weight": pa.array([weights[p] for p in ordered], pa.int64()),
+        }
+    )
+
+
+def q_unigram_tokens(sf_dir: str, corpus_root: str, max_piece: int = 4) -> pa.Table:
+    """Independent unigram-apply reference: backward-memoized recursion
+    over suffixes (vs the stage's forward DP), same total order —
+    (score, -n_tokens, piece-end tuple compared descending)."""
+    import sys
+    import zlib
+
+    v = q_unigram_vocab(sf_dir, corpus_root)
+    weights = dict(
+        zip(v.column("piece").to_pylist(), v.column("weight").to_pylist())
+    )
+
+    def segment(word: str) -> list[str]:
+        memo: dict[int, tuple] = {len(word): (0, 0, ())}
+
+        def best(i: int) -> tuple | None:
+            got = memo.get(i)
+            if got is not None or i in memo:
+                return got
+            top = None
+            for j in range(i + 1, min(i + max_piece, len(word)) + 1):
+                w = weights.get(word[i:j])
+                if w is None:
+                    continue
+                sub = best(j)
+                if sub is None:
+                    continue
+                cand = (w + sub[0], -1 + sub[1], (j,) + sub[2])
+                if top is None or cand > top:
+                    top = cand
+            memo[i] = top
+            return top
+
+        got = best(0)
+        if got is None:
+            return list(word)
+        toks, prev = [], 0
+        for j in got[2]:
+            toks.append(word[prev:j])
+            prev = j
+        return toks
+
+    t = _documents(sf_dir)
+    ids, ns, crcs = [], [], []
+    memo: dict[str, list[str]] = {}
+    sys.setrecursionlimit(10_000)
+    for doc_id, text in zip(
+        t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+    ):
+        toks: list[str] = []
+        for w in text.split(" "):
+            if not w:
+                continue
+            got = memo.get(w)
+            if got is None:
+                got = segment(w)
+                memo[w] = got
+            toks.extend(got)
+        ids.append(doc_id)
+        ns.append(len(toks))
+        crcs.append(zlib.crc32(" ".join(toks).encode()))
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_uni_tokens": pa.array(ns, pa.int64()),
+            "token_crc": pa.array(crcs, pa.int64()),
+        }
+    )
+
+
 # ------------------------------------------------------------------ registry
 
 
@@ -2373,6 +2493,8 @@ BUILDERS = {
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "q_bpe_merges": q_bpe_merges,
     "q_bpe_tokens": q_bpe_tokens,
+    "q_unigram_vocab": q_unigram_vocab,
+    "q_unigram_tokens": q_unigram_tokens,
     "q_dsir_weights": q_dsir_weights,
     "kg_kcore": kg_kcore,
     "rag_search": rag_search,

@@ -407,3 +407,39 @@ def test_bpe_apply_hand_example(ray_session):
     assert stage._word_tokens("lower") == ["lower</w>"]
     # 'lowest': l+o → lo, lo+w → low, then no (low, e) merge exists
     assert stage._word_tokens("lowest") == ["low", "e", "s", "t</w>"]
+
+
+def test_unigram_viterbi_tie_rules():
+    """Hand-crafted ties: equal score prefers fewer tokens; equal
+    (score, n) prefers leftmost-longest (larger piece-end tuple)."""
+    from rust_bert_ray.functions.unigram_train import viterbi_tokens
+
+    # "aa": a|a = -20 (2 toks) vs aa = -20 (1 tok) → fewer tokens
+    assert viterbi_tokens("aa", {"a": -10, "aa": -20}) == ["aa"]
+    # "aaa": aa|a = a|aa = -25 (2 toks each) → cuts (2,3) > (1,3)
+    assert viterbi_tokens("aaa", {"a": -10, "aa": -15}) == ["aa", "a"]
+    # higher score wins regardless of token count
+    assert viterbi_tokens("ab", {"a": -1, "b": -1, "ab": -5}) == ["a", "b"]
+    # unknown chars fall back to raw characters (safety path)
+    assert viterbi_tokens("xy", {}) == ["x", "y"]
+
+
+def test_unigram_train_apply_matches_expected(ray_session):
+    """Distributed train+apply equals the single-process backward-memo
+    reference on the same corpus."""
+    from rust_bert_ray.expected import q_unigram_tokens, q_unigram_vocab
+    from rust_bert_ray.functions.unigram_train import (
+        unigram_tokenize,
+        unigram_train,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    assert unigram_train(sf).to_pandas().equals(
+        q_unigram_vocab(sf, "").to_pandas()
+    )
+    got = unigram_tokenize(sf).to_pandas().sort_values("doc_id", ignore_index=True)
+    want = (
+        q_unigram_tokens(sf, "").to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    assert got.equals(want)
+    assert (got["n_uni_tokens"] > 0).all()
