@@ -671,13 +671,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q5_local_supplier_volume, bm25_search, hybrid_search and
     dedup_incremental_minhash, plus the session-2 additions
     rerank_search, ann_pq_topk, ann_ivfpq_topk, kg_ingest_nodes,
-    q_bpe_merges and q_bpe_tokens); rotated to the tail to make room
-    (ALL driver-green in r3 with unchanged semantics): the ANN family
+    q_bpe_merges, q_bpe_tokens, q_unigram_vocab and q_unigram_tokens,
+    plus every operator whose code changed this session:
+    dedup_incremental, dedup_incremental_minhash, curation_corpus,
+    rag_search, q_dsir_weights, q_events_retention and
+    q3_shipping_priority); rotated to the tail to make room (ALL
+    driver-green in r3 with unchanged semantics): the ANN family
     (ann_topk, ann_filtered_topk, ann_lsh_topk, ann_ivf_topk),
     dedup_clusters, dedup_clusters_minhash, q_embed_clusters,
     dedup_semantic, dedup_contamination, dedup_span_marks,
-    dedup_jaccard_pairs, dedup_minhash_pairs, dedup_simhash_pairs and
-    dedup_embedding_lsh_pairs.  Every
+    dedup_jaccard_pairs, dedup_minhash_pairs, dedup_simhash_pairs,
+    dedup_embedding_lsh_pairs, q_source_similarity and
+    q_lang_confusion.  Every
     entry, gated or not, is verified by the local mirror
     (tools/check_oracles.py) against the same oracles each round.
     """
@@ -707,8 +712,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pii_scan": quality.q_pii_scan,
         "q_ngram_stats": quality.q_ngram_stats,
         "q_distinct_sketch": quality.q_distinct_sketch,
-        "q_source_similarity": quality.q_source_similarity,
-        "q_lang_confusion": text.q_lang_confusion,
         # --- KG construction (interleaved corpus; north rule) ---
         "kg_triples": _kg_triples,
         "kg_nodes": _kg_nodes,
@@ -766,6 +769,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "q_embed_clusters": clustering.q_embed_clusters,
         "dedup_semantic": clustering.dedup_semantic,
+        "q_source_similarity": quality.q_source_similarity,
+        "q_lang_confusion": text.q_lang_confusion,
         # --- tail rotation (see docstring): driver-green in rounds 2-3,
         #     local-mirror-verified every round ---
         "q_summarize": _q_summarize,
