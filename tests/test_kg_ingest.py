@@ -144,3 +144,28 @@ def test_two_increments_equal_full_rebuild(ray_session, tmp_path):
     assert _rows_excluding(out_split, "edges", {"doc_ids"}) == _rows_excluding(
         out_full, "edges", {"doc_ids"}
     )
+
+
+def test_kill_mid_ingest_resumes(split_runs, ray_session):
+    """Simulate a crash BETWEEN ingest stage A and stage B: the ing-*
+    triples partition landed but the final manifest never did.  A
+    re-run of the same ingest resumes the landed partition (no
+    re-extraction) and re-runs only the canonicalize, restoring the
+    full-rebuild-equal graph."""
+    import shutil
+
+    out = split_runs["out_split"]
+    ing = split_runs["ingest_summary"]["partitions"][0]
+    # "kill": stage B output + final manifest lost; the ingest partition
+    # and its manifest survived (atomic rename landed first)
+    os.remove(ckpt.manifest_path(out, "final"))
+    shutil.rmtree(os.path.join(out, "nodes"))
+    shutil.rmtree(os.path.join(out, "edges"))
+    s = ingest_kg_increment(split_runs["inc_dir"], out)
+    assert s["partitions"] == []  # no re-extraction
+    assert ing in s["resumed"]
+    assert ckpt.is_partition_complete(out, "final")
+    for table in ("nodes", "edges"):
+        got = pads.dataset(os.path.join(out, table)).count_rows()
+        want = pads.dataset(os.path.join(split_runs["out_full"], table)).count_rows()
+        assert got == want, table
