@@ -702,10 +702,11 @@ def connected_components(
         make_sym("doc_a", "doc_b"), batch_format="pyarrow", batch_size=65536
     )
     prev_sig = None
+    p = num_partitions
     for _ in range(max_iters):
         edges = (
             edges.map_batches(add_bucket, batch_format="pyarrow", batch_size=65536)
-            .groupby("_bucket", num_partitions=num_partitions)
+            .groupby("_bucket", num_partitions=p)
             .map_groups(contract, batch_format="pandas")
             .map_batches(make_sym("u", "v"), batch_format="pyarrow", batch_size=65536)
             .materialize()
@@ -714,6 +715,12 @@ def connected_components(
         if sig == prev_sig:
             break
         prev_sig = sig
+        # adapt the NEXT round's reducer count to the measured frontier
+        # (sig[0] = row count): star contraction shrinks the edge set
+        # geometrically, and late tiny frontiers paying a full-width
+        # sort shuffle is pure per-round overhead.  Partition count
+        # never changes results (the per-bucket body is deterministic).
+        p = max(2, min(num_partitions, sig[0] // 50_000 + 1))
 
     def labels(df: pd.DataFrame) -> pd.DataFrame:
         lab = df.groupby("u", as_index=False)["v"].min()
@@ -722,7 +729,7 @@ def connected_components(
 
     return (
         edges.map_batches(add_bucket, batch_format="pyarrow", batch_size=65536)
-        .groupby("_bucket", num_partitions=num_partitions)
+        .groupby("_bucket", num_partitions=p)
         .map_groups(labels, batch_format="pandas")
     )
 
