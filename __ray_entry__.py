@@ -297,6 +297,16 @@ def _ann_ivfpq_topk(sf_dir: str):
     return ann_ivfpq_topk(sf_dir)
 
 
+def _ann_pq_rerank_topk(sf_dir: str):
+    """Widen-then-exact-rerank: PQ ADC shortlist → point-read the true
+    vectors (vec_id predicate pushdown) → exact cosine top-k
+    (functions/similarity.py) — the billion-scale serving topology with
+    exact final scores."""
+    from rust_bert_ray.functions.similarity import ann_pq_rerank_topk
+
+    return ann_pq_rerank_topk(sf_dir)
+
+
 def _hybrid_search(sf_dir: str):
     """Hybrid retrieval: RRF fusion of the BM25 (sparse) and RAG chunk
     (dense) retrievers over the same query (functions/search.py)."""
@@ -681,8 +691,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     dedup_clusters, dedup_clusters_minhash, q_embed_clusters,
     dedup_semantic, dedup_contamination, dedup_span_marks,
     dedup_jaccard_pairs, dedup_minhash_pairs, dedup_simhash_pairs,
-    dedup_embedding_lsh_pairs, q_source_similarity and
-    q_lang_confusion.  Every
+    dedup_embedding_lsh_pairs, q_source_similarity, q_lang_confusion,
+    q_decode_unigram, q_decode_bpe and q_pack_sequences.
+    (dedup_clusters / dedup_clusters_minhash moved BACK into the window
+    when the connected-components reducer sizing changed this session —
+    the rule is: anything whose code changed is gated.)  Every
     entry, gated or not, is verified by the local mirror
     (tools/check_oracles.py) against the same oracles each round.
     """
@@ -707,6 +720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rerank_search": _rerank_search,
         "ann_pq_topk": _ann_pq_topk,
         "ann_ivfpq_topk": _ann_ivfpq_topk,
+        "ann_pq_rerank_topk": _ann_pq_rerank_topk,
         "q_dsir_weights": text.q_dsir_weights,
         "q_gopher_quality": quality.q_gopher_quality,
         "q_pii_scan": quality.q_pii_scan,
@@ -738,7 +752,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sample_mixture": text.q_sample_mixture,
         "q_tfidf_topk": text.q_tfidf_topk,
         "q_shuffle_rank": text.q_shuffle_rank,
-        "q_decode_bpe": text.q_decode_bpe,
+        "dedup_clusters": dedup.dedup_clusters,
         "q_decode_hf": text.q_decode_hf,
         "q_bpe_merges": _q_bpe_merges,
         "q_bpe_tokens": _q_bpe_tokens,
@@ -747,9 +761,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_decode_hf_unigram": text.q_decode_hf_unigram,
         "q_decode_hf_suffix": text.q_decode_hf_suffix,
         "q_decode_hf_metaspace": text.q_decode_hf_metaspace,
-        "q_decode_unigram": text.q_decode_unigram,
         "q_chunk_docs": text.q_chunk_docs,
-        "q_pack_sequences": text.q_pack_sequences,
+        "dedup_clusters_minhash": dedup.dedup_clusters_minhash,
         # --- deduplication family ---
         "dedup_exact": dedup.dedup_exact,
         "dedup_incremental": dedup.dedup_incremental,
@@ -760,8 +773,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_pairs": dedup.dedup_minhash_pairs,
         "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
         "dedup_embedding_lsh_pairs": dedup.dedup_embedding_lsh_pairs,
-        "dedup_clusters": dedup.dedup_clusters,
-        "dedup_clusters_minhash": dedup.dedup_clusters_minhash,
         # --- similarity search / clustering (embeddings) ---
         "ann_topk": similarity.ann_topk,
         "ann_filtered_topk": similarity.ann_filtered_topk,
@@ -771,6 +782,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_semantic": clustering.dedup_semantic,
         "q_source_similarity": quality.q_source_similarity,
         "q_lang_confusion": text.q_lang_confusion,
+        "q_decode_unigram": text.q_decode_unigram,
+        "q_decode_bpe": text.q_decode_bpe,
+        "q_pack_sequences": text.q_pack_sequences,
         # --- tail rotation (see docstring): driver-green in rounds 2-3,
         #     local-mirror-verified every round ---
         "q_summarize": _q_summarize,
@@ -899,6 +913,7 @@ GROUP BY 1, 2
             "kg_media_features", "dedup_minhash_pairs", "dedup_simhash_pairs",
             "dedup_embedding_lsh_pairs", "dedup_incremental_minhash", "dedup_clusters_minhash",
             "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk",
+            "ann_pq_rerank_topk",
             "q_embed_clusters", "dedup_semantic", "q_lm_scores",
             "q_dsir_weights", "kg_kcore", "rag_search", "rerank_search",
         )

@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    "ann_pq_rerank_topk",
     "rag_search",
     "bm25_search",
     "hybrid_search",

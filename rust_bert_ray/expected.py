@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 from rust_bert_ray.functions.util import embedding_matrix
 
 EXPECTED_ROOT = "/tmp/rbr_expected"
-VERSION = 36  # bump whenever any builder's semantics change OR a builder is added
+VERSION = 37  # bump whenever any builder's semantics change OR a builder is added
 
 
 # ------------------------------------------------------------ input helpers
@@ -1881,6 +1881,31 @@ def ann_ivfpq_topk(
     )
 
 
+def ann_pq_rerank_topk(
+    sf_dir: str, corpus_root: str, query_vec_id: int = 0, k: int = 10,
+    shortlist: int = 64, m: int = 8, n_centroids: int = 16,
+    sample_rows: int = 256,
+) -> pa.Table:
+    """Widen-then-rerank reference: the PQ shortlist comes from the
+    ann_pq_topk builder above (shared encode/ADC spec); the exact
+    cosine rerank and final ranking are re-derived with the brute-force
+    kernel (divide-after-matmul order, matching CosineScore)."""
+    from rust_bert_ray.functions.util import round_ha
+
+    short = ann_pq_topk(
+        sf_dir, corpus_root, query_vec_id, shortlist, m, n_centroids, sample_rows
+    )
+    keep_ids = set(short.column("vec_id").to_pylist())
+    ids, M, q = _ann_common(sf_dir, query_vec_id)
+    qn = q / max(np.linalg.norm(q), 1e-300)
+    norms = np.maximum(np.linalg.norm(M, axis=1), 1e-300)
+    cos = round_ha((M @ qn) / norms, 5)
+    mask = np.array(
+        [i in keep_ids and i != query_vec_id for i in ids]
+    )
+    return _topk_table(ids[mask], cos[mask], k)
+
+
 def q_bpe_merges(
     sf_dir: str, corpus_root: str, n_merges: int = 40,
     min_count: int = 2, max_words: int = 100_000,
@@ -2491,6 +2516,7 @@ BUILDERS = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_pq_topk": ann_pq_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
+    "ann_pq_rerank_topk": ann_pq_rerank_topk,
     "q_bpe_merges": q_bpe_merges,
     "q_bpe_tokens": q_bpe_tokens,
     "q_unigram_vocab": q_unigram_vocab,

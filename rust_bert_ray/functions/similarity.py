@@ -677,6 +677,39 @@ def ann_ivfpq_topk(
     return topk(scored, ["dist", "vec_id"], [False, False], k)
 
 
+def ann_pq_rerank_topk(
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    shortlist: int = 64,
+    m: int = PQ_M,
+    n_centroids: int = PQ_K,
+    sample_rows: int = PQ_SAMPLE,
+):
+    """The widen-then-exact-rerank serving topology ann_pq_topk's
+    docstring promises: ADC over the 8 B/vector code table produces a
+    ``shortlist``-sized candidate set, whose TRUE vectors are then
+    point-read (predicate pushdown on vec_id — row-group pruning, not a
+    second full scan) and exactly cosine-reranked with the same kernel
+    as ann_topk.  Constant driver state (the shortlist ids); exact
+    scores on whatever the shortlist recalls — at 10^12 vectors the
+    read cost is the PQ scan + ``shortlist`` point lookups."""
+    import pyarrow.dataset as pads
+
+    short = (
+        ann_pq_topk(sf_dir, query_vec_id, shortlist, m, n_centroids, sample_rows)
+        .to_pandas()
+    )
+    ids = [int(v) for v in short["vec_id"]]
+    q = _query_vector(sf_dir, query_vec_id)
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id").isin(ids),
+    )
+    return _scored_topk(emb, q, query_vec_id, k)
+
+
 def ann_scan_report(sf_dir: str, query_vec_id: int = 0) -> dict:
     """Scanned-fraction evidence for the partition-pruned ANN variants."""
     out: dict = {}

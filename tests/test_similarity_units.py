@@ -183,3 +183,24 @@ def test_ivfpq_probes_prune_and_match_pq_distances(ray_session):
     flat = ann_pq_topk(sf, k=10_000).to_pandas().set_index("vec_id")["dist"]
     for r in out.itertuples():
         assert flat.loc[r.vec_id] == r.dist
+
+
+def test_pq_rerank_restores_exact_scores(ray_session):
+    """Widen-then-rerank: every returned score equals the brute-force
+    cosine for that id, and recall@10 is at least the flat ADC
+    ranking's (the rerank can only fix ordering inside the shortlist)."""
+    from rust_bert_ray.functions.similarity import (
+        ann_pq_rerank_topk,
+        ann_pq_topk,
+        ann_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = ann_topk(sf, k=10_000).to_pandas().set_index("vec_id")["cos"]
+    out = ann_pq_rerank_topk(sf, k=10, shortlist=40).to_pandas()
+    assert 0 < len(out) <= 10
+    for r in out.itertuples():
+        assert exact.loc[r.vec_id] == r.cos
+    top10 = set(exact.sort_values(ascending=False).head(10).index)
+    flat = set(ann_pq_topk(sf, k=10).to_pandas().vec_id)
+    assert len(set(out.vec_id) & top10) >= len(flat & top10)
