@@ -249,3 +249,50 @@ def test_pii_scan_matches_duckdb_on_random_corpora(doc_texts):
         con.execute(Q_PII_SCAN_SQL).df().sort_values("doc_id").reset_index(drop=True)
     )
     assert got.equals(want[got.columns.tolist()].astype(got.dtypes.to_dict()))
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=8),
+            st.integers(min_value=1, max_value=50),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    st.randoms(),
+)
+@settings(max_examples=40, deadline=None)
+def test_bpe_merge_loop_is_input_order_invariant(word_counts, rnd):
+    """Pair counting sums over the whole table and ties break on the
+    pair value, so the learned merges cannot depend on word order —
+    the property that makes the distributed word-count fan-in safe."""
+    from rust_bert_ray.functions.bpe_train import merge_loop
+
+    a = merge_loop(list(word_counts), n_merges=8)
+    shuffled = list(word_counts)
+    rnd.shuffle(shuffled)
+    assert merge_loop(shuffled, n_merges=8) == a
+
+
+@given(
+    st.dictionaries(
+        st.text(alphabet="abcd", min_size=1, max_size=4),
+        st.integers(min_value=-10**6, max_value=-1),
+        min_size=1,
+        max_size=12,
+    ),
+    st.text(alphabet="abcd", min_size=1, max_size=10),
+)
+@settings(max_examples=60, deadline=None)
+def test_unigram_viterbi_reconstructs_word(weights, word):
+    """Any segmentation must concatenate back to the input word, and
+    every emitted piece must come from the vocab (or be a raw char on
+    the no-path fallback)."""
+    from rust_bert_ray.functions.unigram_train import viterbi_tokens
+
+    toks = viterbi_tokens(word, weights)
+    assert "".join(toks) == word
+    if any(len(t) > 1 for t in toks):
+        for t in toks:
+            assert t in weights
