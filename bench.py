@@ -252,21 +252,34 @@ def wait_quiet(
     if burn_procs is None:
         burn_procs = int(os.environ.get("RBR_GATE_BURN", "16"))
     t0 = time.time()
+    clean = 0
+    last = None
     while True:
         probe = StealProbe()
         with ProcessPoolExecutor(burn_procs) as ex:
             list(ex.map(_burn, [window_s] * burn_procs))
         pct = probe.pct()
-        if pct is None or pct < threshold:
-            return pct if pct is not None else -1.0
+        if pct is None:
+            return -1.0
+        last = pct
+        if pct < threshold:
+            # hysteresis: demand TWO consecutive clean burns — a single
+            # clean window right before a burst launched the round's
+            # 0.451 attempt (gate 2.4%, wide leg 34.6% steal)
+            clean += 1
+            if clean >= 2:
+                return pct
+        else:
+            clean = 0
+            time.sleep(30.0)
         if time.time() - t0 > max_wait_s:
             print(
-                f"# wait_quiet: gave up after {max_wait_s}s (loaded steal {pct}%)",
+                f"# wait_quiet: gave up after {max_wait_s}s (loaded steal {last}%)",
                 file=sys.stderr,
             )
-            return pct
-        print(f"# wait_quiet: loaded steal {pct}% — waiting", file=sys.stderr)
-        time.sleep(30.0)
+            return last
+        if clean == 0:
+            print(f"# wait_quiet: loaded steal {pct}% — waiting", file=sys.stderr)
 
 
 def run_scaling() -> dict:
