@@ -761,6 +761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_decode_hf_unigram": text.q_decode_hf_unigram,
         "q_decode_hf_suffix": text.q_decode_hf_suffix,
         "q_decode_hf_metaspace": text.q_decode_hf_metaspace,
+        "q_decode_hf_spbpe": text.q_decode_hf_spbpe,
         "q_chunk_docs": text.q_chunk_docs,
         "dedup_clusters_minhash": dedup.dedup_clusters_minhash,
         # --- deduplication family ---
@@ -906,7 +907,8 @@ GROUP BY 1, 2
             "kg_media_resize",
             "q_lang_id", "q_decode", "q_decode_bpe", "q_decode_hf",
             "q_decode_hf_unigram", "q_decode_hf_suffix",
-            "q_decode_hf_metaspace", "q_decode_unigram",
+            "q_decode_hf_metaspace", "q_decode_hf_spbpe",
+            "q_decode_unigram",
             "q_pack_sequences", "q_fingerprints", "q_bpe_merges",
             "q_bpe_tokens", "q_unigram_vocab", "q_unigram_tokens",
             "kg_nodes", "kg_edges",

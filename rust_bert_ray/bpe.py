@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from functools import lru_cache
 
 from rust_bert_ray.tokenization import (
@@ -392,3 +393,127 @@ class SuffixBpeTokenizer:
         rust_tokenizers convert_tokens_to_string rule for this family)."""
         parts = [self.inv_vocab.get(int(i), self.unk_token) for i in ids]
         return "".join(parts).replace(self.suffix, " ").strip()
+
+
+class MetaspaceBpeTokenizer:
+    """Sentencepiece-BPE — the Marian / XLM tokenizer family (reference
+    common.rs:259-301 dispatches Marian/XLM via rust_tokenizers'
+    sentencepiece-BPE model; hf_tokenizers.rs handles its
+    ``tokenizer.json`` export: ``model.type == "BPE"`` with a
+    ``Metaspace`` pre_tokenizer).  Unlike GPT-2's byte-level table or
+    the GPT-1 ``</w>`` suffix convention, this family marks the word
+    START: whitespace pre-tokenization prepends the metaspace marker
+    (▁) to each token, then classic BPE merges raw characters of
+    ``marker + token``.  Units absent from the vocab map to the UNK id
+    (true UNK, no byte fallback); decode replaces markers with spaces
+    (the sentencepiece decoder rule).
+
+    Contract matches the repo's other tokenizers: ids, CHARACTER
+    offsets into the ORIGINAL text (the marker consumes no source
+    characters — same offset algebra as
+    ``UnigramTokenizer._encode_metaspace``), masks, word_indices.
+    """
+
+    def __init__(
+        self,
+        vocab: dict[str, int],
+        merges: list[tuple[str, str]],
+        marker: str = "▁",
+        unk_token: str = "<unk>",
+        cache_cap: int = 500_000,
+    ):
+        self.vocab = dict(vocab)
+        self.inv_vocab = {i: u for u, i in self.vocab.items()}
+        self.ranks = {tuple(m): r for r, m in enumerate(merges)}
+        self.marker = marker
+        self.unk_token = unk_token
+        if unk_token not in self.vocab:
+            raise ValueError(f"vocab lacks its unk_token {unk_token!r}")
+        self.unk_id = self.vocab[unk_token]
+        self._cache: dict[str, list[str]] = {}
+        self._cache_cap = cache_cap
+
+    @classmethod
+    def from_hf(cls, model: dict, marker: str = "▁", cache_cap: int = 500_000):
+        """Construct from a ``tokenizer.json`` ``model`` object whose
+        document carries a ``Metaspace`` pre_tokenizer (the Marian/XLM
+        sentencepiece-BPE export; ``marker`` is that section's
+        ``replacement``).  Merges accept both the legacy ``"a b"``
+        string form and the current ``["a", "b"]`` list form."""
+        merges = [
+            tuple(m) if isinstance(m, (list, tuple)) else tuple(m.split(" "))
+            for m in model.get("merges", [])
+        ]
+        return cls(
+            vocab=model["vocab"],
+            merges=merges,
+            marker=marker,
+            unk_token=model.get("unk_token") or "<unk>",
+            cache_cap=cache_cap,
+        )
+
+    # ---------------------------------------------------------- merges
+
+    def _bpe_units(self, token: str) -> list[str]:
+        """``marker + token`` → merged units (greedy lowest rank)."""
+        cached = self._cache.get(token)
+        if cached is not None:
+            return cached
+        units = list(self.marker + token)
+        ranks = self.ranks
+        while len(units) > 1:
+            best_rank = None
+            best_i = -1
+            for i in range(len(units) - 1):
+                r = ranks.get((units[i], units[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank = r
+                    best_i = i
+            if best_rank is None:
+                break
+            units = (
+                units[:best_i]
+                + [units[best_i] + units[best_i + 1]]
+                + units[best_i + 2 :]
+            )
+        if len(self._cache) < self._cache_cap:
+            self._cache[token] = units
+        return units
+
+    # ---------------------------------------------------------- encode
+
+    def encode(self, text: str) -> EncodedText:
+        ids: list[int] = []
+        offsets: list[tuple[int, int] | None] = []
+        masks: list[int] = []
+        word_indices: list[int] = []
+        words: list[str] = []
+        vocab = self.vocab
+        marker = self.marker
+        for w_idx, m in enumerate(re.finditer(r"\S+", text)):
+            token = m.group(0)
+            words.append(token)
+            pos = m.start()
+            for p_no, unit in enumerate(self._bpe_units(token)):
+                n_chars = len(unit) - unit.count(marker)
+                ids.append(vocab.get(unit, self.unk_id))
+                offsets.append((pos, pos + n_chars))
+                masks.append(MASK_NONE if p_no == 0 else MASK_CONTINUATION)
+                word_indices.append(w_idx)
+                pos += n_chars
+        return EncodedText(
+            ids=ids,
+            offsets=offsets,
+            masks=masks,
+            word_indices=word_indices,
+            words=words,
+        )
+
+    # ---------------------------------------------------------- decode
+
+    def decode(self, ids: list[int]) -> str:
+        """ids → text by the sentencepiece rule: markers become spaces
+        (word boundaries are IN the ids — lossless on single-spaced
+        text, no word_indices needed)."""
+        parts = [self.inv_vocab.get(int(i), self.unk_token) for i in ids]
+        return "".join(parts).replace(self.marker, " ").lstrip(" ")

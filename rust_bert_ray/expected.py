@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 from rust_bert_ray.functions.util import embedding_matrix
 
 EXPECTED_ROOT = "/tmp/rbr_expected"
-VERSION = 37  # bump whenever any builder's semantics change OR a builder is added
+VERSION = 38  # bump whenever any builder's semantics change OR a builder is added
 
 
 # ------------------------------------------------------------ input helpers
@@ -1093,6 +1093,72 @@ def q_decode_hf_suffix(sf_dir: str, corpus_root: str) -> pa.Table:
         ids_crc.append(zlib.crc32(np.asarray(ids, dtype=np.int64).tobytes()))
         decoded.append(out)
         roundtrip.append(int(out == text.lower()))
+    return pa.Table.from_pydict(
+        {
+            "doc_id": t.column("doc_id"),
+            "n_pieces": pa.array(n_pieces, type=pa.int64()),
+            "n_unk": pa.array(n_unk, type=pa.int64()),
+            "ids_crc": pa.array(ids_crc, type=pa.int64()),
+            "decoded": pa.array(decoded, type=pa.string()),
+            "roundtrip": pa.array(roundtrip, type=pa.int64()),
+        }
+    )
+
+
+def q_decode_hf_spbpe(sf_dir: str, corpus_root: str) -> pa.Table:
+    """Independent sentencepiece-BPE (Marian/XLM family) oracle: parses
+    the SAME tokenizer.json the Ray stage loads, but applies merges in
+    TRAINING ORDER (Sennrich formulation) instead of the runtime's
+    greedy lowest-rank loop, with a hand-rolled unk/id mapping — a
+    loader bug (Metaspace dispatch, marker handling, merge order, unk
+    fallback) flips ``ids_crc`` and the decode parity."""
+    import json as _json
+
+    from rust_bert_ray.functions.text import HF_SPBPE_FIXTURE
+
+    with open(HF_SPBPE_FIXTURE, encoding="utf-8") as f:
+        doc = _json.load(f)
+    model = doc["model"]
+    marker: str = doc["pre_tokenizer"]["replacement"]
+    vocab: dict[str, int] = model["vocab"]
+    unk_token: str = model["unk_token"]
+    unk_id = vocab[unk_token]
+    inv = {i: u for u, i in vocab.items()}
+    merges = [
+        tuple(m) if isinstance(m, list) else tuple(m.split(" "))
+        for m in model["merges"]
+    ]
+
+    def apply_in_order(units: list[str]) -> list[str]:
+        for a, b in merges:
+            i = 0
+            while i < len(units) - 1:
+                if units[i] == a and units[i + 1] == b:
+                    units[i : i + 2] = [a + b]
+                else:
+                    i += 1
+        return units
+
+    word_cache: dict[str, list[int]] = {}
+    t = _documents(sf_dir)
+    n_pieces, n_unk, ids_crc, decoded, roundtrip = [], [], [], [], []
+    for text in t.column("text").to_pylist():
+        ids: list[int] = []
+        for word in text.split():
+            cached = word_cache.get(word)
+            if cached is None:
+                units = apply_in_order(list(marker + word))
+                cached = [vocab.get(u, unk_id) for u in units]
+                word_cache[word] = cached
+            ids.extend(cached)
+        out = (
+            "".join(inv[i] for i in ids).replace(marker, " ").lstrip(" ")
+        )
+        n_pieces.append(len(ids))
+        n_unk.append(sum(1 for i in ids if i == unk_id))
+        ids_crc.append(zlib.crc32(np.asarray(ids, dtype=np.int64).tobytes()))
+        decoded.append(out)
+        roundtrip.append(int(out == text))
     return pa.Table.from_pydict(
         {
             "doc_id": t.column("doc_id"),
@@ -2498,6 +2564,7 @@ BUILDERS = {
     "q_decode_hf_unigram": q_decode_hf_unigram,
     "q_decode_hf_suffix": q_decode_hf_suffix,
     "q_decode_hf_metaspace": q_decode_hf_metaspace,
+    "q_decode_hf_spbpe": q_decode_hf_spbpe,
     "q_decode_unigram": q_decode_unigram,
     "q_pack_sequences": q_pack_sequences,
     "q_fingerprints": q_fingerprints,

@@ -717,6 +717,62 @@ def q_decode_hf_metaspace(sf_dir: str):
     )
 
 
+HF_SPBPE_FIXTURE = os.path.join(
+    os.path.dirname(HF_TOKENIZER_FIXTURE), "tokenizer_spbpe.json"
+)
+
+
+class HfSpBpeRoundTrip:
+    """documents → encode→decode through a sentencepiece-BPE tokenizer
+    loaded from a ``tokenizer.json`` with ``model.type == "BPE"`` plus a
+    ``Metaspace`` pre_tokenizer — the Marian / XLM export shape
+    (reference common.rs:259-301 dispatch; hf_tokenizers.rs
+    BPE-with-Metaspace arm).  Word boundaries are carried IN the ids by
+    the ▁ word-start marker, so decode needs no word_indices and is
+    lossless on single-spaced text: ``roundtrip`` is strict equality
+    with no cleanup pass.  ``ids_crc`` binds merge order, unk mapping
+    and the id table into the oracle hash — the expected builder
+    re-derives ids from the same file with a training-order merge
+    engine (Sennrich formulation), so a loader or merge-loop bug flips
+    the hash."""
+
+    def __init__(self, path: str = HF_SPBPE_FIXTURE):
+        from rust_bert_ray.hf_tokenizers import load_hf_tokenizer
+
+        self.tokenizer = load_hf_tokenizer(path)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tk = self.tokenizer
+        n_pieces, n_unk, ids_crc, decoded, roundtrip = [], [], [], [], []
+        for text in batch.column("text").to_pylist():
+            enc = tk.encode(text)
+            out = tk.decode(enc.ids)
+            n_pieces.append(len(enc.ids))
+            n_unk.append(sum(1 for i in enc.ids if i == tk.unk_id))
+            ids_crc.append(zlib.crc32(np.asarray(enc.ids, dtype=np.int64).tobytes()))
+            decoded.append(out)
+            roundtrip.append(int(out == text))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_pieces": pa.array(n_pieces, type=pa.int64()),
+                "n_unk": pa.array(n_unk, type=pa.int64()),
+                "ids_crc": pa.array(ids_crc, type=pa.int64()),
+                "decoded": pa.array(decoded, type=pa.string()),
+                "roundtrip": pa.array(roundtrip, type=pa.int64()),
+            }
+        )
+
+
+def q_decode_hf_spbpe(sf_dir: str):
+    """tokenizer.json-loaded sentencepiece-BPE (Marian/XLM family)
+    encode→decode round-trip per document."""
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+    return docs.map_batches(
+        HfSpBpeRoundTrip, batch_format="pyarrow", batch_size=65536, concurrency=2
+    )
+
+
 class UnigramRoundTrip:
     """documents → unigram-LM (SentencePiece-family) encode → decode
     round-trip — the third subword algorithm family the reference

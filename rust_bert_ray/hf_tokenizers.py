@@ -8,7 +8,9 @@ model hub ships; we construct the matching in-repo tokenizer family:
 - ``model.type == "BPE"``       → :class:`ByteLevelBpeTokenizer`, or
   :class:`SuffixBpeTokenizer` when ``end_of_word_suffix`` is set (the
   OpenAI-GPT / CTRL serialization; a ``Lowercase`` normalizer section
-  is honored)
+  is honored), or :class:`MetaspaceBpeTokenizer` when the document
+  carries a ``Metaspace`` pre_tokenizer (the Marian / XLM
+  sentencepiece-BPE export; hf_tokenizers.rs BPE-with-Metaspace arm)
 - ``model.type == "WordPiece"`` → :class:`WordPieceTokenizer`
 - ``model.type == "Unigram"``   → :class:`UnigramTokenizer` (the
   sentencepiece-family serialization: ordered ``[piece, logp]`` vocab
@@ -26,7 +28,11 @@ from __future__ import annotations
 
 import json
 
-from rust_bert_ray.bpe import ByteLevelBpeTokenizer, SuffixBpeTokenizer
+from rust_bert_ray.bpe import (
+    ByteLevelBpeTokenizer,
+    MetaspaceBpeTokenizer,
+    SuffixBpeTokenizer,
+)
 from rust_bert_ray.tokenization import WordPieceTokenizer
 from rust_bert_ray.unigram import UnigramTokenizer
 
@@ -40,6 +46,32 @@ def load_hf_tokenizer(path: str, cache_cap: int = 500_000):
     model = doc.get("model") or {}
     mtype = model.get("type")
     if mtype == "BPE":
+        pre = doc.get("pre_tokenizer") or {}
+        ptype = pre.get("type")
+        if ptype == "Metaspace":
+            # sentencepiece-BPE (Marian/XLM export): whitespace
+            # pre-tokenization + word-START marker.  A suffix-marked
+            # Metaspace BPE is no serialization HF emits — fail fast
+            # rather than mis-tokenize.
+            if model.get("end_of_word_suffix"):
+                raise ValueError(
+                    "tokenizer.json combines a Metaspace pre_tokenizer "
+                    "with end_of_word_suffix — no supported BPE family "
+                    "uses both; refusing to guess"
+                )
+            return MetaspaceBpeTokenizer.from_hf(
+                model,
+                marker=pre.get("replacement") or "▁",
+                cache_cap=cache_cap,
+            )
+        if ptype not in (None, "ByteLevel"):
+            # The byte-level table only round-trips text that was
+            # pre-tokenized the GPT-2 way; any other pre_tokenizer
+            # means a family this loader doesn't implement.
+            raise ValueError(
+                f"unsupported BPE pre_tokenizer {ptype!r}; supported: "
+                "ByteLevel (or none), Metaspace"
+            )
         if model.get("end_of_word_suffix"):
             norm = doc.get("normalizer") or {}
             lower = norm.get("type") == "Lowercase" or bool(
