@@ -1479,7 +1479,7 @@ def _sig_matrix(col) -> np.ndarray:
     return buf[start : start + len(fixed) * 128].view(np.uint16).reshape(len(fixed), 64)
 
 
-def _seen_minhash_index(sf_dir: str) -> str:
+def _seen_minhash_index(sf_dir: str, band_cap: int = 200) -> str:
     """Persisted band-partitioned LSH index of the already-ingested
     snapshot: ``(band_hash, doc_id, signature)`` rows under
     ``band=K`` dirs (hive layout; fingerprint-invalidated).
@@ -1488,7 +1488,20 @@ def _seen_minhash_index(sf_dir: str) -> str:
     is represented by keys + uint16-packed signatures only
     (16 bands × ~150 B ≈ 2.4 KB/doc of index vs re-shingling the full
     text at every ingest).  Appending snapshot N+1 is writing its band
-    rows into the same band dirs."""
+    rows into the same band dirs (an appender must re-apply the same
+    per-bucket cap against existing bucket occupancy).
+
+    Hot-band cap (the batch pipeline's ``bucket_cap`` precedent,
+    :func:`dedup_minhash_pairs`): each ``(band, band_hash)`` bucket
+    keeps at most ``band_cap`` rows — the lowest doc_ids, deterministic
+    — so a massive boilerplate cluster can never make a query-time join
+    quadratic (|arriving| × |seen| in one bucket).  An arriving doc
+    colliding with a capped bucket compares against ``band_cap``
+    representatives; recall degrades only when > ``band_cap`` seen docs
+    share a band hash AND none of the retained representatives is
+    similar enough — for the boilerplate clusters that create hot bands
+    the representatives ARE the cluster.  Enforced at BUILD time so the
+    index itself is bounded per bucket (≤ band_cap × 2.4 KB)."""
     import json
 
     src = os.path.join(sf_dir, "documents.parquet")
@@ -1498,7 +1511,9 @@ def _seen_minhash_index(sf_dir: str) -> str:
         f"{os.path.basename(os.path.normpath(sf_dir))}-"
         f"{zlib.crc32(os.path.abspath(sf_dir).encode()) & 0xFFFFFFFF:08x}"
     )
-    base = os.path.join(_SEEN_MINHASH_ROOT, sf_tag, f"v{_SEEN_MINHASH_VERSION}")
+    base = os.path.join(
+        _SEEN_MINHASH_ROOT, sf_tag, f"v{_SEEN_MINHASH_VERSION}-cap{band_cap}"
+    )
     meta_path = os.path.join(base, "meta.json")
     if os.path.exists(meta_path):
         with open(meta_path, encoding="utf-8") as f:
@@ -1517,10 +1532,41 @@ def _seen_minhash_index(sf_dir: str) -> str:
         import shutil
 
         shutil.rmtree(tmp)
-    # bounded file count, same rationale as _seen_digest_index
+
+    n_cap_buckets = 16
+
+    def add_cap_bucket(t: pa.Table) -> pa.Table:
+        key = pc.add(
+            pc.multiply(pc.cast(t.column("band"), pa.int64()), 1_000_003),
+            t.column("band_hash"),
+        )
+        bucket = pc.subtract(
+            key, pc.multiply(pc.divide(key, n_cap_buckets), n_cap_buckets)
+        )
+        return t.append_column("_bucket", pc.cast(bucket, pa.int64()))
+
+    def cap_buckets(df: pd.DataFrame) -> pa.Table:
+        # ONE vectorized pass per hash bucket (not per (band, band_hash)
+        # group — pandas per-group iteration over many tiny groups is
+        # the known bottleneck): sort puts every bucket's lowest doc_ids
+        # first, cumcount truncates.  Arrow out: these blocks feed a
+        # repartition exchange.
+        df = df.sort_values(["band", "band_hash", "doc_id"])
+        keep = df.groupby(["band", "band_hash"]).cumcount() < band_cap
+        return pa.Table.from_pandas(
+            df.loc[keep, ["band", "band_hash", "doc_id", "signature"]],
+            preserve_index=False,
+        )
+
+    # bounded file count after the cap exchange, same rationale as
+    # _seen_digest_index (fact: map tasks × partition values = files)
     _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         seen_rows, batch_format="pyarrow", batch_size=None
-    ).repartition(4).write_parquet(
+    ).map_batches(add_cap_bucket, batch_format="pyarrow").groupby(
+        "_bucket", num_partitions=8
+    ).map_groups(cap_buckets, batch_format="pandas").repartition(
+        4
+    ).write_parquet(
         os.path.join(tmp, "data"), partition_cols=["band"]
     )
     with open(os.path.join(tmp, "meta.json"), "w", encoding="utf-8") as f:
@@ -1539,7 +1585,10 @@ def _seen_minhash_index(sf_dir: str) -> str:
 
 
 def dedup_incremental_minhash(
-    sf_dir: str, threshold: float = 0.5, num_partitions: int = 16
+    sf_dir: str,
+    threshold: float = 0.5,
+    num_partitions: int = 16,
+    band_cap: int = 200,
 ):
     """Cross-snapshot NEAR-duplicate detection: which arriving documents
     are MinHash-near-dups of the already-ingested corpus?
@@ -1555,16 +1604,19 @@ def dedup_incremental_minhash(
     MAX estimate over its candidates is kept and docs at or above
     ``threshold`` are reported.
 
-    Scale note: a hot band bucket (massive boilerplate cluster) costs
-    |arriving|×|seen| join rows in that bucket; the batch pipeline's
-    ``bucket_cap`` precedent applies if that arises — left exact here
-    so the oracle states the full semantics.
+    Hot-band bound: the persisted index keeps at most ``band_cap`` rows
+    per ``(band, band_hash)`` bucket (see :func:`_seen_minhash_index`),
+    so the join emits ≤ 16 × band_cap rows per arriving doc — linear in
+    arrivals, never |arriving|×|seen| on a boilerplate cluster.  Below
+    the cap results are EXACT (the driver oracle runs uncapped brute
+    force); above it recall degrades deterministically, correctness
+    never.
     """
     import glob
 
     from ray.data.aggregate import Max
 
-    base = _seen_minhash_index(sf_dir)
+    base = _seen_minhash_index(sf_dir, band_cap=band_cap)
     files = sorted(glob.glob(os.path.join(base, "data", "band=*", "*.parquet")))
     # the hive partition column `band` lives in the path; re-derive it
     # per row from the file path (include_paths) so the join key
