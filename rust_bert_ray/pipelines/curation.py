@@ -19,12 +19,14 @@ Scale shape at 100 TB (each stage documented at its home operator):
 - stage 3's exchange carries (16-B digest, doc_id) only;
 - stage 5 is the histogram-prefix rank (one bucketed groupby);
 - the contaminated-id drop list is collected once (structurally small:
-  eval-overlap hits); the duplicate-id drop list is applied
-  ADAPTIVELY exactly as ``dedup_exact`` does: ``≤ broadcast_limit``
-  drops → driver collects once + ``ray.put`` broadcast filter;
-  above it the list never touches the driver — a hash-partitioned
-  ``left_anti`` join removes it with per-partition memory only
-  (web corpora can be duplicate-MAJORITY);
+  eval-overlap hits); the duplicate-id drop list is CHECKPOINTED to
+  parquet (8 B/row on disk, count read from the footers — never pinned
+  in the object store: duplicate-majority web corpora make it ~8 TB at
+  10^12 docs) and applied ADAPTIVELY exactly as ``dedup_exact`` does:
+  ``≤ broadcast_limit`` drops → driver reads the small files once +
+  ``ray.put`` broadcast filter; above it the list never touches the
+  driver — a hash-partitioned ``left_anti`` join re-streams the files
+  with per-partition memory only;
 - the curated (doc_id, lang) set is CHECKPOINTED to partitioned
   parquet (atomic tmp+rename, pipelines/checkpoint contract) and the
   two shuffle-rank passes re-STREAM it from disk — nothing is pinned
@@ -42,6 +44,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 import ray
 import ray.data
@@ -147,21 +150,41 @@ def curate(
         survivors.map_batches(add_digest, batch_format="pyarrow", batch_size=None)
         .groupby("_bucket", num_partitions=16)
         .map_groups(drops_per_bucket, batch_format="pandas")
-        .materialize()  # (doc_id)-only rows; stays in the object store
     )
+
+    # ---- checkpoint the drop-list to parquet instead of materialize():
+    # on a duplicate-majority web corpus the (doc_id)-only list is still
+    # ~8 TB at 10^12 docs — pinning it in the object store before count()
+    # picks the path spills for nothing.  8 B/row on disk; the row count
+    # comes from the parquet FOOTERS (metadata-only read), and the join
+    # path re-streams the files.
+    from rust_bert_ray.pipelines.checkpoint import atomic_write_parquet, digest
+
+    ckpt_dir = checkpoint_dir or os.path.join(
+        CKPT_ROOT, digest(os.path.abspath(sf_dir), min_tokens, "v1"), "curated"
+    )
+    drops_dir = ckpt_dir + ".drops"
+    atomic_write_parquet(drops, drops_dir)
+    drop_files = sorted(glob.glob(os.path.join(drops_dir, "*.parquet")))
+    n_drops = sum(pq.ParquetFile(f).metadata.num_rows for f in drop_files)
 
     # Adaptive drop-list application (mirrors functions/dedup.dedup_exact):
     # duplicate-MAJORITY corpora must never collect the list to the driver.
-    if drops.count() > broadcast_limit:
+    if n_drops > broadcast_limit:
         dup_ref = None
         deduped = survivors.join(
-            drops, "left_anti", num_partitions=16, on=("doc_id",)
+            ray.data.read_parquet(drop_files),
+            "left_anti",
+            num_partitions=16,
+            on=("doc_id",),
         )
     else:
-        dup_df = drops.to_pandas()  # small side (duplicates minority)
         dup_ids = (
-            dup_df["doc_id"].to_numpy(np.int64)
-            if "doc_id" in dup_df.columns
+            pq.read_table(drop_files, columns=["doc_id"])
+            .column("doc_id")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            if drop_files
             else np.empty(0, np.int64)
         )
         dup_ref = ray.put(np.sort(dup_ids))
@@ -200,11 +223,6 @@ def curate(
     # passes — never pinned in the object store (at 10^12 docs a
     # materialized manifest is ~16 TB).  16 B/row on disk; a resumable
     # production run keys this dir per input partition (checkpoint.py).
-    from rust_bert_ray.pipelines.checkpoint import atomic_write_parquet, digest
-
-    ckpt_dir = checkpoint_dir or os.path.join(
-        CKPT_ROOT, digest(os.path.abspath(sf_dir), min_tokens, "v1"), "curated"
-    )
     atomic_write_parquet(sampled, ckpt_dir)
     if glob.glob(os.path.join(ckpt_dir, "*.parquet")):
         sampled = ray.data.read_parquet(ckpt_dir)
