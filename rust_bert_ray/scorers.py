@@ -290,6 +290,72 @@ class TensorTagScorer(DeterministicTagScorer):
     ``NerStage(scorer=...)`` + ``ner_ray_remote_args={"num_gpus": 1}``.
     """
 
+    # ------------------------------------------- serialized weights ----
+    # The reference's VarStore::load boundary (token_classification.rs:
+    # 511-513: weights come from a FILE named by a ModelResource, loaded
+    # once when the pipeline is built).  Here the scorer's "weights" are
+    # the gazetteer table + the logit scale; a real torch/ONNX backend
+    # stores its tensors the same way (one archive, validated label
+    # head) and loads them in the same place — the actor __init__ via
+    # ``NerStage(scorer_weights=...)``.
+
+    WEIGHTS_FORMAT = "rbr-tag-scorer-v1"
+
+    def save_npz(self, path: str) -> str:
+        """Serialize this scorer's parameters to an ``.npz`` archive."""
+        surfaces, labels = [], []
+        for entries in self.index.values():
+            for parts, label in entries:
+                surfaces.append(" ".join(parts))
+                labels.append(label)
+        order = np.argsort(np.asarray(surfaces))
+        np.savez(
+            path,
+            format=np.asarray(self.WEIGHTS_FORMAT),
+            label_names=np.asarray(NER_LABELS),
+            base_logit=np.float64(self.BASE_LOGIT),
+            surfaces=np.asarray(surfaces)[order],
+            labels=np.asarray(labels)[order],
+        )
+        return path
+
+    @classmethod
+    def from_npz(cls, resource) -> "TensorTagScorer":
+        """Construct from serialized weights.
+
+        ``resource`` is a local path OR any ResourceProvider
+        (``get_local_path()`` — RemoteResource downloads/caches with
+        sha256 + atomic rename, so a partial fetch never loads).  The
+        label head is validated against this build's NER_LABELS: a
+        weights file trained for a different label set must fail fast,
+        never mis-index logit columns silently."""
+        path = (
+            resource.get_local_path()
+            if hasattr(resource, "get_local_path")
+            else resource
+        )
+        with np.load(path, allow_pickle=False) as z:
+            fmt = str(z["format"])
+            if fmt != cls.WEIGHTS_FORMAT:
+                raise ValueError(
+                    f"unsupported weights format {fmt!r}; expected "
+                    f"{cls.WEIGHTS_FORMAT!r}"
+                )
+            label_names = [str(x) for x in z["label_names"]]
+            if label_names != list(NER_LABELS):
+                raise ValueError(
+                    "weights label head does not match this build's "
+                    f"NER_LABELS: {label_names} != {list(NER_LABELS)}"
+                )
+            gazetteer = {
+                str(s): str(lab)
+                for s, lab in zip(z["surfaces"], z["labels"])
+            }
+            base_logit = float(z["base_logit"])
+        scorer = cls(gazetteer)
+        scorer.BASE_LOGIT = base_logit
+        return scorer
+
     def forward(
         self,
         input_ids: np.ndarray,

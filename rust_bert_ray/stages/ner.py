@@ -198,10 +198,23 @@ class NerStage:
         memo_cap: int = 200_000,
         tokenizer=None,
         scorer=None,
+        scorer_weights=None,
     ):
         # ``tokenizer``/``scorer`` are injectable (the reference's
         # new_with_tokenizer + ModelResource hooks, SURVEY.md §2.10): any
         # object with .encode() / .tag_words()+.logits_for_pieces() works.
+        # ``scorer_weights`` (a path or ResourceProvider to an .npz) is
+        # the serialized-model boundary: the load happens HERE, once per
+        # actor — NerStage is the map_batches actor class, so a weights
+        # file is fetched/parsed per pool member, never shipped through
+        # the driver's task closure (the reference's VarStore::load at
+        # pipeline build, token_classification.rs:511-513).
+        if scorer_weights is not None:
+            if scorer is not None:
+                raise ValueError("pass scorer OR scorer_weights, not both")
+            from rust_bert_ray.scorers import TensorTagScorer
+
+            scorer = TensorTagScorer.from_npz(scorer_weights)
         self.tokenizer = tokenizer or SubwordTokenizer(piece_len=piece_len)
         self.scorer = scorer or DeterministicTagScorer(gazetteer)
         self.max_length = max_length

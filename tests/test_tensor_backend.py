@@ -114,3 +114,96 @@ def test_kg_triples_green_under_tensor_backend(ray_session):
     )
     assert len(base) > 0
     assert base.equals(swapped)  # P/R 1.0 vs the reference-path triples
+
+
+# ------------------------------------------------- serialized weights ----
+
+
+def test_npz_weights_roundtrip(tmp_path):
+    """save_npz → from_npz reproduces the scorer exactly: same gazetteer
+    table, same logit scale, bit-identical stage output."""
+    sc = TensorTagScorer(GAZETTEER)
+    p = sc.save_npz(str(tmp_path / "tag_weights.npz"))
+    loaded = TensorTagScorer.from_npz(p)
+    assert loaded.BASE_LOGIT == sc.BASE_LOGIT
+
+    ref = NerStage(GAZETTEER, scorer=sc)
+    alt = NerStage(GAZETTEER, scorer=loaded)
+    assert ref(_spans_batch(TEXTS)).equals(alt(_spans_batch(TEXTS)))
+
+
+def test_nerstage_loads_weights_via_resource_provider(tmp_path):
+    """NerStage(scorer_weights=...) is the VarStore::load boundary: a
+    RemoteResource (file:// here; http is the same code) is fetched and
+    parsed in __init__ — once per actor — and the stage takes the
+    batched-tensor path."""
+    from rust_bert_ray.sources.resources import RemoteResource
+
+    p = TensorTagScorer(GAZETTEER).save_npz(str(tmp_path / "w.npz"))
+    res = RemoteResource("file://" + p, cache_subdir="test_tag_weights")
+    stage = NerStage(GAZETTEER, scorer_weights=res)
+    assert stage._tensor and not stage._fast
+    ref = NerStage(GAZETTEER)
+    assert ref(_spans_batch(TEXTS)).equals(stage(_spans_batch(TEXTS)))
+
+
+def test_nerstage_rejects_scorer_and_weights_together(tmp_path):
+    import pytest
+
+    p = TensorTagScorer(GAZETTEER).save_npz(str(tmp_path / "w.npz"))
+    with pytest.raises(ValueError, match="not both"):
+        NerStage(GAZETTEER, scorer=TensorTagScorer(GAZETTEER), scorer_weights=p)
+
+
+def test_from_npz_rejects_mismatched_label_head(tmp_path):
+    """A weights file for a different label set must fail fast, never
+    silently mis-index logit columns."""
+    import numpy as np
+    import pytest
+
+    p = str(tmp_path / "bad.npz")
+    np.savez(
+        p,
+        format=np.asarray(TensorTagScorer.WEIGHTS_FORMAT),
+        label_names=np.asarray(["O", "B-FOO", "I-FOO"]),
+        base_logit=np.float64(5.0),
+        surfaces=np.asarray(["x"]),
+        labels=np.asarray(["FOO"]),
+    )
+    with pytest.raises(ValueError, match="label head"):
+        TensorTagScorer.from_npz(p)
+    p2 = str(tmp_path / "badfmt.npz")
+    np.savez(p2, format=np.asarray("something-else"))
+    with pytest.raises(ValueError, match="format"):
+        TensorTagScorer.from_npz(p2)
+
+
+def test_kg_triples_green_under_file_loaded_scorer(ray_session, tmp_path):
+    """Flagship extraction at sf0.001 corpus scale is unchanged when the
+    NER actor pool loads its scorer from a weights FILE (the round-4
+    verdict's 'done' criterion for the serialized-weights loader)."""
+    import ray.data
+
+    from rust_bert_ray.corpus import write_corpus
+    from rust_bert_ray.pipelines.kg import extract_and_link
+
+    weights = TensorTagScorer(GAZETTEER).save_npz(str(tmp_path / "kg_w.npz"))
+    docs_dir = write_corpus("/tmp/rbr_corpus/1000", 1000, shard_rows=500)
+    docs = ray.data.read_parquet(docs_dir)
+
+    base = (
+        extract_and_link(docs, batch_size=None)
+        .to_pandas()
+        .sort_values(["doc_id", "subj", "pred", "obj"], ignore_index=True)
+    )
+    loaded = (
+        extract_and_link(
+            docs,
+            batch_size=None,
+            ner_stage_kwargs={"scorer_weights": weights},
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "subj", "pred", "obj"], ignore_index=True)
+    )
+    assert len(base) > 0
+    assert base.equals(loaded)
