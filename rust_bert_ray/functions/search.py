@@ -38,6 +38,7 @@ import zlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -65,33 +66,47 @@ def _term_bucket(term: str) -> int:
 
 class PostingsBuilder:
     """documents → one posting row per (doc, term): tf + denormalized
-    doclen, bucketed by term hash."""
+    doclen, bucketed by term hash.
+
+    Vectorized (STATS.md microbench: 2.6× over the per-doc dict loop on
+    sf0.1, identical output): Arrow lowercase + regex split + flatten,
+    then dictionary-encode terms so per-(doc, term) tf is ONE
+    ``np.unique`` over packed int keys and the crc bucket loop runs per
+    DISTINCT term (vocab-sized), not per posting."""
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        doc_ids, terms, tfs, doclens, buckets = [], [], [], [], []
-        for doc_id, text in zip(
-            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
-        ):
-            toks = _TOKEN_RE.findall(text.lower())
-            if not toks:
-                continue
-            counts: dict[str, int] = {}
-            for tok in toks:
-                counts[tok] = counts.get(tok, 0) + 1
-            n = len(toks)
-            for term, tf in counts.items():
-                doc_ids.append(doc_id)
-                terms.append(term)
-                tfs.append(tf)
-                doclens.append(n)
-                buckets.append(_term_bucket(term))
+        texts = pc.utf8_lower(t.column("text"))
+        lists = pc.split_pattern_regex(texts, "[^a-z0-9]+")
+        flat = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists)
+        mask = pc.not_equal(flat, "")
+        flat = flat.filter(mask)
+        parent = parents.filter(mask).to_numpy()
+        doclen_per_doc = np.bincount(parent, minlength=t.num_rows)
+        d = flat.dictionary_encode()
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        codes = d.indices.to_numpy()
+        dict_vals = d.dictionary
+        nterms = max(len(dict_vals), 1)
+        keys = parent.astype(np.int64) * nterms + codes.astype(np.int64)
+        uk, tf = np.unique(keys, return_counts=True)
+        u_parent = (uk // nterms).astype(np.int64)
+        u_code = (uk % nterms).astype(np.int64)
+        vocab_buckets = np.array(
+            [zlib.crc32(s.encode()) % N_BUCKETS for s in dict_vals.to_pylist()],
+            dtype=np.int64,
+        ) if len(dict_vals) else np.empty(0, dtype=np.int64)
         return pa.Table.from_pydict(
             {
-                "doc_id": pa.array(doc_ids, type=pa.int64()),
-                "term": pa.array(terms, type=pa.string()),
-                "tf": pa.array(tfs, type=pa.int64()),
-                "doclen": pa.array(doclens, type=pa.int64()),
-                "bucket": pa.array(buckets, type=pa.int64()),
+                "doc_id": pa.array(
+                    t.column("doc_id").to_numpy(zero_copy_only=False)[u_parent],
+                    type=pa.int64(),
+                ),
+                "term": pc.cast(dict_vals.take(pa.array(u_code)), pa.string()),
+                "tf": pa.array(tf, type=pa.int64()),
+                "doclen": pa.array(doclen_per_doc[u_parent], type=pa.int64()),
+                "bucket": pa.array(vocab_buckets[u_code], type=pa.int64()),
             }
         )
 
