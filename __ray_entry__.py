@@ -231,6 +231,27 @@ def _bm25_search(sf_dir: str):
     return bm25_search(sf_dir)
 
 
+def _bm25_search_many(sf_dir: str):
+    """Batched multi-query BM25: one pruned pass over the postings index
+    scores a whole query table (per-row contribution computed once,
+    fanned out via a broadcast term→query map); per-query streaming
+    top-k.  The serving amortization — n queries share one index read
+    (functions/search.py bm25_search_many)."""
+    from rust_bert_ray.functions.search import bm25_search_many
+
+    return bm25_search_many(sf_dir)
+
+
+def _ann_pq_topk_many(sf_dir: str):
+    """Batched multi-query PQ ANN: one scan of the 8 B/vector code table
+    ADC-scores a query table against per-query broadcast distance
+    tables; per-query local prune keeps the exchange at ≤ nq×k rows per
+    block (functions/similarity.py ann_pq_topk_many)."""
+    from rust_bert_ray.functions.similarity import ann_pq_topk_many
+
+    return ann_pq_topk_many(sf_dir)
+
+
 def _rerank_search(sf_dir: str):
     """Retrieve-then-rerank: dense candidates widened to the rerank pool,
     cross-encoder pair rescoring, streaming top-k (functions/search.py
@@ -695,9 +716,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q_decode_unigram, q_decode_bpe and q_pack_sequences.
     (dedup_clusters / dedup_clusters_minhash moved BACK into the window
     when the connected-components reducer sizing changed this session —
-    the rule is: anything whose code changed is gated.)  Every
-    entry, gated or not, is verified by the local mirror
-    (tools/check_oracles.py) against the same oracles each round.
+    the rule is: anything whose code changed is gated.)  Round-5
+    rotation: the batched-retrieval additions (bm25_search_many,
+    ann_pq_topk_many) enter the window next to their single-query
+    siblings, and dedup_incremental_minhash moves back inside it (its
+    hot-band cap changed this round); q_gopher_quality, q_pii_scan and
+    q_ngram_stats (driver-green r3+r4, quality.py untouched) rotate to
+    the tail to make room.  Every entry, gated or not, is verified by
+    the local mirror (tools/check_oracles.py) against the same oracles
+    each round.
     """
     from rust_bert_ray.functions import (
         clustering,
@@ -721,10 +748,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq_topk": _ann_pq_topk,
         "ann_ivfpq_topk": _ann_ivfpq_topk,
         "ann_pq_rerank_topk": _ann_pq_rerank_topk,
+        "bm25_search_many": _bm25_search_many,
+        "ann_pq_topk_many": _ann_pq_topk_many,
         "q_dsir_weights": text.q_dsir_weights,
-        "q_gopher_quality": quality.q_gopher_quality,
-        "q_pii_scan": quality.q_pii_scan,
-        "q_ngram_stats": quality.q_ngram_stats,
         "q_distinct_sketch": quality.q_distinct_sketch,
         # --- KG construction (interleaved corpus; north rule) ---
         "kg_triples": _kg_triples,
@@ -788,6 +814,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pack_sequences": text.q_pack_sequences,
         # --- tail rotation (see docstring): driver-green in rounds 2-3,
         #     local-mirror-verified every round ---
+        "q_gopher_quality": quality.q_gopher_quality,
+        "q_pii_scan": quality.q_pii_scan,
+        "q_ngram_stats": quality.q_ngram_stats,
         "q_summarize": _q_summarize,
         "q_translate_m2m": _q_translate_m2m,
         "kg_media_frames": _kg_media_frames,
@@ -915,7 +944,7 @@ GROUP BY 1, 2
             "kg_media_features", "dedup_minhash_pairs", "dedup_simhash_pairs",
             "dedup_embedding_lsh_pairs", "dedup_incremental_minhash", "dedup_clusters_minhash",
             "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk",
-            "ann_pq_rerank_topk",
+            "ann_pq_rerank_topk", "ann_pq_topk_many",
             "q_embed_clusters", "dedup_semantic", "q_lm_scores",
             "q_dsir_weights", "kg_kcore", "rag_search", "rerank_search",
         )
@@ -937,6 +966,7 @@ GROUP BY 1, 2
         "kg_pagerank": kg_pagerank_sql,
         "kg_similar_nodes": kg_similar_nodes_sql,
         "bm25_search": search.bm25_search_sql(),
+        "bm25_search_many": search.bm25_search_many_sql(),
         "hybrid_search": search.hybrid_search_sql(
             f"{_EXPECTED_DIR}/rag_search.parquet"
         ),

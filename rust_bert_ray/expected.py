@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 from rust_bert_ray.functions.util import embedding_matrix
 
 EXPECTED_ROOT = "/tmp/rbr_expected"
-VERSION = 38  # bump whenever any builder's semantics change OR a builder is added
+VERSION = 39  # bump whenever any builder's semantics change OR a builder is added
 
 
 # ------------------------------------------------------------ input helpers
@@ -1972,6 +1972,30 @@ def ann_pq_rerank_topk(
     return _topk_table(ids[mask], cos[mask], k)
 
 
+def ann_pq_topk_many(
+    sf_dir: str, corpus_root: str, k: int = 10,
+    m: int = 8, n_centroids: int = 16, sample_rows: int = 256,
+) -> pa.Table:
+    """Batched-query PQ reference: the single-query builder above run
+    per query vec_id (so every branch keeps its independently-derived
+    ADC/ranking spec), tagged and concatenated — the per-query results
+    MUST equal ann_pq_topk's, which is exactly what the distributed
+    ``ann_pq_topk_many`` promises of its one-scan amortization."""
+    from rust_bert_ray.functions.similarity import MANY_QUERY_VEC_IDS
+
+    parts = []
+    for qid in MANY_QUERY_VEC_IDS:
+        t = ann_pq_topk(sf_dir, corpus_root, qid, k, m, n_centroids, sample_rows)
+        parts.append(
+            t.add_column(
+                0,
+                "query_vec_id",
+                pa.array(np.full(t.num_rows, qid, dtype=np.int64), type=pa.int64()),
+            )
+        )
+    return pa.concat_tables(parts)
+
+
 def q_bpe_merges(
     sf_dir: str, corpus_root: str, n_merges: int = 40,
     min_count: int = 2, max_words: int = 100_000,
@@ -2582,6 +2606,7 @@ BUILDERS = {
     "dedup_semantic": dedup_semantic,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_pq_topk": ann_pq_topk,
+    "ann_pq_topk_many": ann_pq_topk_many,
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "ann_pq_rerank_topk": ann_pq_rerank_topk,
     "q_bpe_merges": q_bpe_merges,

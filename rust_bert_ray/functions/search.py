@@ -375,6 +375,177 @@ def bm25_search_sql(query: str = DEFAULT_QUERY, k: int = 10) -> str:
     return BM25_SEARCH_SQL_TEMPLATE.format(terms=quoted, k1=K1, b=B, k=k)
 
 
+MANY_QUERIES = {
+    0: DEFAULT_QUERY,
+    1: "window merge batch order",
+    2: "stream filter slow query",
+    3: "table column value agg",
+}
+
+
+def bm25_search_many(sf_dir: str, queries: dict[int, str] | None = None, k: int = 10):
+    """Batched multi-query BM25: ONE pruned pass over the postings index
+    scores a whole query TABLE — n queries share the index read instead
+    of n per-call scans (the serving amortization, mirror of
+    ``ann_pq_topk_many``).
+
+    Probed buckets are the UNION of all queries' term buckets; df/idf is
+    computed once per distinct term (query-independent).  The score pass
+    computes each posting row's BM25 contribution ONCE, then fans it out
+    to the queries containing the term via a broadcast (term → query_id)
+    table — per-batch partial sums keyed by a packed
+    ``query_id·2^42 + doc_id`` int64 keep the exchange to one small
+    groupby; :func:`grouped_topk` finishes with ≤ |queries|×k rows.
+    Per-query scoring algebra is IDENTICAL to :func:`bm25_search`.
+    Output: (query_id, doc_id, score)."""
+    from rust_bert_ray.functions.util import grouped_topk
+
+    qs = MANY_QUERIES if queries is None else queries
+    qterms = {
+        int(qid): sorted(set(_TOKEN_RE.findall(q.lower())))
+        for qid, q in qs.items()
+    }
+    all_terms = sorted(set().union(*qterms.values()) if qterms else set())
+    empty = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64()),
+            }
+        )
+    )
+    if not all_terms:
+        return empty
+    base, meta = ensure_bm25_index(sf_dir)
+    n_docs = meta["n_docs"]
+    avgdl = meta["total_len"] / n_docs if n_docs else 1.0
+    files = _probed_files(base, [_term_bucket(t) for t in all_terms])
+    if not files:
+        return empty
+    term_set = set(all_terms)
+
+    postings = ray.data.read_parquet(files, columns=["doc_id", "term", "tf", "doclen"])
+
+    # pass 1: exact df per distinct term across ALL queries (tiny)
+    def df_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["term"].isin(term_set)]
+        g = df.groupby("term", as_index=False).agg(pdf=("doc_id", "size"))
+        return pa.Table.from_pydict(
+            {
+                "term": pa.array(g["term"], type=pa.string()),
+                "pdf": pa.array(g["pdf"], type=pa.int64()),
+            }
+        )
+
+    df_rows = postings.map_batches(
+        df_partial, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    if df_rows.empty:
+        return empty
+    dfs = df_rows.groupby("term")["pdf"].sum().to_dict()
+    idf = {
+        t: math.log((n_docs - d + 0.5) / (d + 0.5) + 1.0)
+        for t, d in dfs.items()
+    }
+    # broadcast: idf + the (term, query_id) fan-out table
+    expand = pd.DataFrame(
+        [(t, qid) for qid, ts in sorted(qterms.items()) for t in ts if t in idf],
+        columns=["term", "query_id"],
+    )
+    bcast = ray.put((idf, expand))
+
+    class ScoreManyPartial:
+        def __init__(self, ref):
+            self.idf, self.expand = (
+                ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            )
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            df = df[df["term"].isin(self.idf)]
+            out_empty = pa.Table.from_pydict(
+                {
+                    "qd_key": pa.array([], type=pa.int64()),
+                    "p_score": pa.array([], type=pa.float64()),
+                }
+            )
+            if df.empty:
+                return out_empty
+            tf = df["tf"].to_numpy(dtype=np.float64)
+            dl = df["doclen"].to_numpy(dtype=np.float64)
+            # per-row contribution, computed ONCE (query-independent)
+            df = df.assign(
+                w=df["term"].map(self.idf).to_numpy(dtype=np.float64)
+                * (tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl)))
+            )
+            j = df.merge(self.expand, on="term")
+            if j.empty:
+                return out_empty
+            g = (
+                pd.DataFrame(
+                    {
+                        "qd_key": j["query_id"].to_numpy(dtype=np.int64)
+                        * (1 << 42)
+                        + j["doc_id"].to_numpy(dtype=np.int64),
+                        "p_score": j["w"].to_numpy(),
+                    }
+                )
+                .groupby("qd_key", as_index=False)["p_score"]
+                .sum()
+            )
+            return pa.Table.from_pydict(
+                {
+                    "qd_key": pa.array(g["qd_key"], type=pa.int64()),
+                    "p_score": pa.array(g["p_score"], type=pa.float64()),
+                }
+            )
+
+    from ray.data.aggregate import Sum
+
+    scored = (
+        postings.map_batches(
+            ScoreManyPartial(bcast), batch_format="pyarrow", batch_size=None
+        )
+        .groupby("qd_key", num_partitions=8)
+        .aggregate(Sum("p_score", alias_name="raw_score"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        key = t.column("qd_key").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "query_id": pa.array(key >> 42, type=pa.int64()),
+                "doc_id": pa.array(key & ((1 << 42) - 1), type=pa.int64()),
+                "score": pa.array(
+                    round_ha(t.column("raw_score").to_numpy(), 6),
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    return grouped_topk(
+        scored.map_batches(finalize, batch_format="pyarrow"),
+        "query_id",
+        ["score", "doc_id"],
+        [True, False],
+        k,
+    )
+
+
+def bm25_search_many_sql(queries: dict[int, str] | None = None, k: int = 10) -> str:
+    """Oracle: the single-query BM25 CTE per query, tagged and unioned —
+    each branch is the independently-derived native-SQL scorer."""
+    qs = MANY_QUERIES if queries is None else queries
+    parts = [
+        f"SELECT {int(qid)} AS query_id, doc_id, score "
+        f"FROM ({bm25_search_sql(q, k)})"
+        for qid, q in sorted(qs.items())
+    ]
+    return " UNION ALL ".join(parts)
+
+
 RRF_C = 60
 HYBRID_POOL = 10
 

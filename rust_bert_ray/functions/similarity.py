@@ -583,6 +583,110 @@ def ann_pq_topk(
     return topk(scored, ["dist", "vec_id"], [False, False], k)
 
 
+MANY_QUERY_VEC_IDS = (0, 7, 21, 42)
+
+
+def _query_matrix(sf_dir: str, query_vec_ids) -> np.ndarray:
+    """Fetch a SMALL batch of query vectors by key with ONE predicate-
+    pushdown read (row-group pruning), returned in ``query_vec_ids``
+    order — the batched analog of :func:`_query_vector`."""
+    import pyarrow.dataset as pads
+
+    ids = [int(x) for x in query_vec_ids]
+    ds = pads.dataset(os.path.join(sf_dir, "embeddings.parquet"))
+    t = ds.to_table(
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id").isin(ids),
+    )
+    found = {
+        int(v): np.array(e, dtype=np.float64)
+        for v, e in zip(t.column("vec_id").to_pylist(),
+                        t.column("embedding").to_pylist())
+    }
+    missing = [i for i in ids if i not in found]
+    if missing:
+        raise KeyError(f"vec_ids not found: {missing}")
+    return np.stack([found[i] for i in ids])
+
+
+def ann_pq_topk_many(
+    sf_dir: str,
+    query_vec_ids=MANY_QUERY_VEC_IDS,
+    k: int = 10,
+    m: int = PQ_M,
+    n_centroids: int = PQ_K,
+    sample_rows: int = PQ_SAMPLE,
+):
+    """Batched multi-query PQ top-k: ONE scan of the packed code table
+    scores a whole query TABLE (the serving amortization the per-call
+    API can't give — n queries reuse the same index read instead of n
+    scans).
+
+    Per-query ADC tables (m × n_centroids doubles each) are precomputed
+    driver-side with EXACTLY the single-query kernel expressions (same
+    float-op order → per-query results are bit-identical to
+    ``ann_pq_topk``, asserted in tests) and broadcast once via
+    ``ray.put``.  Each batch task scores all queries against its codes
+    (an (nq, batch) table-lookup sum), applies each query's
+    self-exclusion, and emits only its LOCAL per-query top-k — the
+    exchange carries ≤ nq×k rows per block into :func:`grouped_topk`.
+    At 10^12 vectors the cost is one 8 B/vector scan total, not per
+    query.  Output: (query_vec_id, vec_id, dist)."""
+    import glob
+
+    from rust_bert_ray.functions.util import grouped_topk, round_ha
+
+    base, _meta = ensure_pq_index(sf_dir, m, n_centroids, sample_rows)
+    books = pq_codebooks(sf_dir, m, n_centroids, sample_rows)
+    qids = [int(x) for x in query_vec_ids]
+    Q = _query_matrix(sf_dir, qids)
+    d = Q.shape[1] // m
+    # per-query tables with the single-query expression (bit parity),
+    # stacked per subspace: tabs[j] is (nq, n_centroids)
+    tabs = []
+    for j in range(m):
+        rows = []
+        for i in range(len(qids)):
+            qn = Q[i] / max(np.linalg.norm(Q[i]), 1e-300)
+            rows.append(
+                ((qn[j * d : (j + 1) * d][None, :] - books[j]) ** 2).sum(axis=1)
+            )
+        tabs.append(np.stack(rows))
+    bcast = ray.put((np.asarray(qids, dtype=np.int64), tabs))
+
+    def score(t: pa.Table) -> pa.Table:
+        q_arr, tables = ray.get(bcast)
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        codes = t.column("code").to_numpy(zero_copy_only=False)
+        # (nq, n) ADC sums, fixed subspace order (parity with
+        # pq_adc_scores' left-to-right adds)
+        dist = tables[0][:, codes & 15]
+        for j in range(1, len(tables)):
+            dist = dist + tables[j][:, (codes >> (4 * j)) & 15]
+        dist = round_ha(dist, 5)
+        out_q, out_v, out_d = [], [], []
+        for i, qid in enumerate(q_arr):
+            mask = ids != qid
+            dv, vv = dist[i][mask], ids[mask]
+            # local per-query prune: total order (dist asc, vec_id asc)
+            order = np.lexsort((vv, dv))[:k]
+            out_q.append(np.full(len(order), qid, dtype=np.int64))
+            out_v.append(vv[order])
+            out_d.append(dv[order])
+        return pa.Table.from_pydict(
+            {
+                "query_vec_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
+                "dist": pa.array(np.concatenate(out_d), type=pa.float64()),
+            }
+        )
+
+    files = sorted(glob.glob(os.path.join(base, "data", "*.parquet")))
+    ds = ray.data.read_parquet(files, columns=["vec_id", "code"])
+    scored = ds.map_batches(score, batch_format="pyarrow", batch_size=8192)
+    return grouped_topk(scored, "query_vec_id", ["dist", "vec_id"], [False, False], k)
+
+
 def ensure_ivfpq_index(
     sf_dir: str,
     n_centroids: int = 32,

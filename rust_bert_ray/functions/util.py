@@ -80,6 +80,35 @@ def topk(ds, keys: list[str], descending: list[bool], k: int):
     )
 
 
+def grouped_topk(
+    ds, group_key: str, keys: list[str], descending: list[bool], k: int
+):
+    """Per-group top-k without a sort shuffle (batched-query serving's
+    reduce step).
+
+    Same streaming prune as :func:`topk`, applied per group: each batch
+    keeps at most ``k`` rows PER group value (≤ groups×k survive per
+    block), then the pruned remainder coalesces to one block for the
+    final per-group head.  Valid for any number of groups, but the
+    single-block finish assumes groups×k is driver-small — exactly the
+    batched-retrieval shape (a query table of 10^0-10^3 rows, k ≤ 100).
+    """
+    ascending = [not d for d in descending]
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values([group_key] + keys, ascending=[True] + ascending)
+            .groupby(group_key, sort=False)
+            .head(k)
+        )
+
+    pruned = ds.map_batches(local, batch_format="pandas", batch_size=65536)
+    return (
+        pruned.repartition(1)
+        .map_batches(local, batch_format="pandas", batch_size=None)
+    )
+
+
 class BloomFilter:
     """Minimal Bloom filter for broadcast semi/anti-join prefilters.
 

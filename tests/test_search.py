@@ -181,3 +181,29 @@ def test_rerank_search(ray_session):
     other = CrossEncoderStage("completely different words entirely")
     texts = cand["chunk_text"].tolist()[:4]
     assert not np.allclose(stage.score_batch(texts), other.score_batch(texts))
+
+
+def test_bm25_search_many_equals_per_query(index, ray_session):
+    """The one-scan batched path returns, per query, EXACTLY the single-
+    query bm25_search result (same scoring algebra, same top-k order)."""
+    from rust_bert_ray.functions.search import (
+        MANY_QUERIES,
+        bm25_search,
+        bm25_search_many,
+    )
+
+    got = bm25_search_many(SF, k=5).to_pandas()
+    assert list(got.columns) == ["query_id", "doc_id", "score"]
+    for qid, q in MANY_QUERIES.items():
+        g = got[got["query_id"] == qid].reset_index(drop=True)
+        want = bm25_search(SF, query=q, k=5).to_pandas()
+        assert g["doc_id"].tolist() == want["doc_id"].tolist()
+        assert g["score"].tolist() == want["score"].tolist()
+
+
+def test_bm25_search_many_empty_queries_schema_stable(index, ray_session):
+    from rust_bert_ray.functions.search import bm25_search_many
+
+    out = bm25_search_many(SF, queries={0: "???", 1: ""}, k=5)
+    assert out.schema().names == ["query_id", "doc_id", "score"]
+    assert out.count() == 0

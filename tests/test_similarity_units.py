@@ -204,3 +204,25 @@ def test_pq_rerank_restores_exact_scores(ray_session):
     top10 = set(exact.sort_values(ascending=False).head(10).index)
     flat = set(ann_pq_topk(sf, k=10).to_pandas().vec_id)
     assert len(set(out.vec_id) & top10) >= len(flat & top10)
+
+
+def test_ann_pq_topk_many_equals_per_query(ray_session):
+    """One code-table scan for a query batch returns, per query,
+    bit-identical rows to the single-query ann_pq_topk (same ADC table
+    expressions, same exclusion and (dist, vec_id) total order)."""
+    from rust_bert_ray.functions.similarity import (
+        MANY_QUERY_VEC_IDS,
+        ann_pq_topk,
+        ann_pq_topk_many,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = ann_pq_topk_many(sf, k=5).to_pandas()
+    assert list(got.columns) == ["query_vec_id", "vec_id", "dist"]
+    for qid in MANY_QUERY_VEC_IDS:
+        g = got[got["query_vec_id"] == qid].reset_index(drop=True)
+        want = ann_pq_topk(sf, query_vec_id=qid, k=5).to_pandas()
+        assert g["vec_id"].tolist() == want["vec_id"].tolist()
+        assert g["dist"].tolist() == want["dist"].tolist()
+        # self-exclusion holds per query
+        assert qid not in set(g["vec_id"])
