@@ -352,6 +352,28 @@ def _stage_a_partition(
     return out_rows
 
 
+def _ensure_fsspec_stub() -> None:
+    """Concurrent Datasets race on fsspec's lazy http import when
+    aiohttp is absent (Ray's _is_http_filesystem catches only
+    ModuleNotFoundError; the losing thread sees a partially
+    initialized module → bare ImportError).  Register a stub module
+    so the import is deterministic — HTTP filesystems are never
+    used by this pipeline."""
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+    except ImportError:
+        import sys as _sys
+        import types as _types
+
+        _stub = _types.ModuleType("fsspec.implementations.http")
+
+        class _NoHTTPFileSystem:  # never instantiated
+            pass
+
+        _stub.HTTPFileSystem = _NoHTTPFileSystem
+        _sys.modules["fsspec.implementations.http"] = _stub
+
+
 def _finish_kg_pipeline(
     out_dir, groups, summary, resume, salt, t0, sweep_orphans: bool = True
 ) -> dict:
@@ -389,25 +411,7 @@ def _finish_kg_pipeline(
         # triples — run both streaming executions concurrently
         from concurrent.futures import ThreadPoolExecutor
 
-        # Concurrent Datasets race on fsspec's lazy http import when
-        # aiohttp is absent (Ray's _is_http_filesystem catches only
-        # ModuleNotFoundError; the losing thread sees a partially
-        # initialized module → bare ImportError).  Register a stub module
-        # so the import is deterministic — HTTP filesystems are never
-        # used by this pipeline.
-        try:
-            from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
-        except ImportError:
-            import sys as _sys
-            import types as _types
-
-            _stub = _types.ModuleType("fsspec.implementations.http")
-
-            class _NoHTTPFileSystem:  # never instantiated
-                pass
-
-            _stub.HTTPFileSystem = _NoHTTPFileSystem
-            _sys.modules["fsspec.implementations.http"] = _stub
+        _ensure_fsspec_stub()
 
         def _write_nodes():
             ds_ = ray.data.read_parquet(os.path.join(out_dir, "triples"))
@@ -449,6 +453,398 @@ def _finish_kg_pipeline(
     return summary
 
 
+# ---------------- incremental canonicalize state (ingest stage B) ----------
+#
+# The ingest path's stage B persists the canonicalize CLUSTER STATE per
+# bucket (nodes: one merged row per (node_id, surface_key); edges: one per
+# (subj, pred, obj) — both linear in distinct keys, not mentions) plus the
+# finalized per-bucket output rows, hive-partitioned by the final bucket:
+#
+#   out_dir/state/current.json            → {"dir": "v-<tag>", "covers":
+#                                            {partition: manifest-crc}}
+#   out_dir/state/v-<tag>/nodes_state/bucket=K/*.parquet
+#   out_dir/state/v-<tag>/nodes_out/bucket=K/*.parquet   (+ edges_*)
+#
+# An ingest computes state partials over the INCREMENT's triples only,
+# merges them into the buckets they touch (every canonicalize merge is
+# associative+commutative, so bucket-state ∪ increment-partials ≡ a full
+# rebuild — asserted by test_kg_ingest's ingest≡rebuild equality),
+# re-finalizes only those buckets, and hard-links every untouched bucket's
+# state and output files from the previous state version.  Stage-B ingest
+# cost therefore scales with the increment and its touched buckets, not
+# with total triples.  ``covers`` fingerprints each triples partition's
+# manifest bytes — any recomputed/changed partition invalidates the state
+# and falls back to a full rebuild (correctness never depends on the
+# pointer being fresh).  State versions are immutable dirs landed by
+# atomic rename; the pointer flips last, so a crash anywhere leaves the
+# previous consistent version in place (re-running the ingest is
+# idempotent: same covers → same tag → the completed v-dir is reused).
+
+_NODE_STATE_COLS = [
+    "node_id", "surface_key", "canonical", "kind", "n_mentions", "score",
+]
+_EDGE_STATE_COLS = ["subj_id", "pred", "obj_id", "n_obs", "score", "doc_ids"]
+
+
+def _state_root(out_dir: str) -> str:
+    return os.path.join(out_dir, "state")
+
+
+def _state_pointer_path(out_dir: str) -> str:
+    return os.path.join(_state_root(out_dir), "current.json")
+
+
+def _triples_partition_fps(out_dir: str) -> dict[str, str]:
+    """{triples partition → crc of its manifest bytes} — the state
+    validity fingerprint (content-sensitive, not just name-sensitive)."""
+    import zlib
+
+    fps: dict[str, str] = {}
+    for p in ckpt.completed_partitions(out_dir):
+        if str(p) == "final":
+            continue
+        if not os.path.isdir(ckpt.partition_dir(out_dir, "triples", p)):
+            continue
+        with open(ckpt.manifest_path(out_dir, p), "rb") as fh:
+            fps[str(p)] = f"{zlib.crc32(fh.read()):08x}"
+    return fps
+
+
+def _hive_bucket_to_int(t, col: str = "bucket"):
+    """Hive partition values read back as strings/dictionaries — restore
+    an int64 ``_bucket`` column."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    c = t.column(col)
+    if pa.types.is_dictionary(c.type):
+        c = pc.cast(c, pa.string())
+    b = pc.cast(c, pa.int64())
+    idx = t.schema.get_field_index(col)
+    return t.remove_column(idx).append_column("_bucket", b)
+
+
+def _read_state_all(state_table_dir: str):
+    """Whole hive-partitioned state table → Dataset with int64 _bucket."""
+    ds = ray.data.read_parquet(state_table_dir)
+    return ds.map_batches(
+        _hive_bucket_to_int, batch_format="pyarrow", batch_size=None
+    )
+
+
+def _read_state_buckets(state_table_dir: str, buckets, cols: list[str]):
+    """ONLY the given buckets' files (partition-pruned read), with the
+    bucket reattached as int64 _bucket.  None if no files exist."""
+    import numpy as np
+    import pyarrow as pa
+
+    parts = []
+    for b in sorted(int(x) for x in buckets):
+        files = sorted(
+            glob.glob(os.path.join(state_table_dir, f"bucket={b}", "*.parquet"))
+        )
+        if not files:
+            continue
+
+        def attach(t, _b=b):
+            return t.append_column(
+                "_bucket",
+                pa.array(np.full(t.num_rows, _b, dtype=np.int64), type=pa.int64()),
+            )
+
+        parts.append(
+            ray.data.read_parquet(files).map_batches(
+                attach, batch_format="pyarrow", batch_size=None
+            ).select_columns(cols + ["_bucket"])
+        )
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def _write_state_hive(ds, target_dir: str) -> None:
+    """State/output rows (with _bucket) → hive-partitioned parquet.
+    repartition(4) bounds the file count (files = tasks × bucket values —
+    the incremental-dedup index lesson)."""
+
+    def to_hive(t):
+        return t.rename_columns(
+            [("bucket" if c == "_bucket" else c) for c in t.column_names]
+        )
+
+    ds.map_batches(to_hive, batch_format="pyarrow", batch_size=None).repartition(
+        4
+    ).write_parquet(target_dir, partition_cols=["bucket"])
+
+
+def _finalize_state_to_out(state_ds, table: str, target_dir: str) -> None:
+    """Per-bucket finalize of state rows → hive-partitioned output rows
+    (the ``bucket`` column drives the partitioning and is excluded from
+    the files, so assembled outputs carry exactly the nodes/edges schema)."""
+    from rust_bert_ray.stages import canonicalize as canon
+
+    fin = canon.finalize_nodes_group if table == "nodes" else canon.finalize_edges_group
+
+    def fin_group(df):
+        out = fin(df)
+        out["bucket"] = int(df["_bucket"].iloc[0])
+        return out
+
+    out = state_ds.groupby("_bucket", num_partitions=16).map_groups(
+        fin_group, batch_format="pandas"
+    )
+    out.repartition(4).write_parquet(target_dir, partition_cols=["bucket"])
+
+
+def _link_buckets(src_root: str, dst_root: str, exclude=()) -> int:
+    """Hard-link every bucket dir of ``src_root`` except ``exclude`` into
+    ``dst_root`` (untouched buckets carry over at zero compute/IO cost).
+    Returns the number of linked buckets."""
+    import shutil
+
+    skip = {int(b) for b in exclude}
+    n = 0
+    for bdir in sorted(glob.glob(os.path.join(src_root, "bucket=*"))):
+        b = int(os.path.basename(bdir).split("=", 1)[1])
+        if b in skip:
+            continue
+        dst = os.path.join(dst_root, f"bucket={b}")
+        os.makedirs(dst, exist_ok=True)
+        for f in sorted(glob.glob(os.path.join(bdir, "*.parquet"))):
+            target = os.path.join(dst, os.path.basename(f))
+            try:
+                os.link(f, target)
+            except OSError:
+                shutil.copy2(f, target)
+        n += 1
+    return n
+
+
+def _triples_files(out_dir: str, parts) -> list[str]:
+    return [
+        f
+        for p in parts
+        for f in sorted(
+            glob.glob(
+                os.path.join(ckpt.partition_dir(out_dir, "triples", p), "*.parquet")
+            )
+        )
+    ]
+
+
+def _build_state_dir(out_dir: str, tag: str, salt: int) -> str:
+    """Full state build over ALL checkpointed triples (first ingest after
+    a base run, or fallback when the pointer is stale).  nodes and edges
+    are independent — built concurrently like the base stage B."""
+    import shutil
+    from concurrent.futures import ThreadPoolExecutor
+
+    from rust_bert_ray.stages import canonicalize as canon
+
+    new_dir = os.path.join(_state_root(out_dir), f"v-{tag}")
+    if os.path.isdir(new_dir):  # completed by a prior (crashed-later) run
+        return new_dir
+    tmp = new_dir + f".tmp-{os.getpid()}"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    _ensure_fsspec_stub()
+    triples_dir = os.path.join(out_dir, "triples")
+
+    def build(table: str):
+        linked = ray.data.read_parquet(triples_dir)
+        st = (
+            canon.node_state(linked, salt=salt)
+            if table == "nodes"
+            else canon.edge_state(linked, salt=salt)
+        )
+        state_dir = os.path.join(tmp, f"{table}_state")
+        _write_state_hive(st, state_dir)
+        _finalize_state_to_out(
+            _read_state_all(state_dir), table, os.path.join(tmp, f"{table}_out")
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for f in [pool.submit(build, t) for t in ("nodes", "edges")]:
+            f.result()
+    os.replace(tmp, new_dir)
+    return new_dir
+
+
+def _merge_state_increment(
+    out_dir: str, old_dir: str, tag: str, new_parts: list[str], salt: int
+) -> tuple[str, dict]:
+    """Incremental state update: increment partials → merge into touched
+    buckets only; untouched buckets (state AND finalized outputs) are
+    hard-linked from the previous version."""
+    import shutil
+
+    from rust_bert_ray.stages import canonicalize as canon
+
+    new_dir = os.path.join(_state_root(out_dir), f"v-{tag}")
+    if os.path.isdir(new_dir):
+        return new_dir, {"reused_existing_version": True}
+    tmp = new_dir + f".tmp-{os.getpid()}"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    _ensure_fsspec_stub()
+    inc_files = _triples_files(out_dir, new_parts)
+    stats: dict = {}
+    for table, cols in (("nodes", _NODE_STATE_COLS), ("edges", _EDGE_STATE_COLS)):
+        linked = ray.data.read_parquet(inc_files)
+        st = (
+            canon.node_state(linked, salt=salt)
+            if table == "nodes"
+            else canon.edge_state(linked, salt=salt)
+        )
+        # increment-sized (distinct keys of the increment), safe to pin
+        inc_state = st.materialize()
+        touched = sorted(
+            {
+                int(b)
+                for b in inc_state.select_columns(["_bucket"]).to_pandas()["_bucket"]
+            }
+        )
+        old_state_dir = os.path.join(old_dir, f"{table}_state")
+        merge = (
+            canon.merge_node_state
+            if table == "nodes"
+            else canon.merge_edge_state
+        )
+        old_touched = _read_state_buckets(old_state_dir, touched, cols)
+        merged_in = inc_state.select_columns(cols + ["_bucket"])
+        if old_touched is not None:
+            merged_in = old_touched.union(merged_in)
+        merged = merged_in.groupby("_bucket", num_partitions=16).map_groups(
+            merge, batch_format="pandas"
+        )
+        new_state_dir = os.path.join(tmp, f"{table}_state")
+        _write_state_hive(merged, new_state_dir)
+        n_linked_state = _link_buckets(old_state_dir, new_state_dir, exclude=touched)
+        # re-finalize ONLY the touched buckets; link the rest's outputs
+        touched_state = _read_state_buckets(new_state_dir, touched, cols)
+        out_dir_t = os.path.join(tmp, f"{table}_out")
+        if touched_state is not None:
+            _finalize_state_to_out(touched_state, table, out_dir_t)
+        _link_buckets(os.path.join(old_dir, f"{table}_out"), out_dir_t, exclude=touched)
+        stats[table] = {
+            "touched_buckets": len(touched),
+            "linked_buckets": n_linked_state,
+        }
+    os.replace(tmp, new_dir)
+    return new_dir, stats
+
+
+def _write_state_pointer(out_dir: str, dir_name: str, covers: dict) -> None:
+    import json
+    import shutil
+
+    os.makedirs(_state_root(out_dir), exist_ok=True)
+    path = _state_pointer_path(out_dir)
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump({"dir": dir_name, "covers": covers}, f, indent=1)
+    os.replace(tmp, path)
+    # GC superseded state versions (and any stale build temp dirs)
+    for d in glob.glob(os.path.join(_state_root(out_dir), "v-*")):
+        if os.path.basename(d) != dir_name:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def _assemble_outputs(out_dir: str, state_dir: str) -> dict[str, int]:
+    """Link every bucket's finalized output files into atomically renamed
+    nodes/ and edges/ dirs with the SAME ``part=0`` layout the base
+    pipeline's stage B writes (readers must see one layout regardless of
+    which path produced the table; the bucket lives only in the source
+    file path)."""
+    import shutil
+
+    counts: dict[str, int] = {}
+    for table in ("nodes", "edges"):
+        src = os.path.join(state_dir, f"{table}_out")
+        target = os.path.join(out_dir, table)
+        tmp = target + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        part0 = os.path.join(tmp, "part=0")
+        os.makedirs(part0)
+        for bdir in sorted(glob.glob(os.path.join(src, "bucket=*"))):
+            b = os.path.basename(bdir).split("=", 1)[1]
+            for i, f in enumerate(sorted(glob.glob(os.path.join(bdir, "*.parquet")))):
+                dst = os.path.join(part0, f"b{b}-{i:03d}.parquet")
+                try:
+                    os.link(f, dst)
+                except OSError:
+                    shutil.copy2(f, dst)
+        if os.path.exists(target):
+            shutil.rmtree(target)
+        os.replace(tmp, target)
+        counts[table] = _pq_rows(target)
+    return counts
+
+
+def _finish_ingest_state(out_dir: str, summary: dict, salt: int, t0: float) -> dict:
+    """Ingest stage B over persisted per-bucket canonicalize state."""
+    import json
+
+    if ckpt.is_partition_complete(out_dir, "final"):
+        summary["resumed"].append("final")
+        summary["total_sec"] = time.time() - t0
+        return summary
+    tb = time.time()
+    fps = _triples_partition_fps(out_dir)
+    tag = ckpt.digest(*(f"{k}:{v}" for k, v in sorted(fps.items())))
+    ptr = None
+    try:
+        with open(_state_pointer_path(out_dir), encoding="utf-8") as f:
+            ptr = json.load(f)
+    except (OSError, ValueError):
+        pass
+    mode, stats, state_dir = None, None, None
+    if ptr and os.path.isdir(os.path.join(_state_root(out_dir), ptr.get("dir", ""))):
+        covers = ptr.get("covers", {})
+        old_dir = os.path.join(_state_root(out_dir), ptr["dir"])
+        valid = set(covers) <= set(fps) and all(
+            fps[p] == v for p, v in covers.items()
+        )
+        new_parts = sorted(set(fps) - set(covers))
+        if valid and not new_parts:
+            state_dir, mode = old_dir, "reuse"
+        elif valid:
+            state_dir, stats = _merge_state_increment(
+                out_dir, old_dir, tag, new_parts, salt
+            )
+            mode = "incremental"
+    if mode is None:
+        state_dir, mode = _build_state_dir(out_dir, tag, salt), "full"
+    counts = _assemble_outputs(out_dir, state_dir)
+    _write_state_pointer(out_dir, os.path.basename(state_dir), fps)
+    ckpt.write_manifest(
+        out_dir,
+        "final",
+        input_files=[os.path.join(out_dir, "triples")],
+        input_rows=_pq_rows(os.path.join(out_dir, "triples")),
+        output_rows={"nodes": counts["nodes"], "edges": counts["edges"]},
+        lineage=[
+            {
+                "stage": "canonicalize_materialize",
+                "mode": mode,
+                "state": os.path.basename(state_dir),
+                "input_digest": ckpt.digest(out_dir, "triples"),
+                "output_digest": ckpt.digest(counts["nodes"], counts["edges"]),
+            }
+        ],
+        metrics={"sec": time.time() - tb},
+    )
+    summary["stage_b"] = {"mode": mode, "sec": time.time() - tb, **(stats or {})}
+    summary["total_sec"] = time.time() - t0
+    return summary
+
+
 def ingest_kg_increment(
     increment_path: str,
     out_dir: str,
@@ -472,15 +868,17 @@ def ingest_kg_increment(
       — existing partitions are never read, touched, or invalidated;
     - re-ingesting the SAME increment is a no-op (manifest hit, same
       rule as the base pipeline's resume);
-    - re-runs the global canonicalize (stage B) over ALL checkpointed
-      triples — old + new — so increment mentions merge into existing
-      nodes.  Stage B reads checkpoints (streaming), so its cost scales
-      with TOTAL TRIPLES (a digest-level salted shuffle), not total
-      documents × model forward.  A bucket-level incremental merge
-      (recompute only alias buckets the increment touches, from
-      persisted union-find state) is the documented next refinement;
-      triples-level recompute is chosen because canonicalize measures
-      <15% of pipeline wall at 800k docs.
+    - runs stage B as a BUCKET-LEVEL INCREMENTAL MERGE against persisted
+      per-bucket canonicalize state (see the state section above): the
+      increment's state partials are merged into only the node/edge
+      buckets they touch and only those buckets are re-finalized;
+      untouched buckets' state and output files hard-link across
+      versions.  The first ingest against a base run (no state yet)
+      builds the state from all checkpointed triples once; any
+      recomputed base partition invalidates the state fingerprint and
+      falls back to that full build.  Ingest stage-B cost therefore
+      scales with the increment and its touched buckets, not with total
+      triples.
 
     Caller contract: increment doc_ids are disjoint from previously
     ingested documents (the same contract an append-only corpus gives
@@ -525,14 +923,12 @@ def ingest_kg_increment(
         summary["input_rows"] += out_rows["input_rows"]
         summary["triple_rows"] += out_rows["triples"]
 
-    # new triples make the existing nodes/edges stale; stage B re-runs
-    # over all checkpointed triples.  (No orphan sweep here — ingest
-    # never changes the valid-partition set, it only appends to it.)
+    # new triples make the existing nodes/edges stale; stage B merges
+    # them into the persisted bucket state.  (No orphan sweep here —
+    # ingest never changes the valid-partition set, it only appends.)
     if recomputed and ckpt.is_partition_complete(out_dir, "final"):
         os.remove(ckpt.manifest_path(out_dir, "final"))
-    return _finish_kg_pipeline(
-        out_dir, [], summary, True, salt, t0, sweep_orphans=False
-    )
+    return _finish_ingest_state(out_dir, summary, salt, t0)
 
 
 def _main() -> None:

@@ -100,13 +100,49 @@ def _merge_surfaces(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def build_nodes(
-    linked: "ray.data.Dataset",
-    salt: int = 8,
-    alias_cap: int = 16,
-    n_buckets: int = 32,
+def merge_node_state(df: pd.DataFrame, n_buckets: int = 32) -> pa.Table:
+    """Merge per-(node_id, surface_key) summaries and (re)assign the final
+    per-node bucket.  Associative + commutative in every field (sum / max
+    / first-of-functionally-dependent), so it serves BOTH as phase A of
+    the full build (merging salted partials) and as the incremental
+    bucket-state merge (persisted state ∪ an increment's partials)."""
+    out = _merge_surfaces(df)
+    out["_bucket"] = _crc_bucket(out["node_id"], n_buckets)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def finalize_nodes_group(df: pd.DataFrame, alias_cap: int = 16) -> pd.DataFrame:
+    """One node-bucket of surface state → final node rows (finish the
+    surface merge, then union-find collapse into nodes)."""
+    df = _merge_surfaces(df)
+
+    def agg_group(g: pd.DataFrame) -> pd.Series:
+        return pd.Series(
+            {
+                "canonical": g["canonical"].iloc[0],
+                "kind": g["kind"].iloc[0],
+                "aliases": sorted(set(g["surface_key"]))[:alias_cap],
+                "n_mentions": int(g["n_mentions"].sum()),
+                "score": float(g["score"].max()),
+            }
+        )
+
+    out = (
+        df.groupby("node_id")
+        .apply(agg_group, include_groups=False)
+        .reset_index()
+    )
+    return out[["node_id", "canonical", "kind", "aliases", "n_mentions", "score"]]
+
+
+def node_state(
+    linked: "ray.data.Dataset", salt: int = 8, n_buckets: int = 32
 ) -> "ray.data.Dataset":
-    """linked triples → nodes table (canonicalized entities)."""
+    """linked triples → the per-bucket surface state feeding the node
+    finalize: one merged row per (node_id, surface_key), ``_bucket`` =
+    crc(node_id) % n_buckets.  This is the canonicalize CLUSTER STATE the
+    incremental-ingest path persists per bucket — linear in distinct
+    (node, surface) pairs, not in mentions."""
     partials = linked.map_batches(
         MentionPartials(salt=salt), batch_format="pyarrow", batch_size=65536
     )
@@ -119,45 +155,34 @@ def build_nodes(
         # return Arrow: shuffling pandas blocks is ~10x slower
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    def merge_a(df: pd.DataFrame) -> pa.Table:
-        # salted phase: merge per-surface partials; re-bucket by node_id so
-        # the final phase can both finish the surface merge AND collapse
-        # surfaces into nodes in one grouping
-        out = _merge_surfaces(df)
-        out["_bucket"] = _crc_bucket(out["node_id"], n_buckets)
-        return pa.Table.from_pandas(out, preserve_index=False)
-
-    def finalize_nodes(df: pd.DataFrame) -> pd.DataFrame:
-        df = _merge_surfaces(df)
-
-        def agg_group(g: pd.DataFrame) -> pd.Series:
-            return pd.Series(
-                {
-                    "canonical": g["canonical"].iloc[0],
-                    "kind": g["kind"].iloc[0],
-                    "aliases": sorted(set(g["surface_key"]))[:alias_cap],
-                    "n_mentions": int(g["n_mentions"].sum()),
-                    "score": float(g["score"].max()),
-                }
-            )
-
-        out = (
-            df.groupby("node_id")
-            .apply(agg_group, include_groups=False)
-            .reset_index()
-        )
-        return out[["node_id", "canonical", "kind", "aliases", "n_mentions", "score"]]
-
     np_ = min(n_buckets, 16)
-    # phase A: salted bucket merge (hot surfaces split across reducers);
-    # phase B: per-node bucket — finish surface merge + union-find collapse
-    a = partials.map_batches(
-        bucket_salted, batch_format="pyarrow", batch_size=65536
-    ).groupby("_bucket", num_partitions=np_).map_groups(merge_a, batch_format="pandas")
-    nodes = a.groupby("_bucket", num_partitions=np_).map_groups(
-        finalize_nodes, batch_format="pandas"
+    # phase A: salted bucket merge (hot surfaces split across reducers),
+    # re-bucketed by node_id so the finalize phase can both finish the
+    # surface merge AND collapse surfaces into nodes in one grouping
+    return (
+        partials.map_batches(bucket_salted, batch_format="pyarrow", batch_size=65536)
+        .groupby("_bucket", num_partitions=np_)
+        .map_groups(
+            lambda df: merge_node_state(df, n_buckets), batch_format="pandas"
+        )
     )
-    return nodes
+
+
+def build_nodes(
+    linked: "ray.data.Dataset",
+    salt: int = 8,
+    alias_cap: int = 16,
+    n_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """linked triples → nodes table (canonicalized entities)."""
+    np_ = min(n_buckets, 16)
+    return (
+        node_state(linked, salt=salt, n_buckets=n_buckets)
+        .groupby("_bucket", num_partitions=np_)
+        .map_groups(
+            lambda df: finalize_nodes_group(df, alias_cap), batch_format="pandas"
+        )
+    )
 
 
 # ------------------------------------------------------------------- edges
@@ -194,13 +219,40 @@ def _merge_edges(df: pd.DataFrame, cap: int) -> pd.DataFrame:
     )
 
 
-def build_edges(
+def merge_edge_state(
+    df: pd.DataFrame, doc_sample_cap: int = 8, n_buckets: int = 32
+) -> pa.Table:
+    """Merge per-(subj, pred, obj) summaries and (re)assign the final
+    edge bucket.  Associative + commutative (n_obs sum, score max,
+    doc_ids min-cap set union), so it serves both phase A of the full
+    build and the incremental bucket-state merge."""
+    out = _merge_edges(df, doc_sample_cap)
+    key = out["subj_id"] + "|" + out["pred"] + "|" + out["obj_id"]
+    out["_bucket"] = _crc_bucket(key, n_buckets)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def finalize_edges_group(df: pd.DataFrame, doc_sample_cap: int = 8) -> pd.DataFrame:
+    """One edge-bucket of state → final deduplicated edge rows."""
+    out = _merge_edges(df, doc_sample_cap)
+    out["edge_id"] = [
+        f"edge:{zlib.crc32(f'{s}|{p}|{o}'.encode()):08x}"
+        for s, p, o in zip(out["subj_id"], out["pred"], out["obj_id"])
+    ]
+    return out[
+        ["edge_id", "subj_id", "pred", "obj_id", "n_obs", "score", "doc_ids"]
+    ]
+
+
+def edge_state(
     linked: "ray.data.Dataset",
     salt: int = 8,
     doc_sample_cap: int = 8,
     n_buckets: int = 32,
 ) -> "ray.data.Dataset":
-    """linked triples → deduplicated edges table."""
+    """linked triples → per-bucket edge state (one merged row per
+    (subj, pred, obj), ``_bucket`` = crc(key) % n_buckets) — the edge
+    cluster state the incremental-ingest path persists."""
     cap = doc_sample_cap
     partials = linked.map_batches(
         EdgePartials(salt=salt, doc_sample_cap=cap),
@@ -214,27 +266,29 @@ def build_edges(
         df["_bucket"] = _crc_bucket(key, n_buckets, df["_salt"])
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    def merge_a(df: pd.DataFrame) -> pa.Table:
-        out = _merge_edges(df, cap)
-        key = out["subj_id"] + "|" + out["pred"] + "|" + out["obj_id"]
-        out["_bucket"] = _crc_bucket(key, n_buckets)
-        return pa.Table.from_pandas(out, preserve_index=False)
-
-    def merge_b(df: pd.DataFrame) -> pd.DataFrame:
-        out = _merge_edges(df, cap)
-        out["edge_id"] = [
-            f"edge:{zlib.crc32(f'{s}|{p}|{o}'.encode()):08x}"
-            for s, p, o in zip(out["subj_id"], out["pred"], out["obj_id"])
-        ]
-        return out[
-            ["edge_id", "subj_id", "pred", "obj_id", "n_obs", "score", "doc_ids"]
-        ]
-
     np_ = min(n_buckets, 16)
-    a = partials.map_batches(
-        bucket_salted, batch_format="pyarrow", batch_size=65536
-    ).groupby("_bucket", num_partitions=np_).map_groups(merge_a, batch_format="pandas")
-    edges = a.groupby("_bucket", num_partitions=np_).map_groups(
-        merge_b, batch_format="pandas"
+    return (
+        partials.map_batches(bucket_salted, batch_format="pyarrow", batch_size=65536)
+        .groupby("_bucket", num_partitions=np_)
+        .map_groups(
+            lambda df: merge_edge_state(df, cap, n_buckets), batch_format="pandas"
+        )
     )
-    return edges
+
+
+def build_edges(
+    linked: "ray.data.Dataset",
+    salt: int = 8,
+    doc_sample_cap: int = 8,
+    n_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """linked triples → deduplicated edges table."""
+    cap = doc_sample_cap
+    np_ = min(n_buckets, 16)
+    return (
+        edge_state(linked, salt=salt, doc_sample_cap=cap, n_buckets=n_buckets)
+        .groupby("_bucket", num_partitions=np_)
+        .map_groups(
+            lambda df: finalize_edges_group(df, cap), batch_format="pandas"
+        )
+    )

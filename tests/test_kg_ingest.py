@@ -134,6 +134,11 @@ def test_two_increments_equal_full_rebuild(ray_session, tmp_path):
     assert s1["input_rows"] == 30 and s2["input_rows"] == 30
     # the second ingest resumes nothing from the first (disjoint tags)
     assert s1["partitions"] != s2["partitions"]
+    # stage B: first ingest builds the bucket state (no prior state),
+    # the second merges into it incrementally
+    assert s1["stage_b"]["mode"] == "full"
+    assert s2["stage_b"]["mode"] == "incremental"
+    assert 1 <= s2["stage_b"]["nodes"]["touched_buckets"] <= 32
     run_kg_pipeline(dirs["full"], out_full, n_groups=1)
     for table in ("triples", "nodes"):
         assert _rows(out_split, table) == _rows(out_full, table), table
