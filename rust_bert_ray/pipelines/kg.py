@@ -532,37 +532,47 @@ def _read_state_all(state_table_dir: str):
     )
 
 
-def _read_state_buckets(state_table_dir: str, buckets, cols: list[str]):
+def _read_state_buckets(
+    state_table_dir: str, buckets, cols: list[str], n_buckets: int = 32
+):
     """ONLY the given buckets' files (partition-pruned read), with the
-    bucket reattached as int64 _bucket.  None if no files exist."""
-    import numpy as np
+    bucket recomputed content-side as int64 _bucket.  None if no files
+    exist.
+
+    The persisted hive value IS ``crc(key) % n_buckets`` (merge_node_state
+    / merge_edge_state reassign ``_bucket`` from row content right before
+    the write), so recomputing it lets ALL touched buckets' files flow
+    through ONE read + one vectorized map.  The previous shape — one
+    read→attach→select Dataset per bucket chained with ``union`` — built
+    a ~3·|touched|-operator streaming plan that ran almost serially
+    (measured: the 32-bucket nodes merge alone took minutes at <20% CPU)."""
     import pyarrow as pa
 
-    parts = []
-    for b in sorted(int(x) for x in buckets):
-        files = sorted(
-            glob.glob(os.path.join(state_table_dir, f"bucket={b}", "*.parquet"))
-        )
-        if not files:
-            continue
+    from rust_bert_ray.stages.canonicalize import _crc_bucket
 
-        def attach(t, _b=b):
-            return t.append_column(
-                "_bucket",
-                pa.array(np.full(t.num_rows, _b, dtype=np.int64), type=pa.int64()),
-            )
-
-        parts.append(
-            ray.data.read_parquet(files).map_batches(
-                attach, batch_format="pyarrow", batch_size=None
-            ).select_columns(cols + ["_bucket"])
+    files: list[str] = []
+    for b in sorted({int(x) for x in buckets}):
+        files.extend(
+            sorted(glob.glob(os.path.join(state_table_dir, f"bucket={b}", "*.parquet")))
         )
-    if not parts:
+    if not files:
         return None
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.union(p)
-    return out
+    is_nodes = "node_id" in cols
+
+    def attach(t: pa.Table) -> pa.Table:
+        if is_nodes:
+            keys = t.column("node_id").to_pandas()
+        else:
+            df = t.select(["subj_id", "pred", "obj_id"]).to_pandas()
+            keys = df["subj_id"] + "|" + df["pred"] + "|" + df["obj_id"]
+        b = _crc_bucket(keys, n_buckets)
+        return t.append_column("_bucket", pa.array(b, type=pa.int64()))
+
+    return (
+        ray.data.read_parquet(files)
+        .map_batches(attach, batch_format="pyarrow", batch_size=None)
+        .select_columns(cols + ["_bucket"])
+    )
 
 
 def _write_state_hive(ds, target_dir: str) -> None:
@@ -580,7 +590,9 @@ def _write_state_hive(ds, target_dir: str) -> None:
     ).write_parquet(target_dir, partition_cols=["bucket"])
 
 
-def _finalize_state_to_out(state_ds, table: str, target_dir: str) -> None:
+def _finalize_state_to_out(
+    state_ds, table: str, target_dir: str, num_partitions: int = 16
+) -> None:
     """Per-bucket finalize of state rows → hive-partitioned output rows
     (the ``bucket`` column drives the partitioning and is excluded from
     the files, so assembled outputs carry exactly the nodes/edges schema)."""
@@ -593,7 +605,7 @@ def _finalize_state_to_out(state_ds, table: str, target_dir: str) -> None:
         out["bucket"] = int(df["_bucket"].iloc[0])
         return out
 
-    out = state_ds.groupby("_bucket", num_partitions=16).map_groups(
+    out = state_ds.groupby("_bucket", num_partitions=num_partitions).map_groups(
         fin_group, batch_format="pandas"
     )
     out.repartition(4).write_parquet(target_dir, partition_cols=["bucket"])
@@ -694,7 +706,9 @@ def _merge_state_increment(
     _ensure_fsspec_stub()
     inc_files = _triples_files(out_dir, new_parts)
     stats: dict = {}
-    for table, cols in (("nodes", _NODE_STATE_COLS), ("edges", _EDGE_STATE_COLS)):
+
+    def merge_table(table: str) -> None:
+        cols = _NODE_STATE_COLS if table == "nodes" else _EDGE_STATE_COLS
         linked = ray.data.read_parquet(inc_files)
         st = (
             canon.node_state(linked, salt=salt)
@@ -719,22 +733,32 @@ def _merge_state_increment(
         merged_in = inc_state.select_columns(cols + ["_bucket"])
         if old_touched is not None:
             merged_in = old_touched.union(merged_in)
-        merged = merged_in.groupby("_bucket", num_partitions=16).map_groups(
+        np_ = max(1, min(16, len(touched)))
+        # touched-buckets-sized (distinct keys), safe to pin; reused by
+        # BOTH the state write and the finalize so the merged rows are
+        # never re-read from disk
+        merged = merged_in.groupby("_bucket", num_partitions=np_).map_groups(
             merge, batch_format="pandas"
-        )
+        ).materialize()
         new_state_dir = os.path.join(tmp, f"{table}_state")
         _write_state_hive(merged, new_state_dir)
         n_linked_state = _link_buckets(old_state_dir, new_state_dir, exclude=touched)
         # re-finalize ONLY the touched buckets; link the rest's outputs
-        touched_state = _read_state_buckets(new_state_dir, touched, cols)
         out_dir_t = os.path.join(tmp, f"{table}_out")
-        if touched_state is not None:
-            _finalize_state_to_out(touched_state, table, out_dir_t)
+        if touched:
+            _finalize_state_to_out(merged, table, out_dir_t, num_partitions=np_)
         _link_buckets(os.path.join(old_dir, f"{table}_out"), out_dir_t, exclude=touched)
         stats[table] = {
             "touched_buckets": len(touched),
             "linked_buckets": n_linked_state,
         }
+
+    # nodes and edges are independent — run concurrently like the base
+    # pipeline's stage B (halves the fixed per-execution overhead)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        list(ex.map(merge_table, ("nodes", "edges")))
     os.replace(tmp, new_dir)
     return new_dir, stats
 
