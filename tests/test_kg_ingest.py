@@ -174,3 +174,49 @@ def test_kill_mid_ingest_resumes(split_runs, ray_session):
         got = pads.dataset(os.path.join(out, table)).count_rows()
         want = pads.dataset(os.path.join(split_runs["out_full"], table)).count_rows()
         assert got == want, table
+
+
+def test_state_bucket_recompute_matches_hive_partition(split_runs, ray_session):
+    """_read_state_buckets recomputes _bucket from row content (crc of
+    node_id / subj|pred|obj) instead of attaching it from the file path
+    — assert the recomputed value equals the hive partition each row
+    was read from, for every persisted bucket of both tables."""
+    import glob
+    import json
+
+    from rust_bert_ray.pipelines.kg import (
+        _EDGE_STATE_COLS,
+        _NODE_STATE_COLS,
+        _read_state_buckets,
+        _state_pointer_path,
+        _state_root,
+    )
+
+    out = split_runs["out_split"]
+    with open(_state_pointer_path(out), encoding="utf-8") as f:
+        state_dir = os.path.join(_state_root(out), json.load(f)["dir"])
+    for table, cols in (("nodes", _NODE_STATE_COLS), ("edges", _EDGE_STATE_COLS)):
+        table_dir = os.path.join(state_dir, f"{table}_state")
+        buckets = sorted(
+            int(os.path.basename(d).split("=", 1)[1])
+            for d in glob.glob(os.path.join(table_dir, "bucket=*"))
+        )
+        assert buckets, table_dir
+        # one pruned single-bucket read, then one multi-bucket read
+        # covering everything (keeps the test at 2 executions/table)
+        df1 = _read_state_buckets(table_dir, buckets[:1], cols).to_pandas()
+        assert len(df1) > 0 and set(df1["_bucket"]) == {buckets[0]}
+        df = _read_state_buckets(table_dir, buckets, cols).to_pandas()
+        assert set(df["_bucket"]) == set(buckets), table
+        # per-row: recomputed bucket == the hive dir the row came from
+        import pyarrow.dataset as pads
+
+        hive = pads.dataset(table_dir, partitioning="hive").to_table().to_pandas()
+        key = (
+            hive["node_id"]
+            if table == "nodes"
+            else hive["subj_id"] + "|" + hive["pred"] + "|" + hive["obj_id"]
+        )
+        from rust_bert_ray.stages.canonicalize import _crc_bucket
+
+        assert (_crc_bucket(key, 32) == hive["bucket"].astype(int)).all(), table
