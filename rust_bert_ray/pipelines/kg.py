@@ -741,12 +741,23 @@ def _merge_state_increment(
             merge, batch_format="pandas"
         ).materialize()
         new_state_dir = os.path.join(tmp, f"{table}_state")
-        _write_state_hive(merged, new_state_dir)
-        n_linked_state = _link_buckets(old_state_dir, new_state_dir, exclude=touched)
-        # re-finalize ONLY the touched buckets; link the rest's outputs
         out_dir_t = os.path.join(tmp, f"{table}_out")
-        if touched:
-            _finalize_state_to_out(merged, table, out_dir_t, num_partitions=np_)
+        # the state write and the touched-bucket re-finalize both consume
+        # the SAME materialized `merged` and are independent — run them
+        # concurrently (each is one small Ray execution; the scheduling
+        # floor, not data, dominates at small increments)
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
+        with _TPE(max_workers=2) as wex:
+            f_state = wex.submit(_write_state_hive, merged, new_state_dir)
+            if touched:
+                f_out = wex.submit(
+                    _finalize_state_to_out, merged, table, out_dir_t,
+                    num_partitions=np_,
+                )
+                f_out.result()
+            f_state.result()
+        n_linked_state = _link_buckets(old_state_dir, new_state_dir, exclude=touched)
         _link_buckets(os.path.join(old_dir, f"{table}_out"), out_dir_t, exclude=touched)
         stats[table] = {
             "touched_buckets": len(touched),
