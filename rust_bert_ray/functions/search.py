@@ -209,6 +209,37 @@ def _empty_hits():
     )
 
 
+def _exact_idf(postings, term_set: set, n_docs: int) -> dict:
+    """Pass 1 shared by :func:`bm25_search` and :func:`bm25_search_many`:
+    exact per-term document frequency over the probed postings (tiny
+    result to the driver) → BM25 idf per term.  Empty dict when no query
+    term appears in the index — keeping this in ONE place guarantees the
+    batched path's idf is computed identically to the single-query path
+    it promises to match."""
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["term"].isin(term_set)]
+        g = df.groupby("term", as_index=False).agg(pdf=("doc_id", "size"))
+        return pa.Table.from_pydict(
+            {
+                "term": pa.array(g["term"], type=pa.string()),
+                "pdf": pa.array(g["pdf"], type=pa.int64()),
+            }
+        )
+
+    df_rows = postings.map_batches(
+        df_partial, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    if df_rows.empty:
+        return {}
+    dfs = df_rows.groupby("term")["pdf"].sum().to_dict()
+    return {
+        t: math.log((n_docs - d + 0.5) / (d + 0.5) + 1.0)
+        for t, d in dfs.items()
+    }
+
+
 DEFAULT_QUERY = "customer join dup scan"
 
 
@@ -236,27 +267,9 @@ def bm25_search(sf_dir: str, query: str = DEFAULT_QUERY, k: int = 10):
     postings = ray.data.read_parquet(files, columns=["doc_id", "term", "tf", "doclen"])
 
     # pass 1: exact df per query term (tiny result → driver → broadcast)
-    def df_partial(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        df = df[df["term"].isin(term_set)]
-        g = df.groupby("term", as_index=False).agg(pdf=("doc_id", "size"))
-        return pa.Table.from_pydict(
-            {
-                "term": pa.array(g["term"], type=pa.string()),
-                "pdf": pa.array(g["pdf"], type=pa.int64()),
-            }
-        )
-
-    df_rows = postings.map_batches(
-        df_partial, batch_format="pyarrow", batch_size=None
-    ).to_pandas()
-    if df_rows.empty:
+    idf = _exact_idf(postings, term_set, n_docs)
+    if not idf:
         return _empty_hits()
-    dfs = df_rows.groupby("term")["pdf"].sum().to_dict()
-    idf = {
-        t: math.log((n_docs - d + 0.5) / (d + 0.5) + 1.0)
-        for t, d in dfs.items()
-    }
     idf_ref = ray.put(idf)
 
     class ScorePartial:
@@ -401,6 +414,13 @@ def bm25_search_many(sf_dir: str, queries: dict[int, str] | None = None, k: int 
     from rust_bert_ray.functions.util import grouped_topk
 
     qs = MANY_QUERIES if queries is None else queries
+    # the packed qd_key (query_id·2^42 + doc_id) silently corrupts
+    # attribution outside these ranges — fail fast on the contract
+    for qid in qs:
+        if not 0 <= int(qid) < (1 << 21):
+            raise ValueError(
+                f"query_id {qid} outside the packable range [0, 2^21)"
+            )
     qterms = {
         int(qid): sorted(set(_TOKEN_RE.findall(q.lower())))
         for qid, q in qs.items()
@@ -428,27 +448,9 @@ def bm25_search_many(sf_dir: str, queries: dict[int, str] | None = None, k: int 
     postings = ray.data.read_parquet(files, columns=["doc_id", "term", "tf", "doclen"])
 
     # pass 1: exact df per distinct term across ALL queries (tiny)
-    def df_partial(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        df = df[df["term"].isin(term_set)]
-        g = df.groupby("term", as_index=False).agg(pdf=("doc_id", "size"))
-        return pa.Table.from_pydict(
-            {
-                "term": pa.array(g["term"], type=pa.string()),
-                "pdf": pa.array(g["pdf"], type=pa.int64()),
-            }
-        )
-
-    df_rows = postings.map_batches(
-        df_partial, batch_format="pyarrow", batch_size=None
-    ).to_pandas()
-    if df_rows.empty:
+    idf = _exact_idf(postings, term_set, n_docs)
+    if not idf:
         return empty
-    dfs = df_rows.groupby("term")["pdf"].sum().to_dict()
-    idf = {
-        t: math.log((n_docs - d + 0.5) / (d + 0.5) + 1.0)
-        for t, d in dfs.items()
-    }
     # broadcast: idf + the (term, query_id) fan-out table
     expand = pd.DataFrame(
         [(t, qid) for qid, ts in sorted(qterms.items()) for t in ts if t in idf],
@@ -483,12 +485,17 @@ def bm25_search_many(sf_dir: str, queries: dict[int, str] | None = None, k: int 
             j = df.merge(self.expand, on="term")
             if j.empty:
                 return out_empty
+            doc_np = j["doc_id"].to_numpy(dtype=np.int64)
+            if int(doc_np.max()) >= (1 << 42) or int(doc_np.min()) < 0:
+                raise ValueError(
+                    "doc_id outside the packable range [0, 2^42)"
+                )
             g = (
                 pd.DataFrame(
                     {
                         "qd_key": j["query_id"].to_numpy(dtype=np.int64)
                         * (1 << 42)
-                        + j["doc_id"].to_numpy(dtype=np.int64),
+                        + doc_np,
                         "p_score": j["w"].to_numpy(),
                     }
                 )
@@ -539,7 +546,7 @@ def bm25_search_many_sql(queries: dict[int, str] | None = None, k: int = 10) -> 
     each branch is the independently-derived native-SQL scorer."""
     qs = MANY_QUERIES if queries is None else queries
     parts = [
-        f"SELECT {int(qid)} AS query_id, doc_id, score "
+        f"SELECT CAST({int(qid)} AS BIGINT) AS query_id, doc_id, score "
         f"FROM ({bm25_search_sql(q, k)})"
         for qid, q in sorted(qs.items())
     ]

@@ -450,6 +450,14 @@ def pq_encode(A: np.ndarray, books: list[np.ndarray]) -> np.ndarray:
     ids into ONE int64 (4 bits × m) — the 8 B/vector representation the
     index ships instead of 256 B of floats."""
     m = len(books)
+    # the 4-bit packing convention lives HERE and in pq_adc_scores —
+    # wider codebooks would silently alias centroid ids
+    if any(len(C) > 16 for C in books) or m > 16:
+        raise ValueError(
+            "pq_encode packs 4-bit centroid ids (≤16 centroids/subspace, "
+            "≤16 subspaces); retrain with n_centroids ≤ 16 or widen the "
+            "packing"
+        )
     d = A.shape[1] // m
     codes = np.zeros(A.shape[0], dtype=np.int64)
     for j, C in enumerate(books):
@@ -658,11 +666,15 @@ def ann_pq_topk_many(
         q_arr, tables = ray.get(bcast)
         ids = t.column("vec_id").to_numpy(zero_copy_only=False)
         codes = t.column("code").to_numpy(zero_copy_only=False)
-        # (nq, n) ADC sums, fixed subspace order (parity with
-        # pq_adc_scores' left-to-right adds)
-        dist = tables[0][:, codes & 15]
-        for j in range(1, len(tables)):
-            dist = dist + tables[j][:, (codes >> (4 * j)) & 15]
+        # (nq, n) ADC sums via THE single-query kernel per query row —
+        # the unpacking convention lives only in pq_encode/pq_adc_scores
+        # (bit parity with ann_pq_topk by shared code, not re-derivation)
+        dist = np.stack(
+            [
+                pq_adc_scores(codes, [tab[i] for tab in tables])
+                for i in range(len(q_arr))
+            ]
+        )
         dist = round_ha(dist, 5)
         out_q, out_v, out_d = [], [], []
         for i, qid in enumerate(q_arr):

@@ -59,6 +59,18 @@ def load_hf_tokenizer(path: str, cache_cap: int = 500_000):
                     "with end_of_word_suffix — no supported BPE family "
                     "uses both; refusing to guess"
                 )
+            # Real Marian exports can carry a normalizer (typically the
+            # 'Precompiled' sentencepiece charsmap).  This loader doesn't
+            # implement any normalizer for this family — fail fast
+            # rather than BPE un-normalized text against a vocab trained
+            # on normalized text (silent wrong ids).
+            norm = doc.get("normalizer") or {}
+            if norm.get("type"):
+                raise ValueError(
+                    f"unsupported normalizer {norm.get('type')!r} for the "
+                    "Metaspace-BPE family; this loader implements no "
+                    "normalization here — refusing to mis-tokenize"
+                )
             return MetaspaceBpeTokenizer.from_hf(
                 model,
                 marker=pre.get("replacement") or "▁",

@@ -601,9 +601,14 @@ def _finalize_state_to_out(
     fin = canon.finalize_nodes_group if table == "nodes" else canon.finalize_edges_group
 
     def fin_group(df):
+        import pyarrow as pa
+
         out = fin(df)
         out["bucket"] = int(df["_bucket"].iloc[0])
-        return out
+        # Arrow out: these blocks feed the repartition exchange before
+        # the hive write (CLAUDE.md: return Arrow from any map_batches /
+        # map_groups feeding a shuffle)
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     out = state_ds.groupby("_bucket", num_partitions=num_partitions).map_groups(
         fin_group, batch_format="pandas"
@@ -647,10 +652,21 @@ def _triples_files(out_dir: str, parts) -> list[str]:
     ]
 
 
-def _build_state_dir(out_dir: str, tag: str, salt: int) -> str:
-    """Full state build over ALL checkpointed triples (first ingest after
-    a base run, or fallback when the pointer is stale).  nodes and edges
-    are independent — built concurrently like the base stage B."""
+def _build_state_dir(
+    out_dir: str, tag: str, salt: int, parts: list[str]
+) -> str:
+    """Full state build over the manifest-complete triples partitions
+    (first ingest after a base run, or fallback when the pointer is
+    stale).  nodes and edges are independent — built concurrently like
+    the base stage B.
+
+    ``parts`` MUST be exactly the partitions the state pointer's
+    ``covers`` fingerprint will record: reading the whole triples dir
+    instead would bake any unmanifested orphan partition (a crash
+    between the atomic dir rename and its manifest write) into state
+    OUTSIDE the fingerprint — a later re-ingest of that increment would
+    then merge its partials into state that already contains the rows,
+    double-counting n_mentions/n_obs with `covers` still valid."""
     import shutil
     from concurrent.futures import ThreadPoolExecutor
 
@@ -664,10 +680,10 @@ def _build_state_dir(out_dir: str, tag: str, salt: int) -> str:
         shutil.rmtree(tmp)
     os.makedirs(tmp)
     _ensure_fsspec_stub()
-    triples_dir = os.path.join(out_dir, "triples")
+    covered_files = _triples_files(out_dir, parts)
 
     def build(table: str):
-        linked = ray.data.read_parquet(triples_dir)
+        linked = ray.data.read_parquet(covered_files)
         st = (
             canon.node_state(linked, salt=salt)
             if table == "nodes"
@@ -855,7 +871,7 @@ def _finish_ingest_state(out_dir: str, summary: dict, salt: int, t0: float) -> d
             )
             mode = "incremental"
     if mode is None:
-        state_dir, mode = _build_state_dir(out_dir, tag, salt), "full"
+        state_dir, mode = _build_state_dir(out_dir, tag, salt, sorted(fps)), "full"
     counts = _assemble_outputs(out_dir, state_dir)
     _write_state_pointer(out_dir, os.path.basename(state_dir), fps)
     ckpt.write_manifest(
@@ -943,6 +959,14 @@ def ingest_kg_increment(
             if manifest.get("input_files") == files:
                 summary["resumed"].append(part)
                 continue
+        # new triples will make the existing nodes/edges stale —
+        # invalidate the final manifest BEFORE the inputs that indict it
+        # land (checkpoint.py's ordering rule): a crash after this
+        # partition's manifest but before a post-loop removal would
+        # otherwise resume every partition AND the stale final, leaving
+        # nodes/edges silently missing this increment.
+        if not recomputed and ckpt.is_partition_complete(out_dir, "final"):
+            os.remove(ckpt.manifest_path(out_dir, "final"))
         out_rows = _stage_a_partition(
             files,
             part,
@@ -958,11 +982,9 @@ def ingest_kg_increment(
         summary["input_rows"] += out_rows["input_rows"]
         summary["triple_rows"] += out_rows["triples"]
 
-    # new triples make the existing nodes/edges stale; stage B merges
-    # them into the persisted bucket state.  (No orphan sweep here —
-    # ingest never changes the valid-partition set, it only appends.)
-    if recomputed and ckpt.is_partition_complete(out_dir, "final"):
-        os.remove(ckpt.manifest_path(out_dir, "final"))
+    # (No orphan sweep here — ingest never changes the valid-partition
+    # set, it only appends; stage B merges the new triples into the
+    # persisted bucket state.)
     return _finish_ingest_state(out_dir, summary, salt, t0)
 
 

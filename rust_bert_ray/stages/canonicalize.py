@@ -205,7 +205,12 @@ class EdgePartials:
         g = df.groupby(["subj_id", "pred", "obj_id"], as_index=False).agg(
             n_obs=("doc_id", "size"),
             score=("score", "max"),
-            doc_ids=("doc_id", lambda sr: list(sr)[:cap]),
+            # min-cap (sorted before truncating): the merge layer's
+            # "doc_ids min-cap set union" is associative/commutative ONLY
+            # if partials are min-cap too — first-cap-in-arrival-order
+            # would make incremental state merges and full rebuilds keep
+            # DIFFERENT provenance samples for >cap-observation edges
+            doc_ids=("doc_id", lambda sr: sorted(set(sr))[:cap]),
         )
         g["_salt"] = s
         return pa.Table.from_pandas(g, preserve_index=False)

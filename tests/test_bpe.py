@@ -476,6 +476,16 @@ def test_hf_loader_rejects_unknown_bpe_pre_tokenizer(tmp_path):
     with pytest.raises(ValueError, match="end_of_word_suffix"):
         load_hf_tokenizer(str(p2))
 
+    # Real Marian exports can carry a 'Precompiled' sentencepiece
+    # charsmap normalizer — unimplemented here, must fail fast rather
+    # than BPE un-normalized text against a normalized-trained vocab
+    doc3 = json.load(open(HF_SPBPE_FIXTURE, encoding="utf-8"))
+    doc3["normalizer"] = {"type": "Precompiled", "precompiled_charsmap": ""}
+    p3 = tmp_path / "t3.json"
+    p3.write_text(json.dumps(doc3, ensure_ascii=False))
+    with pytest.raises(ValueError, match="normalizer"):
+        load_hf_tokenizer(str(p3))
+
 
 def test_hf_loader_unigram_unk_handling():
     """Out-of-vocabulary characters map to the file's unk_id and decode

@@ -84,13 +84,13 @@ def main() -> int:
             continue
         got = normalize(raw)
         raw_want = con.execute(oracles[name]).df()
-        # dtype-family parity warning (the driver's value hash may be
-        # dtype-sensitive even when values compare equal)
+        # exact-dtype parity warning (the driver's value hash is
+        # dtype-sensitive even when values compare equal: int64 vs int32
+        # vs DOUBLE all flip it — CLAUDE.md trap 8)
         for c in set(raw.columns) & set(raw_want.columns):
-            gk = raw[c].dtype.kind
-            wk = raw_want[c].dtype.kind
-            if {gk, wk} <= {"i", "u", "f"} and gk != wk:
-                print(f"  dtype-warn {name}.{c}: ray={raw[c].dtype} duck={raw_want[c].dtype}")
+            gd, wd = raw[c].dtype, raw_want[c].dtype
+            if gd != wd and not (gd == object and wd == object):
+                print(f"  dtype-warn {name}.{c}: ray={gd} duck={wd}")
         want = normalize(raw_want)
         status = "ok"
         if list(got.columns) != list(want.columns):
