@@ -252,6 +252,17 @@ def _ann_pq_topk_many(sf_dir: str):
     return ann_pq_topk_many(sf_dir)
 
 
+def _ann_ivfpq_topk_many(sf_dir: str):
+    """Batched multi-query IVF-PQ: ONE flat scan of the UNION of all
+    queries' probed coarse partitions (file pruning by path selection;
+    each row's denormalized cid column restricts every query to ITS
+    probed cells) ADC-scores the query table — both prunings compose
+    with the serving amortization (similarity.py ann_ivfpq_topk_many)."""
+    from rust_bert_ray.functions.similarity import ann_ivfpq_topk_many
+
+    return ann_ivfpq_topk_many(sf_dir)
+
+
 def _rerank_search(sf_dir: str):
     """Retrieve-then-rerank: dense candidates widened to the rerank pool,
     cross-encoder pair rescoring, streaming top-k (functions/search.py
@@ -722,7 +733,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     siblings, and dedup_incremental_minhash moves back inside it (its
     hot-band cap changed this round); q_gopher_quality, q_pii_scan and
     q_ngram_stats (driver-green r3+r4, quality.py untouched) rotate to
-    the tail to make room.  Every entry, gated or not, is verified by
+    the tail to make room.  Round-5 session-2: ann_ivfpq_topk_many (new)
+    enters next to its siblings; q_distinct_sketch (driver-green r3+r4,
+    untouched) rotates to the tail.  Every entry, gated or not, is verified by
     the local mirror (tools/check_oracles.py) against the same oracles
     each round.
     """
@@ -750,8 +763,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq_rerank_topk": _ann_pq_rerank_topk,
         "bm25_search_many": _bm25_search_many,
         "ann_pq_topk_many": _ann_pq_topk_many,
+        "ann_ivfpq_topk_many": _ann_ivfpq_topk_many,
         "q_dsir_weights": text.q_dsir_weights,
-        "q_distinct_sketch": quality.q_distinct_sketch,
         # --- KG construction (interleaved corpus; north rule) ---
         "kg_triples": _kg_triples,
         "kg_nodes": _kg_nodes,
@@ -815,6 +828,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- tail rotation (see docstring): driver-green in rounds 2-3,
         #     local-mirror-verified every round ---
         "q_gopher_quality": quality.q_gopher_quality,
+        "q_distinct_sketch": quality.q_distinct_sketch,
         "q_pii_scan": quality.q_pii_scan,
         "q_ngram_stats": quality.q_ngram_stats,
         "q_summarize": _q_summarize,
@@ -944,7 +958,7 @@ GROUP BY 1, 2
             "kg_media_features", "dedup_minhash_pairs", "dedup_simhash_pairs",
             "dedup_embedding_lsh_pairs", "dedup_incremental_minhash", "dedup_clusters_minhash",
             "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk",
-            "ann_pq_rerank_topk", "ann_pq_topk_many",
+            "ann_pq_rerank_topk", "ann_pq_topk_many", "ann_ivfpq_topk_many",
             "q_embed_clusters", "dedup_semantic", "q_lm_scores",
             "q_dsir_weights", "kg_kcore", "rag_search", "rerank_search",
         )

@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 from rust_bert_ray.functions.util import embedding_matrix
 
 EXPECTED_ROOT = "/tmp/rbr_expected"
-VERSION = 39  # bump whenever any builder's semantics change OR a builder is added
+VERSION = 40  # bump whenever any builder's semantics change OR a builder is added
 
 
 # ------------------------------------------------------------ input helpers
@@ -1972,6 +1972,34 @@ def ann_pq_rerank_topk(
     return _topk_table(ids[mask], cos[mask], k)
 
 
+def ann_ivfpq_topk_many(
+    sf_dir: str, corpus_root: str, k: int = 10,
+    n_centroids: int = 32, n_probe: int = 8, m: int = 8,
+    pq_k: int = 16, sample_rows: int = 256,
+) -> pa.Table:
+    """Batched-query IVF-PQ reference: the single-query builder above
+    run per query vec_id (every branch keeps its independently-derived
+    assign/probe/ADC/ranking spec), tagged and concatenated — per-query
+    results MUST equal ann_ivfpq_topk's, which is exactly what the
+    distributed union-of-probed-files scan promises."""
+    from rust_bert_ray.functions.similarity import MANY_QUERY_VEC_IDS
+
+    parts = []
+    for qid in MANY_QUERY_VEC_IDS:
+        t = ann_ivfpq_topk(
+            sf_dir, corpus_root, qid, k, n_centroids, n_probe, m,
+            pq_k, sample_rows,
+        )
+        parts.append(
+            t.add_column(
+                0,
+                "query_vec_id",
+                pa.array(np.full(t.num_rows, qid, dtype=np.int64), type=pa.int64()),
+            )
+        )
+    return pa.concat_tables(parts)
+
+
 def ann_pq_topk_many(
     sf_dir: str, corpus_root: str, k: int = 10,
     m: int = 8, n_centroids: int = 16, sample_rows: int = 256,
@@ -2608,6 +2636,7 @@ BUILDERS = {
     "ann_pq_topk": ann_pq_topk,
     "ann_pq_topk_many": ann_pq_topk_many,
     "ann_ivfpq_topk": ann_ivfpq_topk,
+    "ann_ivfpq_topk_many": ann_ivfpq_topk_many,
     "ann_pq_rerank_topk": ann_pq_rerank_topk,
     "q_bpe_merges": q_bpe_merges,
     "q_bpe_tokens": q_bpe_tokens,

@@ -719,16 +719,22 @@ def ensure_ivfpq_index(
     def add_codes(t: pa.Table) -> pa.Table:
         A = embedding_matrix(t.column("embedding")).astype(np.float64)
         An = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
+        cid = (An @ C.T).argmax(axis=1)
         return pa.Table.from_pydict(
             {
                 "vec_id": t.column("vec_id"),
                 "code": pa.array(pq_encode(An, books), type=pa.int64()),
-                "bucket": pa.array((An @ C.T).argmax(axis=1), type=pa.int64()),
+                # cid = the partition value DENORMALIZED into the file
+                # (the BM25-doclen pattern): hive partition columns are
+                # path-only, and multi-query scans over a probed-file
+                # UNION need each row's coarse cell content-side
+                "cid": pa.array(cid, type=pa.int64()),
+                "bucket": pa.array(cid, type=pa.int64()),
             }
         )
 
     base, meta = _ensure_index(
-        sf_dir, f"ivfpq-{n_centroids}-{m}-{k}-{sample_rows}", add_codes
+        sf_dir, f"ivfpq-cid-{n_centroids}-{m}-{k}-{sample_rows}", add_codes
     )
     return base, meta, C, books
 
@@ -791,6 +797,108 @@ def ann_ivfpq_topk(
     ds = ray.data.read_parquet(dirs, columns=["vec_id", "code"])
     scored = ds.map_batches(score, batch_format="pyarrow", batch_size=8192)
     return topk(scored, ["dist", "vec_id"], [False, False], k)
+
+
+def ann_ivfpq_topk_many(
+    sf_dir: str,
+    query_vec_ids=MANY_QUERY_VEC_IDS,
+    k: int = 10,
+    n_centroids: int = 32,
+    n_probe: int = 8,
+    m: int = PQ_M,
+    pq_k: int = PQ_K,
+    sample_rows: int = PQ_SAMPLE,
+):
+    """Batched multi-query IVF-PQ: ONE scan of the UNION of all queries'
+    probed coarse partitions scores the whole query table — the two
+    prunings (IVF partition selection × PQ payload compression) compose
+    with the serving amortization of :func:`ann_pq_topk_many`.
+
+    The union's probed FILES are read in ONE flat read_parquet (file
+    pruning by path selection — never one Dataset per bucket, the r5
+    plan lesson); each row carries the ``cid`` coarse-cell column the
+    index denormalizes into the files (hive partition values are
+    path-only), so a query scores ONLY rows from ITS probed partitions
+    (mask before ADC — per-row ADC values are independent of which
+    other rows share the batch, so per-query results are bit-identical
+    to :func:`ann_ivfpq_topk`, asserted in tests).  Exchange: ≤ nq×k
+    local-top-k rows per block into :func:`grouped_topk`.
+    Output: (query_vec_id, vec_id, dist)."""
+    from rust_bert_ray.functions.util import grouped_topk, round_ha
+
+    base, _meta, C, books = ensure_ivfpq_index(
+        sf_dir, n_centroids, sample_rows, m, pq_k
+    )
+    qids = [int(x) for x in query_vec_ids]
+    Q = _query_matrix(sf_dir, qids)
+    d = Q.shape[1] // m
+    probes: list[list[int]] = []
+    tabs: list[list[np.ndarray]] = []
+    for i in range(len(qids)):
+        # same probe-selection and ADC-table expressions as the
+        # single-query path (bit parity by shared spec)
+        qn = Q[i] / max(np.linalg.norm(Q[i]), 1e-300)
+        probes.append(np.argsort(-(C @ qn))[:n_probe].tolist())
+        tabs.append(
+            [
+                ((qn[j * d : (j + 1) * d][None, :] - books[j]) ** 2).sum(axis=1)
+                for j in range(m)
+            ]
+        )
+    union = sorted({int(b) for p in probes for b in p})
+    files = _probed_partitions(base, union)
+    empty = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "query_vec_id": pa.array([], type=pa.int64()),
+                "vec_id": pa.array([], type=pa.int64()),
+                "dist": pa.array([], type=pa.float64()),
+            }
+        )
+    )
+    if not files:
+        return empty
+    bcast = ray.put(
+        (np.asarray(qids, dtype=np.int64),
+         [set(p) for p in probes],
+         tabs)
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        q_arr, probe_sets, tables = ray.get(bcast)
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        codes = t.column("code").to_numpy(zero_copy_only=False)
+        buckets = t.column("cid").to_numpy(zero_copy_only=False)
+        out_q, out_v, out_d = [], [], []
+        for i, qid in enumerate(q_arr):
+            mask = np.isin(buckets, list(probe_sets[i])) & (ids != qid)
+            if not mask.any():
+                continue
+            dv = round_ha(pq_adc_scores(codes[mask], tables[i]), 5)
+            vv = ids[mask]
+            order = np.lexsort((vv, dv))[:k]
+            out_q.append(np.full(len(order), qid, dtype=np.int64))
+            out_v.append(vv[order])
+            out_d.append(dv[order])
+        if not out_q:
+            return pa.Table.from_pydict(
+                {
+                    "query_vec_id": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "dist": pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.Table.from_pydict(
+            {
+                "query_vec_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
+                "dist": pa.array(np.concatenate(out_d), type=pa.float64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(files, columns=["vec_id", "code", "cid"])
+    scored = ds.map_batches(score, batch_format="pyarrow", batch_size=8192)
+    return grouped_topk(scored, "query_vec_id", ["dist", "vec_id"], [False, False], k)
 
 
 def ann_pq_rerank_topk(

@@ -226,3 +226,31 @@ def test_ann_pq_topk_many_equals_per_query(ray_session):
         assert g["dist"].tolist() == want["dist"].tolist()
         # self-exclusion holds per query
         assert qid not in set(g["vec_id"])
+
+
+def test_ann_ivfpq_topk_many_equals_per_query(ray_session):
+    """One scan of the UNION of all queries' probed partitions returns,
+    per query, bit-identical rows to the single-query ann_ivfpq_topk
+    (each query masked to ITS probed cells via the denormalized cid
+    column; same probe-selection/ADC expressions and total order)."""
+    from rust_bert_ray.functions.similarity import (
+        MANY_QUERY_VEC_IDS,
+        _probed_partitions,
+        ann_ivfpq_topk,
+        ann_ivfpq_topk_many,
+        ensure_ivfpq_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = ann_ivfpq_topk_many(sf, k=5).to_pandas()
+    assert list(got.columns) == ["query_vec_id", "vec_id", "dist"]
+    for qid in MANY_QUERY_VEC_IDS:
+        g = got[got["query_vec_id"] == qid].reset_index(drop=True)
+        want = ann_ivfpq_topk(sf, query_vec_id=qid, k=5).to_pandas()
+        assert g["vec_id"].tolist() == want["vec_id"].tolist()
+        assert g["dist"].tolist() == want["dist"].tolist()
+        assert qid not in set(g["vec_id"])
+    # the union scan still prunes: fewer files than the full table
+    base, _meta, C, _books = ensure_ivfpq_index(sf)
+    union = _probed_partitions(base, range(len(C)))
+    assert len(union) > 0  # sanity on the layout the union read globs
