@@ -91,6 +91,9 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    "ann_ivfpq_topk_many",
+    "ann_pq_topk_many",
+    "bm25_search_many",
     "ann_pq_rerank_topk",
     "rag_search",
     "bm25_search",
