@@ -131,10 +131,13 @@ def _kg_nodes(sf_dir: str):
 
 
 def _kg_edges(sf_dir: str):
-    """Edges table minus the ``doc_ids`` provenance sample: the sample's
-    membership depends on batch boundaries (per-batch cap before the
-    merge), so it is excluded from the value-hashed projection; n_obs
-    and score are exact."""
+    """Edges table INCLUDING the ``doc_ids`` provenance sample, joined
+    to a scalar string (the driver's value hash can't sort list
+    columns).  The sample is min-cap (sorted before truncation) at
+    every layer since round 5, so it is deterministic under any
+    batching / salt / merge order and now value-hashed like every other
+    column."""
+    import pyarrow as pa
     import ray.data
 
     from rust_bert_ray.pipelines.kg import extract_and_link
@@ -142,7 +145,15 @@ def _kg_edges(sf_dir: str):
 
     _, docs_dir = corpus_for(sf_dir)
     docs = ray.data.read_parquet(docs_dir, columns=["doc_id", "spans"])
-    return build_edges(extract_and_link(docs)).drop_columns(["doc_ids"])
+
+    def project(t: pa.Table) -> pa.Table:
+        joined = [";".join(v) for v in t.column("doc_ids").to_pylist()]
+        idx = t.schema.get_field_index("doc_ids")
+        return t.set_column(idx, "doc_ids", pa.array(joined, type=pa.string()))
+
+    return build_edges(extract_and_link(docs)).map_batches(
+        project, batch_format="pyarrow"
+    )
 
 
 def _kg_ingest_nodes(sf_dir: str):

@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 from rust_bert_ray.functions.util import embedding_matrix
 
 EXPECTED_ROOT = "/tmp/rbr_expected"
-VERSION = 40  # bump whenever any builder's semantics change OR a builder is added
+VERSION = 41  # bump whenever any builder's semantics change OR a builder is added
 
 
 # ------------------------------------------------------------ input helpers
@@ -1556,7 +1556,12 @@ def kg_nodes(sf_dir: str, corpus_root: str, alias_cap: int = 16) -> pa.Table:
 def kg_edges(sf_dir: str, corpus_root: str) -> pa.Table:
     df = _linked_triples(corpus_root)
     g = df.groupby(["subj_id", "pred", "obj_id"], as_index=False).agg(
-        n_obs=("doc_id", "size"), score=("rel_score", "max")
+        n_obs=("doc_id", "size"),
+        score=("rel_score", "max"),
+        # min-cap provenance sample — deterministic under any batching
+        # since the round-5 EdgePartials min-cap fix, so now value-hashed
+        # (joined to a scalar: the driver can't sort list columns)
+        doc_ids=("doc_id", lambda sr: ";".join(sorted(set(sr))[:8])),
     )
     g["edge_id"] = [
         f"edge:{zlib.crc32(f'{s}|{p}|{o}'.encode()):08x}"
@@ -1570,6 +1575,7 @@ def kg_edges(sf_dir: str, corpus_root: str) -> pa.Table:
             "obj_id": g["obj_id"],
             "n_obs": pa.array(g["n_obs"], type=pa.int64()),
             "score": pa.array(g["score"], type=pa.float64()),
+            "doc_ids": pa.array(g["doc_ids"], type=pa.string()),
         }
     )
 

@@ -183,7 +183,11 @@ def _ensure_index(sf_dir: str, key: str, add_bucket) -> tuple[str, dict]:
 
         shutil.rmtree(tmp)
     emb = _read_embeddings(sf_dir)
-    emb.map_batches(add_bucket, batch_format="pyarrow", batch_size=8192).write_parquet(
+    # repartition bounds the hive file count (files = tasks × bucket
+    # values — CLAUDE.md fact 19; the seen-index 4k-tiny-files incident)
+    emb.map_batches(
+        add_bucket, batch_format="pyarrow", batch_size=8192
+    ).repartition(4).write_parquet(
         os.path.join(tmp, "data"), partition_cols=["bucket"]
     )
     meta = {"fingerprint": fp, "total_rows": int(total)}

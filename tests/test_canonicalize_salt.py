@@ -41,9 +41,11 @@ def test_nodes_salt_invariant(linked_ds):
 def test_edges_salt_invariant(linked_ds):
     a = _norm_edges(build_edges(linked_ds, salt=1).to_pandas())
     b = _norm_edges(build_edges(linked_ds, salt=8).to_pandas())
-    # doc_ids sampling caps are order-dependent across salts only if more
-    # than cap docs share an edge; compare the stable columns exactly
+    # doc_ids included: the min-cap sample (sorted before truncation at
+    # every layer, round 5) is salt/batch/merge-order invariant
+    a = a.assign(doc_ids=a["doc_ids"].map(tuple))
+    b = b.assign(doc_ids=b["doc_ids"].map(tuple))
     pd.testing.assert_frame_equal(
-        a[["edge_id", "subj_id", "pred", "obj_id", "n_obs", "score"]],
-        b[["edge_id", "subj_id", "pred", "obj_id", "n_obs", "score"]],
+        a[["edge_id", "subj_id", "pred", "obj_id", "n_obs", "score", "doc_ids"]],
+        b[["edge_id", "subj_id", "pred", "obj_id", "n_obs", "score", "doc_ids"]],
     )

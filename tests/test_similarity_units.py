@@ -250,7 +250,19 @@ def test_ann_ivfpq_topk_many_equals_per_query(ray_session):
         assert g["vec_id"].tolist() == want["vec_id"].tolist()
         assert g["dist"].tolist() == want["dist"].tolist()
         assert qid not in set(g["vec_id"])
-    # the union scan still prunes: fewer files than the full table
+    # the union scan still prunes: the queries' probed-bucket union maps
+    # to strictly fewer files than the full table (the single-query
+    # pruning property, preserved under batching)
+    import numpy as np
+
+    from rust_bert_ray.functions.similarity import _query_matrix
+
     base, _meta, C, _books = ensure_ivfpq_index(sf)
-    union = _probed_partitions(base, range(len(C)))
-    assert len(union) > 0  # sanity on the layout the union read globs
+    Q = _query_matrix(sf, list(MANY_QUERY_VEC_IDS))
+    probed = set()
+    for i in range(Q.shape[0]):
+        qn = Q[i] / max(np.linalg.norm(Q[i]), 1e-300)
+        probed.update(np.argsort(-(C @ qn))[:8].tolist())
+    union_files = _probed_partitions(base, sorted(probed))
+    all_files = _probed_partitions(base, range(len(C)))
+    assert 0 < len(union_files) < len(all_files)

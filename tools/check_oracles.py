@@ -93,7 +93,7 @@ def main() -> int:
         # new warning as a prompt to check, not an automatic bug.
         for c in set(raw.columns) & set(raw_want.columns):
             gd, wd = raw[c].dtype, raw_want[c].dtype
-            if gd != wd and not (gd == object and wd == object):
+            if gd != wd:
                 print(f"  dtype-warn {name}.{c}: ray={gd} duck={wd}")
         want = normalize(raw_want)
         status = "ok"
