@@ -274,6 +274,26 @@ def _ann_ivfpq_topk_many(sf_dir: str):
     return ann_ivfpq_topk_many(sf_dir)
 
 
+def _rag_search_many(sf_dir: str):
+    """Batched multi-query dense retrieval: ONE scan of the union of all
+    queries' Hamming-<=1 probed chunk-index buckets scores the query
+    table; each row's SRP bucket is recomputed content-side from its
+    stored embedding (pipelines/rag.py rag_search_many)."""
+    from rust_bert_ray.pipelines.rag import rag_search_many
+
+    return rag_search_many(sf_dir)
+
+
+def _hybrid_search_many(sf_dir: str):
+    """Batched hybrid retrieval: per-query RRF fusion over the two
+    batched retrievers — one pruned postings scan + one pruned chunk
+    scan serve the whole query table; the fusion merges two <=10-row
+    lists per query (functions/search.py hybrid_search_many)."""
+    from rust_bert_ray.functions.search import hybrid_search_many
+
+    return hybrid_search_many(sf_dir)
+
+
 def _rerank_search(sf_dir: str):
     """Retrieve-then-rerank: dense candidates widened to the rerank pool,
     cross-encoder pair rescoring, streaming top-k (functions/search.py
@@ -775,6 +795,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search_many": _bm25_search_many,
         "ann_pq_topk_many": _ann_pq_topk_many,
         "ann_ivfpq_topk_many": _ann_ivfpq_topk_many,
+        "rag_search_many": _rag_search_many,
+        "hybrid_search_many": _hybrid_search_many,
         "q_dsir_weights": text.q_dsir_weights,
         # --- KG construction (interleaved corpus; north rule) ---
         "kg_triples": _kg_triples,
@@ -799,9 +821,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_anomaly": relational.q_events_anomaly,
         "q_top_docs_per_source": quality.q_top_docs_per_source,
         # --- text analysis (documents) ---
-        "q_sample_mixture": text.q_sample_mixture,
         "q_tfidf_topk": text.q_tfidf_topk,
-        "q_shuffle_rank": text.q_shuffle_rank,
         "dedup_clusters": dedup.dedup_clusters,
         "q_decode_hf": text.q_decode_hf,
         "q_bpe_merges": _q_bpe_merges,
@@ -839,6 +859,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- tail rotation (see docstring): driver-green in rounds 2-3,
         #     local-mirror-verified every round ---
         "q_gopher_quality": quality.q_gopher_quality,
+        "q_shuffle_rank": text.q_shuffle_rank,
+        "q_sample_mixture": text.q_sample_mixture,
         "q_distinct_sketch": quality.q_distinct_sketch,
         "q_pii_scan": quality.q_pii_scan,
         "q_ngram_stats": quality.q_ngram_stats,
@@ -971,7 +993,7 @@ GROUP BY 1, 2
             "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk",
             "ann_pq_rerank_topk", "ann_pq_topk_many", "ann_ivfpq_topk_many",
             "q_embed_clusters", "dedup_semantic", "q_lm_scores",
-            "q_dsir_weights", "kg_kcore", "rag_search", "rerank_search",
+            "q_dsir_weights", "kg_kcore", "rag_search", "rerank_search", "rag_search_many",
         )
     }
 
@@ -992,6 +1014,9 @@ GROUP BY 1, 2
         "kg_similar_nodes": kg_similar_nodes_sql,
         "bm25_search": search.bm25_search_sql(),
         "bm25_search_many": search.bm25_search_many_sql(),
+        "hybrid_search_many": search.hybrid_search_many_sql(
+            f"{_EXPECTED_DIR}/rag_search_many.parquet"
+        ),
         "hybrid_search": search.hybrid_search_sql(
             f"{_EXPECTED_DIR}/rag_search.parquet"
         ),

@@ -94,6 +94,8 @@ BENCH_QUERIES = [
     "ann_ivfpq_topk_many",
     "ann_pq_topk_many",
     "bm25_search_many",
+    "rag_search_many",
+    "hybrid_search_many",
     "ann_pq_rerank_topk",
     "rag_search",
     "bm25_search",

@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 from rust_bert_ray.functions.util import embedding_matrix
 
 EXPECTED_ROOT = "/tmp/rbr_expected"
-VERSION = 41  # bump whenever any builder's semantics change OR a builder is added
+VERSION = 42  # bump whenever any builder's semantics change OR a builder is added
 
 
 # ------------------------------------------------------------ input helpers
@@ -2484,8 +2484,14 @@ def rag_search(sf_dir: str, corpus_root: str, k: int = 10) -> pa.Table:
     constant), full cosine scan filtered to the probed buckets.  Shares
     ONLY the embedder floats (the documented embedding-parity helper
     pattern) — chunk/window/hash/score/tie-break logic is re-derived."""
+    from rust_bert_ray.pipelines.rag import RAG_QUERY
+
+    return _rag_search_impl(sf_dir, RAG_QUERY, k)
+
+
+def _rag_search_impl(sf_dir: str, query: str, k: int) -> pa.Table:
     from rust_bert_ray.functions.util import round_ha
-    from rust_bert_ray.pipelines.rag import RAG_N_BITS, RAG_QUERY, _embedder
+    from rust_bert_ray.pipelines.rag import RAG_N_BITS, _embedder
 
     chunk_words, overlap = 32, 8
     step = chunk_words - overlap
@@ -2511,7 +2517,7 @@ def rag_search(sf_dir: str, corpus_root: str, k: int = 10) -> pa.Table:
     for b in range(RAG_N_BITS):
         buckets |= bits[:, b].astype(np.int64) << b
 
-    qv = emb.embed(RAG_QUERY).astype(np.float64)
+    qv = emb.embed(query).astype(np.float64)
     qbits = (qv[None, :] @ planes.T) > 0
     q_bucket = 0
     for b in range(RAG_N_BITS):
@@ -2536,6 +2542,27 @@ def rag_search(sf_dir: str, corpus_root: str, k: int = 10) -> pa.Table:
             "chunk_text": pa.array([c[3] for c in cand], pa.string()),
         }
     )
+
+
+def rag_search_many(sf_dir: str, corpus_root: str, k: int = 10) -> pa.Table:
+    """Batched-query dense-retrieval reference: the independent
+    single-query spec above run per MANY_QUERIES entry (each branch
+    keeps its own chunk/hash/scan/tie-break re-derivation), tagged and
+    concatenated — per-query results MUST equal rag_search's for the
+    same query text."""
+    from rust_bert_ray.functions.search import MANY_QUERIES
+
+    parts = []
+    for qid, q in sorted(MANY_QUERIES.items()):
+        t = _rag_search_impl(sf_dir, q, k)
+        parts.append(
+            t.add_column(
+                0,
+                "query_id",
+                pa.array(np.full(t.num_rows, qid, dtype=np.int64), type=pa.int64()),
+            )
+        )
+    return pa.concat_tables(parts)
 
 
 def rerank_search(sf_dir: str, corpus_root: str, k: int = 10) -> pa.Table:
@@ -2651,6 +2678,7 @@ BUILDERS = {
     "q_dsir_weights": q_dsir_weights,
     "kg_kcore": kg_kcore,
     "rag_search": rag_search,
+    "rag_search_many": rag_search_many,
     "rerank_search": rerank_search,
 }
 

@@ -644,6 +644,104 @@ def hybrid_search_sql(dense_parquet: str, k: int = 10) -> str:
     )
 
 
+HYBRID_MANY_BRANCH_SQL = """
+SELECT CAST({qid} AS BIGINT) AS query_id, doc_id, rrf FROM (
+WITH bm25 AS ({bm25_sql}),
+sparse_rank AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r FROM bm25
+),
+dense_chunks AS (
+  SELECT * FROM read_parquet('{dense_parquet}') WHERE query_id = {qid}
+),
+dense_best AS (
+  SELECT doc_id, MIN(cr) AS mr FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id, chunk_idx) AS cr
+    FROM dense_chunks
+  ) GROUP BY doc_id
+),
+dense_rank AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY mr) AS r FROM dense_best
+),
+fused AS (
+  SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+         COALESCE(1.0 / ({c} + s.r), 0) + COALESCE(1.0 / ({c} + d.r), 0) AS rrf
+  FROM sparse_rank s
+  FULL OUTER JOIN dense_rank d ON s.doc_id = d.doc_id
+)
+SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT {k}
+)
+"""
+
+
+def hybrid_search_many(sf_dir: str, queries: dict[int, str] | None = None, k: int = 10):
+    """Batched hybrid retrieval: the RRF fusion of :func:`hybrid_search`
+    applied per query over the two BATCHED retrievers — one pruned
+    postings scan (``bm25_search_many``) and one pruned chunk-index scan
+    (``rag_search_many``) serve the whole query table, then the
+    driver-side merge fuses two ≤``HYBRID_POOL``-row lists per query
+    (O(nq·k) regardless of corpus size).  Per-query results equal
+    :func:`hybrid_search` on the same query text (tested).
+    Output: (query_id, doc_id, rrf)."""
+    from rust_bert_ray.pipelines.rag import rag_search_many
+
+    qs = MANY_QUERIES if queries is None else queries
+    dense_all = rag_search_many(sf_dir, qs, k=HYBRID_POOL).to_pandas()
+    sparse_all = bm25_search_many(sf_dir, qs, k=HYBRID_POOL).to_pandas()
+    out_q, out_d, out_r = [], [], []
+    for qid in sorted(int(q) for q in qs):
+        dense = dense_all[dense_all["query_id"] == qid].sort_values(
+            ["cos", "doc_id", "chunk_idx"], ascending=[False, True, True]
+        )
+        sparse = sparse_all[sparse_all["query_id"] == qid].sort_values(
+            ["score", "doc_id"], ascending=[False, True]
+        )
+        rrf: dict[int, float] = {}
+        seen: set[int] = set()
+        r = 0
+        for doc_id in dense["doc_id"].tolist():
+            if doc_id in seen:
+                continue
+            seen.add(doc_id)
+            r += 1
+            rrf[doc_id] = rrf.get(doc_id, 0.0) + 1.0 / (RRF_C + r)
+        for r, doc_id in enumerate(sparse["doc_id"].tolist(), start=1):
+            rrf[doc_id] = rrf.get(doc_id, 0.0) + 1.0 / (RRF_C + r)
+        fused = sorted(rrf.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        out_q.extend(qid for _ in fused)
+        out_d.extend(d for d, _ in fused)
+        out_r.extend(sc for _, sc in fused)
+    import numpy as _np
+
+    return pa.Table.from_pydict(
+        {
+            "query_id": pa.array(_np.asarray(out_q, dtype=_np.int64), type=pa.int64()),
+            "doc_id": pa.array(_np.asarray(out_d, dtype=_np.int64), type=pa.int64()),
+            "rrf": pa.array(_np.asarray(out_r, dtype=_np.float64), type=pa.float64()),
+        }
+    )
+
+
+def hybrid_search_many_sql(
+    dense_many_parquet: str, queries: dict[int, str] | None = None, k: int = 10
+) -> str:
+    """Oracle: the single-query hybrid CTE shape per query — native BM25
+    branch per query text + the independently-verified expected dense
+    table filtered to that query_id — tagged and unioned."""
+    qs = MANY_QUERIES if queries is None else queries
+    parts = [
+        HYBRID_MANY_BRANCH_SQL.format(
+            qid=int(qid),
+            bm25_sql=bm25_search_sql(q, k=HYBRID_POOL).strip(),
+            dense_parquet=dense_many_parquet,
+            c=RRF_C,
+            k=k,
+        ).strip()
+        for qid, q in sorted(qs.items())
+    ]
+    return " UNION ALL ".join(parts)
+
+
 RERANK_POOL = 20
 
 

@@ -169,3 +169,116 @@ def rag_search(sf_dir: str, query: str = RAG_QUERY, k: int = 10):
     )
     scored = ds.map_batches(score, batch_format="pyarrow", batch_size=8192)
     return topk(scored, ["cos", "doc_id", "chunk_idx"], [True, False, False], k)
+
+
+def rag_search_many(sf_dir: str, queries: dict[int, str] | None = None, k: int = 10):
+    """Batched multi-query dense retrieval: ONE scan of the UNION of all
+    queries' Hamming-≤1 probed buckets scores a whole query TABLE (the
+    serving amortization, completing the batched family next to
+    ``bm25_search_many`` / ``ann_pq_topk_many``).
+
+    The union's probed FILES are read in one flat ``read_parquet`` (file
+    pruning by path selection — never one Dataset per bucket); each
+    row's SRP bucket is recomputed CONTENT-side from its stored
+    embedding (hive partition values are path-only; the hash input is
+    the identical float32 vector the index build hashed), so every
+    query scores ONLY rows from ITS probe set.  Per-query cosines use
+    the single-query matvec expression (bit parity with
+    :func:`rag_search`, asserted in tests); the exchange carries ≤ nq×k
+    local-top-k rows per block into ``grouped_topk``.
+    Output: (query_id, doc_id, chunk_idx, cos, chunk_text)."""
+    from rust_bert_ray.functions.search import MANY_QUERIES
+    from rust_bert_ray.functions.similarity import (
+        _probed_partitions,
+        _srp_hash,
+        _srp_planes,
+    )
+    from rust_bert_ray.functions.util import grouped_topk, round_ha
+
+    qs = MANY_QUERIES if queries is None else queries
+    base = ensure_rag_index(sf_dir)
+    emb = _embedder()
+    planes = _srp_planes(emb.out_dim, RAG_N_BITS)
+    qids = sorted(int(q) for q in qs)
+    qhats, nears = [], []
+    for qid in qids:
+        qv = emb.embed(qs[qid]).astype(np.float64)
+        qb = int(_srp_hash(planes, qv[None, :])[0])
+        nears.append({qb} | {qb ^ (1 << b) for b in range(RAG_N_BITS)})
+        qhats.append(qv / max(np.linalg.norm(qv), 1e-300))
+    union = sorted(set().union(*nears))
+    dirs = _probed_partitions(base, union)
+    empty = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "chunk_idx": pa.array([], pa.int64()),
+                "cos": pa.array([], pa.float64()),
+                "chunk_text": pa.array([], pa.string()),
+            }
+        )
+    )
+    if not dirs:
+        return empty
+    bcast = ray.put(
+        (
+            np.asarray(qids, dtype=np.int64),
+            [np.asarray(sorted(n), dtype=np.int64) for n in nears],
+            np.stack(qhats),
+            planes,
+        )
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        q_arr, near_arr, Qh, pl = ray.get(bcast)
+        A = embedding_matrix(t.column("embedding"))
+        # content-side bucket recompute: identical float32 input to the
+        # index build's hash, so buckets match the hive partitioning
+        buckets = _srp_hash(pl, A.astype(np.float64))
+        norms = np.maximum(np.linalg.norm(A, axis=1), 1e-300)
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        ci = t.column("chunk_idx").to_numpy(zero_copy_only=False)
+        texts = t.column("chunk_text").to_pylist()
+        cols = {"query_id": [], "doc_id": [], "chunk_idx": [], "cos": [], "chunk_text": []}
+        for i, qid in enumerate(q_arr):
+            mask = np.isin(buckets, near_arr[i])
+            if not mask.any():
+                continue
+            # the single-query matvec expression over this query's rows
+            cos = round_ha((A[mask] @ Qh[i]) / norms[mask], 5)
+            dv, cv = doc[mask], ci[mask]
+            order = np.lexsort((cv, dv, -cos))[:k]
+            idxs = np.flatnonzero(mask)[order]
+            cols["query_id"].append(np.full(len(order), qid, dtype=np.int64))
+            cols["doc_id"].append(dv[order])
+            cols["chunk_idx"].append(cv[order])
+            cols["cos"].append(cos[order])
+            cols["chunk_text"].extend(texts[j] for j in idxs)
+        if not cols["query_id"]:
+            return pa.Table.from_pydict(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "chunk_idx": pa.array([], pa.int64()),
+                    "cos": pa.array([], pa.float64()),
+                    "chunk_text": pa.array([], pa.string()),
+                }
+            )
+        return pa.Table.from_pydict(
+            {
+                "query_id": pa.array(np.concatenate(cols["query_id"]), pa.int64()),
+                "doc_id": pa.array(np.concatenate(cols["doc_id"]), pa.int64()),
+                "chunk_idx": pa.array(np.concatenate(cols["chunk_idx"]), pa.int64()),
+                "cos": pa.array(np.concatenate(cols["cos"]), pa.float64()),
+                "chunk_text": pa.array(cols["chunk_text"], pa.string()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        dirs, columns=["doc_id", "chunk_idx", "chunk_text", "embedding"]
+    )
+    scored = ds.map_batches(score, batch_format="pyarrow", batch_size=8192)
+    return grouped_topk(
+        scored, "query_id", ["cos", "doc_id", "chunk_idx"], [True, False, False], k
+    )

@@ -207,3 +207,42 @@ def test_bm25_search_many_empty_queries_schema_stable(index, ray_session):
     out = bm25_search_many(SF, queries={0: "???", 1: ""}, k=5)
     assert out.schema().names == ["query_id", "doc_id", "score"]
     assert out.count() == 0
+
+
+def test_rag_search_many_equals_per_query(index, ray_session):
+    """One union-probed chunk-index scan returns, per query, bit-identical
+    rows to the single-query rag_search (content-side SRP bucket
+    recompute restricts each query to ITS probe set; same matvec cosine
+    expression and total order)."""
+    from rust_bert_ray.functions.search import MANY_QUERIES
+    from rust_bert_ray.pipelines.rag import rag_search, rag_search_many
+
+    got = rag_search_many(SF, k=5).to_pandas()
+    assert list(got.columns) == [
+        "query_id", "doc_id", "chunk_idx", "cos", "chunk_text",
+    ]
+    for qid, q in MANY_QUERIES.items():
+        g = got[got["query_id"] == qid].reset_index(drop=True)
+        want = rag_search(SF, query=q, k=5).to_pandas()
+        assert g["doc_id"].tolist() == want["doc_id"].tolist()
+        assert g["chunk_idx"].tolist() == want["chunk_idx"].tolist()
+        assert g["cos"].tolist() == want["cos"].tolist()
+        assert g["chunk_text"].tolist() == want["chunk_text"].tolist()
+
+
+def test_hybrid_search_many_equals_per_query(index, ray_session):
+    """Per-query fusion over the two batched retrievers equals the
+    single-query hybrid_search on the same query text."""
+    from rust_bert_ray.functions.search import (
+        MANY_QUERIES,
+        hybrid_search,
+        hybrid_search_many,
+    )
+
+    got = hybrid_search_many(SF, k=5).to_pandas()
+    assert list(got.columns) == ["query_id", "doc_id", "rrf"]
+    for qid, q in MANY_QUERIES.items():
+        g = got[got["query_id"] == qid].reset_index(drop=True)
+        want = hybrid_search(SF, query=q, k=5).to_pandas()
+        assert g["doc_id"].tolist() == want["doc_id"].tolist()
+        assert g["rrf"].tolist() == want["rrf"].tolist()
