@@ -585,18 +585,7 @@ def hybrid_search(sf_dir: str, query: str | None = None, k: int = 10):
         .to_pandas()
         .sort_values(["score", "doc_id"], ascending=[False, True])
     )
-    rrf: dict[int, float] = {}
-    seen: set[int] = set()
-    r = 0
-    for doc_id in dense["doc_id"].tolist():
-        if doc_id in seen:
-            continue
-        seen.add(doc_id)
-        r += 1
-        rrf[doc_id] = rrf.get(doc_id, 0.0) + 1.0 / (RRF_C + r)
-    for r, doc_id in enumerate(sparse["doc_id"].tolist(), start=1):
-        rrf[doc_id] = rrf.get(doc_id, 0.0) + 1.0 / (RRF_C + r)
-    fused = sorted(rrf.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    fused = _rrf_fuse(dense["doc_id"].tolist(), sparse["doc_id"].tolist(), k)
     return pa.Table.from_pydict(
         {
             "doc_id": pa.array([d for d, _ in fused], type=pa.int64()),
@@ -605,12 +594,33 @@ def hybrid_search(sf_dir: str, query: str | None = None, k: int = 10):
     )
 
 
+def _rrf_fuse(
+    dense_doc_ids: list[int], sparse_doc_ids: list[int], k: int
+) -> list[tuple[int, float]]:
+    """The shared RRF algebra (both hybrid paths MUST go through this —
+    the batched/single-query equality tests assert they agree): dense
+    rank is the doc's FIRST appearance in the chunk-sorted list, sparse
+    rank is positional; score = Σ 1/(C + rank), ties break by doc_id."""
+    rrf: dict[int, float] = {}
+    seen: set[int] = set()
+    r = 0
+    for doc_id in dense_doc_ids:
+        if doc_id in seen:
+            continue
+        seen.add(doc_id)
+        r += 1
+        rrf[doc_id] = rrf.get(doc_id, 0.0) + 1.0 / (RRF_C + r)
+    for r, doc_id in enumerate(sparse_doc_ids, start=1):
+        rrf[doc_id] = rrf.get(doc_id, 0.0) + 1.0 / (RRF_C + r)
+    return sorted(rrf.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
 HYBRID_SEARCH_SQL_TEMPLATE = """
 WITH bm25 AS ({bm25_sql}),
 sparse_rank AS (
   SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r FROM bm25
 ),
-dense_chunks AS (SELECT * FROM read_parquet('{dense_parquet}')),
+dense_chunks AS (SELECT * FROM read_parquet('{dense_parquet}'){dense_where}),
 dense_best AS (
   SELECT doc_id, MIN(cr) AS mr FROM (
     SELECT doc_id,
@@ -639,39 +649,10 @@ def hybrid_search_sql(dense_parquet: str, k: int = 10) -> str:
     return HYBRID_SEARCH_SQL_TEMPLATE.format(
         bm25_sql=bm25_search_sql(RAG_QUERY, k=HYBRID_POOL).strip(),
         dense_parquet=dense_parquet,
+        dense_where="",
         c=RRF_C,
         k=k,
     )
-
-
-HYBRID_MANY_BRANCH_SQL = """
-SELECT CAST({qid} AS BIGINT) AS query_id, doc_id, rrf FROM (
-WITH bm25 AS ({bm25_sql}),
-sparse_rank AS (
-  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r FROM bm25
-),
-dense_chunks AS (
-  SELECT * FROM read_parquet('{dense_parquet}') WHERE query_id = {qid}
-),
-dense_best AS (
-  SELECT doc_id, MIN(cr) AS mr FROM (
-    SELECT doc_id,
-           ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id, chunk_idx) AS cr
-    FROM dense_chunks
-  ) GROUP BY doc_id
-),
-dense_rank AS (
-  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY mr) AS r FROM dense_best
-),
-fused AS (
-  SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
-         COALESCE(1.0 / ({c} + s.r), 0) + COALESCE(1.0 / ({c} + d.r), 0) AS rrf
-  FROM sparse_rank s
-  FULL OUTER JOIN dense_rank d ON s.doc_id = d.doc_id
-)
-SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT {k}
-)
-"""
 
 
 def hybrid_search_many(sf_dir: str, queries: dict[int, str] | None = None, k: int = 10):
@@ -696,28 +677,15 @@ def hybrid_search_many(sf_dir: str, queries: dict[int, str] | None = None, k: in
         sparse = sparse_all[sparse_all["query_id"] == qid].sort_values(
             ["score", "doc_id"], ascending=[False, True]
         )
-        rrf: dict[int, float] = {}
-        seen: set[int] = set()
-        r = 0
-        for doc_id in dense["doc_id"].tolist():
-            if doc_id in seen:
-                continue
-            seen.add(doc_id)
-            r += 1
-            rrf[doc_id] = rrf.get(doc_id, 0.0) + 1.0 / (RRF_C + r)
-        for r, doc_id in enumerate(sparse["doc_id"].tolist(), start=1):
-            rrf[doc_id] = rrf.get(doc_id, 0.0) + 1.0 / (RRF_C + r)
-        fused = sorted(rrf.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        fused = _rrf_fuse(dense["doc_id"].tolist(), sparse["doc_id"].tolist(), k)
         out_q.extend(qid for _ in fused)
         out_d.extend(d for d, _ in fused)
         out_r.extend(sc for _, sc in fused)
-    import numpy as _np
-
     return pa.Table.from_pydict(
         {
-            "query_id": pa.array(_np.asarray(out_q, dtype=_np.int64), type=pa.int64()),
-            "doc_id": pa.array(_np.asarray(out_d, dtype=_np.int64), type=pa.int64()),
-            "rrf": pa.array(_np.asarray(out_r, dtype=_np.float64), type=pa.float64()),
+            "query_id": pa.array(np.asarray(out_q, dtype=np.int64), type=pa.int64()),
+            "doc_id": pa.array(np.asarray(out_d, dtype=np.int64), type=pa.int64()),
+            "rrf": pa.array(np.asarray(out_r, dtype=np.float64), type=pa.float64()),
         }
     )
 
@@ -725,18 +693,22 @@ def hybrid_search_many(sf_dir: str, queries: dict[int, str] | None = None, k: in
 def hybrid_search_many_sql(
     dense_many_parquet: str, queries: dict[int, str] | None = None, k: int = 10
 ) -> str:
-    """Oracle: the single-query hybrid CTE shape per query — native BM25
-    branch per query text + the independently-verified expected dense
-    table filtered to that query_id — tagged and unioned."""
+    """Oracle: the single-query hybrid CTE (the SAME shared template —
+    one fusion-SQL source of truth) per query — native BM25 branch per
+    query text + the independently-verified expected dense table
+    filtered to that query_id — tagged and unioned."""
     qs = MANY_QUERIES if queries is None else queries
     parts = [
-        HYBRID_MANY_BRANCH_SQL.format(
+        "SELECT CAST({qid} AS BIGINT) AS query_id, doc_id, rrf FROM (\n{branch}\n)".format(
             qid=int(qid),
-            bm25_sql=bm25_search_sql(q, k=HYBRID_POOL).strip(),
-            dense_parquet=dense_many_parquet,
-            c=RRF_C,
-            k=k,
-        ).strip()
+            branch=HYBRID_SEARCH_SQL_TEMPLATE.format(
+                bm25_sql=bm25_search_sql(q, k=HYBRID_POOL).strip(),
+                dense_parquet=dense_many_parquet,
+                dense_where=f" WHERE query_id = {int(qid)}",
+                c=RRF_C,
+                k=k,
+            ).strip(),
+        )
         for qid, q in sorted(qs.items())
     ]
     return " UNION ALL ".join(parts)

@@ -193,7 +193,7 @@ def rag_search_many(sf_dir: str, queries: dict[int, str] | None = None, k: int =
         _srp_hash,
         _srp_planes,
     )
-    from rust_bert_ray.functions.util import grouped_topk, round_ha
+    from rust_bert_ray.functions.util import grouped_topk
 
     qs = MANY_QUERIES if queries is None else queries
     base = ensure_rag_index(sf_dir)
@@ -208,19 +208,8 @@ def rag_search_many(sf_dir: str, queries: dict[int, str] | None = None, k: int =
         qhats.append(qv / max(np.linalg.norm(qv), 1e-300))
     union = sorted(set().union(*nears))
     dirs = _probed_partitions(base, union)
-    empty = ray.data.from_arrow(
-        pa.Table.from_pydict(
-            {
-                "query_id": pa.array([], pa.int64()),
-                "doc_id": pa.array([], pa.int64()),
-                "chunk_idx": pa.array([], pa.int64()),
-                "cos": pa.array([], pa.float64()),
-                "chunk_text": pa.array([], pa.string()),
-            }
-        )
-    )
     if not dirs:
-        return empty
+        return ray.data.from_arrow(_many_empty_table())
     bcast = ray.put(
         (
             np.asarray(qids, dtype=np.int64),
@@ -229,9 +218,47 @@ def rag_search_many(sf_dir: str, queries: dict[int, str] | None = None, k: int =
             planes,
         )
     )
+    ds = ray.data.read_parquet(
+        dirs, columns=["doc_id", "chunk_idx", "chunk_text", "embedding"]
+    )
+    scored = ds.map_batches(
+        _ScoreMany(bcast, k), batch_format="pyarrow", batch_size=8192
+    )
+    return grouped_topk(
+        scored, "query_id", ["cos", "doc_id", "chunk_idx"], [True, False, False], k
+    )
 
-    def score(t: pa.Table) -> pa.Table:
-        q_arr, near_arr, Qh, pl = ray.get(bcast)
+
+def _many_empty_table() -> pa.Table:
+    """The one source of truth for rag_search_many's output schema."""
+    return pa.Table.from_pydict(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "chunk_idx": pa.array([], pa.int64()),
+            "cos": pa.array([], pa.float64()),
+            "chunk_text": pa.array([], pa.string()),
+        }
+    )
+
+
+class _ScoreMany:
+    """Per-block multi-query scorer (task pool — trivial ``__init__``,
+    passed as an instance).  The broadcast (qids, probe sets, qhat
+    matrix, SRP planes) tuple is resolved from the object store once
+    per task, not once per batch."""
+
+    def __init__(self, bcast, k: int):
+        self._bcast, self._k, self._resolved = bcast, k, None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from rust_bert_ray.functions.similarity import _srp_hash
+        from rust_bert_ray.functions.util import round_ha
+
+        if self._resolved is None:
+            self._resolved = ray.get(self._bcast)
+        q_arr, near_arr, Qh, pl = self._resolved
+        k = self._k
         A = embedding_matrix(t.column("embedding"))
         # content-side bucket recompute: identical float32 input to the
         # index build's hash, so buckets match the hive partitioning
@@ -239,8 +266,8 @@ def rag_search_many(sf_dir: str, queries: dict[int, str] | None = None, k: int =
         norms = np.maximum(np.linalg.norm(A, axis=1), 1e-300)
         doc = t.column("doc_id").to_numpy(zero_copy_only=False)
         ci = t.column("chunk_idx").to_numpy(zero_copy_only=False)
-        texts = t.column("chunk_text").to_pylist()
-        cols = {"query_id": [], "doc_id": [], "chunk_idx": [], "cos": [], "chunk_text": []}
+        cols = {"query_id": [], "doc_id": [], "chunk_idx": [], "cos": []}
+        take_idxs = []
         for i, qid in enumerate(q_arr):
             mask = np.isin(buckets, near_arr[i])
             if not mask.any():
@@ -249,36 +276,24 @@ def rag_search_many(sf_dir: str, queries: dict[int, str] | None = None, k: int =
             cos = round_ha((A[mask] @ Qh[i]) / norms[mask], 5)
             dv, cv = doc[mask], ci[mask]
             order = np.lexsort((cv, dv, -cos))[:k]
-            idxs = np.flatnonzero(mask)[order]
+            take_idxs.append(np.flatnonzero(mask)[order])
             cols["query_id"].append(np.full(len(order), qid, dtype=np.int64))
             cols["doc_id"].append(dv[order])
             cols["chunk_idx"].append(cv[order])
             cols["cos"].append(cos[order])
-            cols["chunk_text"].extend(texts[j] for j in idxs)
         if not cols["query_id"]:
-            return pa.Table.from_pydict(
-                {
-                    "query_id": pa.array([], pa.int64()),
-                    "doc_id": pa.array([], pa.int64()),
-                    "chunk_idx": pa.array([], pa.int64()),
-                    "cos": pa.array([], pa.float64()),
-                    "chunk_text": pa.array([], pa.string()),
-                }
-            )
+            return _many_empty_table()
+        # one Arrow take for the ≤ nq×k kept strings — never materialize
+        # the whole batch's chunk_text as Python objects
+        texts = t.column("chunk_text").take(pa.array(np.concatenate(take_idxs)))
         return pa.Table.from_pydict(
             {
                 "query_id": pa.array(np.concatenate(cols["query_id"]), pa.int64()),
                 "doc_id": pa.array(np.concatenate(cols["doc_id"]), pa.int64()),
                 "chunk_idx": pa.array(np.concatenate(cols["chunk_idx"]), pa.int64()),
                 "cos": pa.array(np.concatenate(cols["cos"]), pa.float64()),
-                "chunk_text": pa.array(cols["chunk_text"], pa.string()),
+                "chunk_text": texts.combine_chunks()
+                if isinstance(texts, pa.ChunkedArray)
+                else texts,
             }
         )
-
-    ds = ray.data.read_parquet(
-        dirs, columns=["doc_id", "chunk_idx", "chunk_text", "embedding"]
-    )
-    scored = ds.map_batches(score, batch_format="pyarrow", batch_size=8192)
-    return grouped_topk(
-        scored, "query_id", ["cos", "doc_id", "chunk_idx"], [True, False, False], k
-    )
