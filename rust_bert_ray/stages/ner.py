@@ -435,17 +435,31 @@ class NerStage:
         ``_entities_for_text``; tests/test_tensor_backend.py asserts
         field-level equality against the reference path.
         """
-        feats: list[tuple[int, object, list[str]]] = []
+        # A deterministic stand-in scorer exposes ``tag_words`` (the
+        # all-O shortcut + the tag_ids side-channel it derives logits
+        # from); a REAL serialized-model backend (OnnxTagScorer — the
+        # reference's ModelResource::ONNX slot) computes logits from
+        # input_ids alone, so tag_words is optional here and tag_ids
+        # stays all-O for it (forward() ignores it by contract).
+        has_tags = hasattr(self.scorer, "tag_words")
+        feats: list[tuple[int, object, list[str] | None]] = []
         for i, text in enumerate(texts):
             enc = self.tokenizer.encode(text)
-            word_tags = self.scorer.tag_words(enc.words or [])
-            if all(t == "O" for t in word_tags):
-                results[i] = []  # same all-O shortcut as the reference path
-                continue
+            word_tags = None
+            if has_tags:
+                word_tags = self.scorer.tag_words(enc.words or [])
+                if all(t == "O" for t in word_tags):
+                    results[i] = []  # same all-O shortcut as the reference path
+                    continue
+            n_before = len(feats)
             for f in generate_features(
                 enc, example_index=0, max_length=self.max_length
             ):
                 feats.append((i, f, word_tags))
+            if not has_tags and len(feats) == n_before:
+                # no features (empty text) and no per-text fallback
+                # available for a forward-only backend
+                results[i] = []
         if not feats:
             return
         B = len(feats)
@@ -457,8 +471,9 @@ class NerStage:
             n = len(f.input_ids)
             input_ids[r, :n] = f.input_ids
             attention[r, :n] = True
-            for pos, w in enumerate(f.word_indices):
-                tag_ids[r, pos] = NER_LABEL_INDEX[wt[w] if w >= 0 else "O"]
+            if wt is not None:
+                for pos, w in enumerate(f.word_indices):
+                    tag_ids[r, pos] = NER_LABEL_INDEX[wt[w] if w >= 0 else "O"]
 
         logits = self.scorer.forward(input_ids, attention, tag_ids)
 
