@@ -766,7 +766,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q_ngram_stats (driver-green r3+r4, quality.py untouched) rotate to
     the tail to make room.  Round-5 session-2: ann_ivfpq_topk_many (new)
     enters next to its siblings; q_distinct_sketch (driver-green r3+r4,
-    untouched) rotates to the tail.  Every entry, gated or not, is verified by
+    untouched) rotates to the tail.  Round-5 session-3: rag_search_many
+    and hybrid_search_many (new, completing the batched family) enter
+    next to their siblings; q_sample_mixture and q_shuffle_rank
+    (driver-green r3+r4, text.py semantics untouched) rotate to the
+    tail.  Every entry, gated or not, is verified by
     the local mirror (tools/check_oracles.py) against the same oracles
     each round.
     """
