@@ -613,12 +613,33 @@ def dedup_simhash_pairs(sf_dir: str, max_hamming: int = 3, bucket_cap: int = 200
 
 # ------------------------------------- connected components → cluster/keep
 
+def _local_cc(u: np.ndarray, v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Exact CC over a driver-resident edge list: vectorized hash-to-min
+    with pointer jumping (labels are node IDs, so one extra hop per round
+    is a searchsorted gather) — O(E log d) numpy passes, no Python loop
+    over edges.  Returns (node_ids, component_min_label) sorted by id."""
+    ids = np.unique(np.concatenate([u, v]))
+    ui = np.searchsorted(ids, u)
+    vi = np.searchsorted(ids, v)
+    lab = ids.copy()
+    while True:
+        new = lab.copy()
+        np.minimum.at(new, ui, lab[vi])
+        np.minimum.at(new, vi, lab[ui])
+        # pointer jumping: every label value is itself a node id
+        new = np.minimum(new, new[np.searchsorted(ids, new)])
+        if np.array_equal(new, lab):
+            return ids, lab
+        lab = new
+
+
 def connected_components(
     pairs_ds,
     *,
     n_buckets: int = 64,
     num_partitions: int = 16,
     max_iters: int = 16,
+    driver_finish_limit: int = 4_000_000,
 ):
     """Candidate pairs (doc_a, doc_b) → (doc_id, cluster_id) labels via
     iterative hash-to-min star contraction — the map-reduce CC algorithm:
@@ -632,11 +653,19 @@ def connected_components(
     scalar aggregates (row count + xor-style checksum); only those two
     numbers ever reach the driver.
 
-    Near-dup components are tiny (dup clusters), so the edge list is
-    ≪ corpus size; each round's frontier is re-materialized to keep the
-    lineage bounded — at 10^12 docs each round would checkpoint to
-    parquet instead (same shape).  Returns only labels for documents
-    that appear in ≥1 pair; singletons are handled by the caller.
+    Adaptive driver finish: a frontier of ``≤ driver_finish_limit``
+    symmetric edges (64 MB of int64 pairs at the default — the same
+    small-side budget as ``_cluster_keep_list``'s 5M-label broadcast) is
+    collected once and closed with one vectorized numpy pass
+    (``_local_cc``), replacing O(log diameter) two-execution rounds whose
+    per-round scheduling floor dominates at dup-cluster edge volumes.
+    Above the limit the distributed loop runs unchanged — near-dup
+    components are tiny (dup clusters), so the edge list is ≪ corpus
+    size; each round's frontier is re-materialized to keep the lineage
+    bounded — at 10^12 docs each round would checkpoint to parquet
+    instead (same shape).  Returns only labels for documents that appear
+    in ≥1 pair (component minima carry their own id); singletons are
+    handled by the caller.
     """
     from ray.data.aggregate import Sum
 
@@ -700,7 +729,30 @@ def connected_components(
 
     edges = pairs_ds.map_batches(
         make_sym("doc_a", "doc_b"), batch_format="pyarrow", batch_size=65536
-    )
+    ).materialize()
+    if edges.count() <= driver_finish_limit:
+        tables = [ray.get(ref) for ref in edges.to_arrow_refs()]
+        flat = pa.concat_tables([t for t in tables if t.num_rows] or tables[:1])
+        if flat.num_rows == 0:
+            empty = pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "cluster_id": pa.array([], type=pa.int64()),
+                }
+            )
+            return ray.data.from_arrow(empty)
+        ids, lab = _local_cc(
+            flat.column("u").to_numpy(zero_copy_only=False).astype(np.int64),
+            flat.column("v").to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, type=pa.int64()),
+                    "cluster_id": pa.array(lab, type=pa.int64()),
+                }
+            )
+        )
     prev_sig = None
     p = num_partitions
     for _ in range(max_iters):

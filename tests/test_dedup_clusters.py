@@ -55,6 +55,37 @@ def test_labels_only_cover_paired_docs(ray_session):
     assert set(lab) == {3, 7}
 
 
+def test_driver_finish_matches_distributed_loop(ray_session):
+    # same graphs through both paths: the default driver finish and the
+    # star-contraction loop (forced with driver_finish_limit=0) must be
+    # row- and dtype-identical
+    pairs = (
+        [(i, i + 1) for i in range(40)]
+        + [(5, i) for i in range(6, 12)]
+        + [(100, 101), (101, 102), (100, 102), (200, 300)]
+    )
+
+    def run(**kw):
+        return (
+            connected_components(_pairs_ds(pairs), **kw)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    assert run().equals(run(driver_finish_limit=0))
+
+
+def test_empty_pairs_yield_empty_typed_labels(ray_session):
+    # Dataset-level schema must survive the empty case (to_pandas() on an
+    # empty Ray dataset drops columns, so assert on the schema itself)
+    ds = connected_components(_pairs_ds([]))
+    assert ds.count() == 0
+    schema = ds.schema()
+    assert schema.names == ["doc_id", "cluster_id"]
+    assert all(str(t) == "int64" for t in schema.types)
+
+
 # ------------------------------------------------ sharded (join) paths
 
 SF = "/root/testdata/sf0.001"
