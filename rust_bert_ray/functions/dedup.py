@@ -731,9 +731,10 @@ def connected_components(
         make_sym("doc_a", "doc_b"), batch_format="pyarrow", batch_size=65536
     ).materialize()
     if edges.count() <= driver_finish_limit:
-        tables = [ray.get(ref) for ref in edges.to_arrow_refs()]
-        flat = pa.concat_tables([t for t in tables if t.num_rows] or tables[:1])
-        if flat.num_rows == 0:
+        tables = [
+            t for t in (ray.get(ref) for ref in edges.to_arrow_refs()) if t.num_rows
+        ]
+        if not tables:
             empty = pa.table(
                 {
                     "doc_id": pa.array([], type=pa.int64()),
@@ -741,6 +742,7 @@ def connected_components(
                 }
             )
             return ray.data.from_arrow(empty)
+        flat = pa.concat_tables(tables)
         ids, lab = _local_cc(
             flat.column("u").to_numpy(zero_copy_only=False).astype(np.int64),
             flat.column("v").to_numpy(zero_copy_only=False).astype(np.int64),
