@@ -341,7 +341,8 @@ FROM walk GROUP BY node_id
 # ------------------------------------------ weakly-connected components ----
 
 def _string_cc(pairs_ds, u_col: str, v_col: str, *, n_buckets: int = 64,
-               num_partitions: int = 8, max_iters: int = 16):
+               num_partitions: int = 8, max_iters: int = 16,
+               driver_finish_limit: int = 2_000_000):
     """Hash-to-min star contraction over STRING node ids.
 
     Same algorithm as functions/dedup.py:600 (see its docstring for the
@@ -351,6 +352,15 @@ def _string_cc(pairs_ds, u_col: str, v_col: str, *, n_buckets: int = 64,
     hash_pandas_object — deterministic for a fixed pandas build, which
     is all a within-run convergence check needs).  Returns labels
     (node_id, component_id) for nodes with >= 1 non-self edge.
+
+    Like dedup's CC, a frontier of ``≤ driver_finish_limit`` symmetric
+    edges is closed in one driver pass: strings are densified to sorted
+    ``np.unique`` indices (index minimum ≡ lexicographic minimum), the
+    integer kernel ``dedup._local_cc`` runs over the indices, and the
+    labels map back through the same sorted array.  Above the limit the
+    distributed loop runs unchanged — KG entity graphs at web scale can
+    exceed any driver budget, dup-style small frontiers should not pay
+    O(log d) scheduling floors.
     """
     import pandas as pd
     from pandas.util import hash_pandas_object
@@ -419,7 +429,39 @@ def _string_cc(pairs_ds, u_col: str, v_col: str, *, n_buckets: int = 64,
 
     edges = pairs_ds.map_batches(
         make_sym(u_col, v_col), batch_format="pyarrow", batch_size=65536
-    )
+    ).materialize()
+    if edges.count() <= driver_finish_limit:
+        import numpy as np
+
+        from rust_bert_ray.functions.dedup import _local_cc
+
+        tables = [
+            t for t in (ray.get(r) for r in edges.to_arrow_refs()) if t.num_rows
+        ]
+        if not tables:
+            empty = pa.table(
+                {
+                    "node_id": pa.array([], type=pa.string()),
+                    "component_id": pa.array([], type=pa.string()),
+                }
+            )
+            return ray.data.from_arrow(empty)
+        flat = pa.concat_tables(tables)
+        u = flat.column("u").to_numpy(zero_copy_only=False)
+        v = flat.column("v").to_numpy(zero_copy_only=False)
+        ids = np.unique(np.concatenate([u, v]))  # sorted → index min ≡ lex min
+        idx, lab = _local_cc(
+            np.searchsorted(ids, u).astype(np.int64),
+            np.searchsorted(ids, v).astype(np.int64),
+        )
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node_id": pa.array(ids[idx], type=pa.string()),
+                    "component_id": pa.array(ids[lab], type=pa.string()),
+                }
+            )
+        )
     prev_sig = None
     for _ in range(max_iters):
         edges = (
@@ -486,7 +528,18 @@ def kg_components(sf_dir: str):
         return t.filter(pc.not_equal(t.column("subj_id"), t.column("obj_id")))
 
     non_loop = edges.map_batches(drop_loops, batch_format="pyarrow")
-    labels = _string_cc(non_loop, "subj_id", "obj_id")
+    # materialize so the empty-labels branch is a metadata check, not a
+    # recompute; an EMPTY labels side would feed the hash-shuffle join
+    # schema-less partitions (ArrowInvalid "No match ... FieldRef"), so
+    # a label-free graph (all self-loops) self-labels map-only instead
+    labels = _string_cc(non_loop, "subj_id", "obj_id").materialize()
+    if labels.count() == 0:
+        return _all_nodes(edges).map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"node_id": t.column("node_id"), "component_id": t.column("node_id")}
+            ),
+            batch_format="pyarrow",
+        )
 
     joined = _all_nodes(edges).join(
         labels, "left_outer", 8, on=("node_id",)

@@ -107,6 +107,39 @@ def test_components_two_clusters_and_self_loop(monkeypatch):
     assert got.equals(want)
 
 
+def test_string_cc_driver_finish_matches_distributed(monkeypatch):
+    # chain long enough to need >1 contraction round + a star + an island
+    subj = [f"n{i:02d}" for i in range(20)] + ["hub"] * 5 + ["x1"]
+    obj = [f"n{i:02d}" for i in range(1, 21)] + [f"leaf{j}" for j in range(5)] + ["x2"]
+    pairs = ray.data.from_arrow(pa.table({"subj_id": subj, "obj_id": obj}))
+
+    def run(**kw):
+        return _sorted_df(graph._string_cc(pairs, "subj_id", "obj_id", **kw))
+
+    local, dist = run(), run(driver_finish_limit=0)
+    assert local.equals(dist)
+    lab = dict(zip(local.node_id, local.component_id))
+    assert lab["n20"] == "n00" and lab["leaf3"] == "hub" and lab["x2"] == "x1"
+
+
+def test_components_all_self_loops(monkeypatch):
+    # labels dataset is EMPTY (every edge is a loop): the empty typed
+    # block must survive the left_outer join and every node self-labels
+    loops = pa.table(
+        {
+            "subj_id": ["a", "b"],
+            "pred": ["r", "r"],
+            "obj_id": ["a", "b"],
+            "n_obs": pa.array([1, 1], type=pa.int64()),
+        }
+    )
+    monkeypatch.setattr(
+        graph, "edges_dataset", lambda sf_dir: ray.data.from_arrow(loops)
+    )
+    got = _sorted_df(graph.kg_components("unused"))
+    assert dict(zip(got.node_id, got.component_id)) == {"a": "a", "b": "b"}
+
+
 def test_triangles_single_triangle(tiny_edges):
     # undirected simple edges: ab, ac, bc, bd -> one triangle {a,b,c}
     got = _sorted_df(graph.kg_triangles("unused"))
