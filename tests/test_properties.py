@@ -296,3 +296,45 @@ def test_unigram_viterbi_reconstructs_word(weights, word):
     if any(len(t) > 1 for t in toks):
         for t in toks:
             assert t in weights
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60),
+            st.integers(min_value=0, max_value=60),
+        ),
+        min_size=1,
+        max_size=120,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_local_cc_matches_union_find(edges):
+    """The vectorized driver-side CC kernel (hash-to-min + pointer
+    jumping) must produce exactly the component-minimum labels of an
+    independent scalar union-find on any graph shape."""
+    from rust_bert_ray.functions.dedup import _local_cc
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    u = np.array([a for a, _ in edges], dtype=np.int64)
+    v = np.array([b for _, b in edges], dtype=np.int64)
+
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    comp = {}
+    for node in parent:
+        comp.setdefault(find(node), []).append(node)
+    want = {n: min(members) for members in comp.values() for n in members}
+
+    ids, lab = _local_cc(u, v)
+    assert dict(zip(ids.tolist(), lab.tolist())) == want
