@@ -825,7 +825,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_anomaly": relational.q_events_anomaly,
         "q_top_docs_per_source": quality.q_top_docs_per_source,
         # --- text analysis (documents) ---
-        "q_tfidf_topk": text.q_tfidf_topk,
+        # kg_components rotated INTO the window for round 5 (string-CC
+        # driver finish + empty-labels join fix touched it); q_tfidf_topk
+        # (untouched, driver-green r4) rotated out to the tail.
+        "kg_components": graph.kg_components,
         "dedup_clusters": dedup.dedup_clusters,
         "q_decode_hf": text.q_decode_hf,
         "q_bpe_merges": _q_bpe_merges,
@@ -891,7 +894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_paths_2hop": graph.kg_paths_2hop,
         "kg_reachability": graph.kg_reachability,
         "kg_influence": graph.kg_influence,
-        "kg_components": graph.kg_components,
+        "q_tfidf_topk": text.q_tfidf_topk,
         "q_events_hourly": relational.q_events_hourly,
         "q_events_asof": relational.q_events_asof,
         "q_events_sliding": relational.q_events_sliding,
