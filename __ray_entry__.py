@@ -770,7 +770,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     and hybrid_search_many (new, completing the batched family) enter
     next to their siblings; q_sample_mixture and q_shuffle_rank
     (driver-green r3+r4, text.py semantics untouched) rotate to the
-    tail.  Every entry, gated or not, is verified by
+    tail.  Round-5 session-4: kg_components moves back inside the
+    window (the string-CC adaptive driver finish and the empty-labels
+    join fix changed its code this round); q_tfidf_topk (driver-green
+    r4, text.py scoring untouched) rotates to the tail.  Every entry,
+    gated or not, is verified by
     the local mirror (tools/check_oracles.py) against the same oracles
     each round.
     """
