@@ -98,10 +98,24 @@ def canonical_surface(surface: str) -> str:
     return VARIANTS.get(surface, surface)
 
 
-def _make_docs(rng: np.random.Generator, start_idx: int, n: int, diversify: bool = False):
+def _make_docs(
+    rng: np.random.Generator,
+    start_idx: int,
+    n: int,
+    diversify: bool = False,
+    skew: float = 0.0,
+):
     """Vectorized-draw doc generator: all randomness is pulled as flat
     numpy arrays up front (per-call rng.integers is ~µs each and dominates
-    at 100k docs), then consumed with a cursor while building strings."""
+    at 100k docs), then consumed with a cursor while building strings.
+
+    ``skew`` > 0 redirects that fraction of every entity draw to the
+    FIRST gazetteer entry (Amy / Acme Corp / Paris), producing a
+    hot-entity corpus for skew stress tests — the north rule's "salting
+    for hot-entity skew" claim measured, not just salt-invariance-tested.
+    The bias mask is drawn AFTER every existing array so ``skew=0``
+    corpora are byte-identical to pre-knob output (same rng consumption
+    order), keeping every recorded oracle stable."""
     n_spans_arr = rng.integers(3, 10, size=n)
     total = int(n_spans_arr.sum())
     is_text = rng.random(total) < 0.6
@@ -111,6 +125,10 @@ def _make_docs(rng: np.random.Generator, start_idx: int, n: int, diversify: bool
     f_loc = rng.integers(0, len(LOCS), size=total)
     f_city = rng.integers(0, len(CITY_COUNTRY), size=total)
     f_media = rng.integers(0, len(MEDIA_KINDS), size=total)
+    if skew > 0.0:
+        hot = rng.random(total) < skew
+        for arr in (f_per, f_org, f_loc, f_city):
+            arr[hot] = 0
 
     doc_ids, all_spans, triple_rows = [], [], []
     cur = 0
@@ -191,7 +209,9 @@ TRIPLES_SCHEMA = pa.schema(
 )
 
 
-def generate(n_docs: int, seed: int = 13, diversify: bool = False):
+def generate(
+    n_docs: int, seed: int = 13, diversify: bool = False, skew: float = 0.0
+):
     """Return (docs: pa.Table, expected_triples: pa.Table)."""
     rng = np.random.default_rng(seed)
     doc_ids, all_spans, triple_rows = [], [], []
@@ -211,7 +231,7 @@ def generate(n_docs: int, seed: int = 13, diversify: bool = False):
         )
     if n_docs > len(FIXTURE_DOCS):
         ids2, spans2, triples2 = _make_docs(
-            rng, len(FIXTURE_DOCS), n_docs - len(FIXTURE_DOCS), diversify
+            rng, len(FIXTURE_DOCS), n_docs - len(FIXTURE_DOCS), diversify, skew
         )
         doc_ids.extend(ids2)
         all_spans.extend(spans2)
@@ -233,6 +253,7 @@ def write_corpus(
     seed: int = 13,
     shard_rows: int = 20_000,
     diversify: bool = False,
+    skew: float = 0.0,
 ) -> str:
     """Write sharded docs parquet + expected_triples parquet; idempotent.
 
@@ -243,12 +264,14 @@ def write_corpus(
     """
     docs_dir = os.path.join(out_dir, "docs")
     marker = os.path.join(
-        out_dir, f".complete-{n_docs}-{seed}{'-d' if diversify else ''}"
+        out_dir,
+        f".complete-{n_docs}-{seed}{'-d' if diversify else ''}"
+        f"{f'-s{skew}' if skew else ''}",
     )
     if os.path.exists(marker):
         return docs_dir
     os.makedirs(docs_dir, exist_ok=True)
-    docs, triples = generate(n_docs, seed, diversify)
+    docs, triples = generate(n_docs, seed, diversify, skew)
     for shard_no, start in enumerate(range(0, max(n_docs, 1), shard_rows)):
         pq.write_table(
             docs.slice(start, shard_rows),
