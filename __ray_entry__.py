@@ -304,6 +304,18 @@ def _rerank_search(sf_dir: str):
     return rerank_search(sf_dir)
 
 
+def _rerank_search_many(sf_dir: str):
+    """Batched retrieve-then-rerank: one union-probed chunk-index scan
+    widens every query in the table to its candidate pool, then the
+    multi-query cross-encoder stage rescores each pair against ITS query
+    and a grouped streaming top-k finishes per query — completing the
+    batched ``_many`` serving family (functions/search.py
+    rerank_search_many)."""
+    from rust_bert_ray.functions.search import rerank_search_many
+
+    return rerank_search_many(sf_dir)
+
+
 def _q_bpe_merges(sf_dir: str):
     """BPE vocabulary TRAINING (Sennrich 2016 / HF-trainer shape):
     distributed word-count combiner → driver-side merge induction over
@@ -773,7 +785,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     tail.  Round-5 session-4: kg_components moves back inside the
     window (the string-CC adaptive driver finish and the empty-labels
     join fix changed its code this round); q_tfidf_topk (driver-green
-    r4, text.py scoring untouched) rotates to the tail.  Every entry,
+    r4, text.py scoring untouched) rotates to the tail.  Round-5
+    session-6: rerank_search_many (new, closing the batched family —
+    every retrieval op now has a ``_many`` variant) enters next to its
+    siblings; q_chunk_docs (driver-green r3+r4, text.py chunking
+    untouched) rotates to the tail.  Every entry,
     gated or not, is verified by
     the local mirror (tools/check_oracles.py) against the same oracles
     each round.
@@ -805,6 +821,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivfpq_topk_many": _ann_ivfpq_topk_many,
         "rag_search_many": _rag_search_many,
         "hybrid_search_many": _hybrid_search_many,
+        "rerank_search_many": _rerank_search_many,
         "q_dsir_weights": text.q_dsir_weights,
         # --- KG construction (interleaved corpus; north rule) ---
         "kg_triples": _kg_triples,
@@ -843,7 +860,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_decode_hf_suffix": text.q_decode_hf_suffix,
         "q_decode_hf_metaspace": text.q_decode_hf_metaspace,
         "q_decode_hf_spbpe": text.q_decode_hf_spbpe,
-        "q_chunk_docs": text.q_chunk_docs,
         "dedup_clusters_minhash": dedup.dedup_clusters_minhash,
         # --- deduplication family ---
         "dedup_exact": dedup.dedup_exact,
@@ -922,6 +938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_token_counts": text.q_token_counts,
         "q_lang_stats": text.q_lang_stats,
         "q_fingerprints": text.q_fingerprints,
+        "q_chunk_docs": text.q_chunk_docs,
     }
 
 
@@ -1005,6 +1022,7 @@ GROUP BY 1, 2
             "ann_pq_rerank_topk", "ann_pq_topk_many", "ann_ivfpq_topk_many",
             "q_embed_clusters", "dedup_semantic", "q_lm_scores",
             "q_dsir_weights", "kg_kcore", "rag_search", "rerank_search", "rag_search_many",
+            "rerank_search_many",
         )
     }
 

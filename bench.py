@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "bm25_search_many",
     "rag_search_many",
     "hybrid_search_many",
+    "rerank_search_many",
     "ann_pq_rerank_topk",
     "rag_search",
     "bm25_search",

@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 from rust_bert_ray.functions.util import embedding_matrix
 
 EXPECTED_ROOT = "/tmp/rbr_expected"
-VERSION = 42  # bump whenever any builder's semantics change OR a builder is added
+VERSION = 43  # bump whenever any builder's semantics change OR a builder is added
 
 
 # ------------------------------------------------------------ input helpers
@@ -2594,6 +2594,47 @@ def rerank_search(sf_dir: str, corpus_root: str, k: int = 10) -> pa.Table:
     )
 
 
+def rerank_search_many(sf_dir: str, corpus_root: str, k: int = 10) -> pa.Table:
+    """Batched retrieve-then-rerank reference: the single-query rerank
+    spec above run per MANY_QUERIES entry — candidates from the
+    independent ``_rag_search_impl`` re-derivation widened to the rerank
+    pool, pair scoring sharing ONLY the CrossEncoderStage float kernel,
+    pool/sort/tie-break logic re-derived here — tagged and concatenated.
+    Per-query rows MUST equal rerank_search's for the same query text."""
+    from rust_bert_ray.functions.search import (
+        MANY_QUERIES,
+        RERANK_POOL,
+        CrossEncoderStage,
+    )
+
+    parts = []
+    for qid, q in sorted(MANY_QUERIES.items()):
+        cand = _rag_search_impl(sf_dir, q, RERANK_POOL)
+        stage = CrossEncoderStage(q)
+        scores = stage.score_batch(cand.column("chunk_text").to_pylist())
+        rows = sorted(
+            zip(
+                [float(s) for s in scores],
+                cand.column("doc_id").to_pylist(),
+                cand.column("chunk_idx").to_pylist(),
+            ),
+            key=lambda r: (-r[0], r[1], r[2]),
+        )[:k]
+        parts.append(
+            pa.Table.from_pydict(
+                {
+                    "query_id": pa.array(
+                        np.full(len(rows), qid, dtype=np.int64), pa.int64()
+                    ),
+                    "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+                    "chunk_idx": pa.array([r[2] for r in rows], pa.int64()),
+                    "ce_score": pa.array([r[0] for r in rows], pa.float64()),
+                }
+            )
+        )
+    return pa.concat_tables(parts)
+
+
 # ----------------------------------------- k-core (independent peel) ----
 
 def kg_kcore(sf_dir: str, corpus_root: str, k: int = 3) -> pa.Table:
@@ -2680,6 +2721,7 @@ BUILDERS = {
     "rag_search": rag_search,
     "rag_search_many": rag_search_many,
     "rerank_search": rerank_search,
+    "rerank_search_many": rerank_search_many,
 }
 
 

@@ -787,3 +787,78 @@ def rerank_search(
         CrossEncoderStage(q), batch_format="pyarrow", batch_size=None
     )
     return topk(scored, ["ce_score", "doc_id", "chunk_idx"], [True, False, False], k)
+
+
+class CrossEncoderManyStage:
+    """Multi-query cross-encoder: one stage holding a per-query joint
+    kernel; each candidate row is rescored against ITS OWN query.
+
+    Parity contract: the per-query kernel IS :class:`CrossEncoderStage`
+    (same instance type, same ``score_batch`` float path), and rows are
+    scored in query-partitioned sub-batches — the HashEmbedder is
+    row-independent and the matvec's row dot products don't see other
+    rows, so batched scores are bit-identical to the single-query stage
+    (asserted in tests).  Trivial init (one query embed per entry) →
+    pass an INSTANCE (task pool)."""
+
+    def __init__(self, queries: dict[int, str]):
+        self.stages = {int(qid): CrossEncoderStage(q) for qid, q in queries.items()}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        qid = t.column("query_id").to_numpy(zero_copy_only=False)
+        texts = t.column("chunk_text").to_pylist()
+        scores = np.empty(len(texts), dtype=np.float64)
+        for q in np.unique(qid):
+            idx = np.flatnonzero(qid == q)
+            scores[idx] = self.stages[int(q)].score_batch(
+                [texts[i] for i in idx]
+            )
+        return pa.Table.from_pydict(
+            {
+                "query_id": t.column("query_id"),
+                "doc_id": t.column("doc_id"),
+                "chunk_idx": t.column("chunk_idx"),
+                "ce_score": pa.array(scores, pa.float64()),
+            }
+        )
+
+
+def rerank_search_many(
+    sf_dir: str,
+    queries: dict[int, str] | None = None,
+    k: int = 10,
+    pool: int = RERANK_POOL,
+):
+    """Batched retrieve-then-rerank: ONE union-probed chunk-index scan
+    (:func:`rag_search_many`) widens every query in the table to its
+    ``pool`` candidates, the cross-encoder stage rescores each
+    (query, chunk) pair against its own query, and a grouped streaming
+    top-k finishes per query — completing the batched ``_many`` family
+    for the full serving topology (lexical, dense, hybrid, rerank).
+
+    Scale shape: stage 1 amortizes the index read across the query
+    table (n queries share one pruned scan instead of n per-call
+    scans); stage 2 touches nq×pool rows total — constant joint
+    forwards per query regardless of corpus size, and batching many
+    queries' pools into shared map_batches calls is exactly how a GPU
+    cross-encoder wants its input.  Per-query results equal
+    :func:`rerank_search` on the same query text (tested).
+    Output: (query_id, doc_id, chunk_idx, ce_score)."""
+    from rust_bert_ray.functions.util import grouped_topk
+    from rust_bert_ray.pipelines.rag import rag_search_many
+
+    qs = {
+        int(qid): q
+        for qid, q in (MANY_QUERIES if queries is None else queries).items()
+    }
+    cands = rag_search_many(sf_dir, qs, k=pool)
+    scored = cands.map_batches(
+        CrossEncoderManyStage(qs), batch_format="pyarrow", batch_size=None
+    )
+    return grouped_topk(
+        scored,
+        "query_id",
+        ["ce_score", "doc_id", "chunk_idx"],
+        [True, False, False],
+        k,
+    )

@@ -246,3 +246,25 @@ def test_hybrid_search_many_equals_per_query(index, ray_session):
         want = hybrid_search(SF, query=q, k=5).to_pandas()
         assert g["doc_id"].tolist() == want["doc_id"].tolist()
         assert g["rrf"].tolist() == want["rrf"].tolist()
+
+
+def test_rerank_search_many_equals_per_query(index, ray_session):
+    """Batched retrieve-then-rerank returns, per query, bit-identical
+    rows to the single-query rerank_search: the multi-query stage scores
+    each query's candidates through the SAME CrossEncoderStage kernel in
+    query-partitioned sub-batches (row-independent embedder + per-row
+    matvec dot ⇒ sub-batching can't change the floats)."""
+    from rust_bert_ray.functions.search import (
+        MANY_QUERIES,
+        rerank_search,
+        rerank_search_many,
+    )
+
+    got = rerank_search_many(SF, k=5).to_pandas()
+    assert list(got.columns) == ["query_id", "doc_id", "chunk_idx", "ce_score"]
+    for qid, q in MANY_QUERIES.items():
+        g = got[got["query_id"] == qid].reset_index(drop=True)
+        want = rerank_search(SF, query=q, k=5).to_pandas()
+        assert g["doc_id"].tolist() == want["doc_id"].tolist()
+        assert g["chunk_idx"].tolist() == want["chunk_idx"].tolist()
+        assert g["ce_score"].tolist() == want["ce_score"].tolist()
