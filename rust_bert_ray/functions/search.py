@@ -851,6 +851,19 @@ def rerank_search_many(
         int(qid): q
         for qid, q in (MANY_QUERIES if queries is None else queries).items()
     }
+    if not qs:
+        # typed empty (the bm25_search_many contract): downstream sees a
+        # real schema, not a schema-less zero-block dataset
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "chunk_idx": pa.array([], type=pa.int64()),
+                    "ce_score": pa.array([], type=pa.float64()),
+                }
+            )
+        )
     cands = rag_search_many(sf_dir, qs, k=pool)
     scored = cands.map_batches(
         CrossEncoderManyStage(qs), batch_format="pyarrow", batch_size=None

@@ -248,6 +248,14 @@ def test_hybrid_search_many_equals_per_query(index, ray_session):
         assert g["rrf"].tolist() == want["rrf"].tolist()
 
 
+def test_rerank_search_many_empty_queries_schema_stable(index, ray_session):
+    from rust_bert_ray.functions.search import rerank_search_many
+
+    out = rerank_search_many(SF, queries={}, k=5)
+    assert out.schema().names == ["query_id", "doc_id", "chunk_idx", "ce_score"]
+    assert out.count() == 0
+
+
 def test_rerank_search_many_equals_per_query(index, ray_session):
     """Batched retrieve-then-rerank returns, per query, bit-identical
     rows to the single-query rerank_search: the multi-query stage scores
