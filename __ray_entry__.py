@@ -787,7 +787,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     join fix changed its code this round); q_tfidf_topk (driver-green
     r4, text.py scoring untouched) rotates to the tail.  Round-5
     session-6: rerank_search_many (new, closing the batched family —
-    every retrieval op now has a ``_many`` variant) enters next to its
+    every serving retrieval stage now has a ``_many`` variant) enters next to its
     siblings; q_chunk_docs (driver-green r3+r4, text.py chunking
     untouched) rotates to the tail.  Every entry,
     gated or not, is verified by
